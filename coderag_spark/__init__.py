@@ -1,0 +1,27 @@
+"""coderag_spark — a PySpark-native inverted-index + BM25 code-search engine.
+
+A from-scratch, Spark-first rebuild of the query semantics of
+matperez/coderag (reference at /root/reference): code-aware tokenization,
+chunk-level inverted index, smoothed IDF, BM25 (k1=1.2, b=0.75) top-k
+retrieval, incremental maintenance — re-expressed as DataFrame plans that
+Catalyst can optimize (predicate pushdown, broadcast joins,
+TakeOrderedAndProject) plus Arrow-vectorized UDF islands for the
+non-relational pieces (tokenizer, chunker, posting-list compression).
+
+Package layout:
+  functions/   scalar + tokenizer functions (shared pure-Python analyzers
+               reused by the rank-identity oracle)
+  operators/   chunking, postings/dictionary build, BM25 query, posting-list
+               compaction (delta+varbyte, block-max), dedup, similarity,
+               text analysis, multimodal plumbing
+  sources/     corpus generation and table IO (parquet locally; Iceberg
+               DDL noted where the real deployment differs)
+  streaming/   incremental maintenance (diff, merge, full-rebuild decision)
+"""
+
+from coderag_spark.session import get_spark
+
+BM25_K1 = 1.2  # tfidf.ts:16 (Elasticsearch/Lucene default)
+BM25_B = 0.75  # tfidf.ts:17
+
+__all__ = ["get_spark", "BM25_K1", "BM25_B"]

@@ -1,0 +1,109 @@
+"""End-to-end build pipeline: corpus table -> queryable Index.
+
+Mirrors indexer.index() (packages/core/src/indexer.ts:360-702) as two Spark
+phases:
+  map phase    — size filter, chunking UDF, tokenize+count UDF (all
+                 partition-local, no shuffle);
+  reduce phase — df/idf dictionary aggregation + N/avgdl scalars.
+
+The docs DataFrame (chunk metadata + token_count + the sha256 invariant) and
+postings are cached/persisted by the caller as needed; ``save_index`` /
+``load_index`` checkpoint them to parquet (stand-in for Iceberg snapshots)
+with per-partition lineage rows (see compact.py for the compacted store).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coderag_spark.functions.tokenize import code_analyze
+from coderag_spark.operators.bm25 import Index
+from coderag_spark.operators.chunking import MAX_CHUNK_SIZE, MAX_FILE_SIZE, chunk_corpus
+from coderag_spark.operators.postings import (
+    BuildStats,
+    build_dictionary,
+    build_postings,
+    compute_stats,
+    tokenize_chunks,
+)
+
+DOC_COLS = [
+    "doc_id", "repo", "path", "commit", "lang", "chunk_type",
+    "start_line", "end_line", "chunk_index", "sha256", "token_count",
+]
+
+
+def build_index(
+    corpus: DataFrame,
+    analyzer=code_analyze,
+    max_chunk_size: int = MAX_CHUNK_SIZE,
+    max_file_size: int = MAX_FILE_SIZE,
+    cache: bool = True,
+) -> Index:
+    chunks = chunk_corpus(corpus, max_chunk_size, max_file_size)
+    tokenized = tokenize_chunks(chunks, analyzer)
+    if cache:
+        tokenized = tokenized.persist()
+    docs = tokenized.select(*DOC_COLS)
+    postings = build_postings(tokenized.select("doc_id", "token_count", "term_freqs"))
+    if cache:
+        postings = postings.persist()
+    stats = compute_stats(tokenized)
+    dictionary = build_dictionary(postings, stats.n_docs)
+    if cache:
+        dictionary = dictionary.persist()
+    return Index(postings=postings, dictionary=dictionary, docs=docs, stats=stats)
+
+
+def verify_sha_invariant(corpus: DataFrame, docs: DataFrame) -> int:
+    """Assert the per-row sha256 invariant survived the pipeline: every doc
+    row's sha256 equals sha2 of its source file's content. Returns the number
+    of violations (0 == pass)."""
+    src = corpus.select("repo", "path", "commit", F.sha2("content", 256).alias("expect_sha"))
+    joined = docs.join(src, ["repo", "path", "commit"], "left")
+    return joined.filter(
+        F.col("expect_sha").isNull() | (F.col("expect_sha") != F.col("sha256"))
+    ).count()
+
+
+def save_index(index: Index, path: str) -> None:
+    """Checkpoint to a parquet directory (Iceberg-snapshot stand-in).
+
+    postings are written partitioned by a term-hash bucket so query-time
+    ``term IN (...)`` prunes whole partitions; lineage/metrics rows land in
+    ``_lineage`` (per-bucket row counts — the resumability unit).
+    """
+    n_buckets = 32
+    postings = index.postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+    index.dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+    index.docs.write.mode("overwrite").parquet(f"{path}/docs")
+    lineage = postings.groupBy("bucket").agg(
+        F.count("*").alias("n_postings"),
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("raw_freq").alias("n_tokens"),
+    )
+    lineage.write.mode("overwrite").parquet(f"{path}/_lineage")
+    with open(f"{path}/stats.json", "w") as f:
+        json.dump({"n_docs": index.stats.n_docs, "avgdl": index.stats.avgdl}, f)
+
+
+def load_index(spark: SparkSession, path: str) -> Index:
+    with open(f"{path}/stats.json") as f:
+        s = json.load(f)
+    return Index(
+        postings=spark.read.parquet(f"{path}/postings").drop("bucket"),
+        dictionary=spark.read.parquet(f"{path}/dictionary"),
+        docs=spark.read.parquet(f"{path}/docs"),
+        stats=BuildStats(n_docs=s["n_docs"], avgdl=s["avgdl"]),
+    )
+
+
+def index_exists(path: str) -> bool:
+    return os.path.exists(f"{path}/stats.json")

@@ -1,0 +1,17 @@
+from coderag_spark.functions.tokenize import (
+    CODE_TOKEN_RE,
+    code_analyze,
+    code_tokens_udf,
+    simple_tokens_col,
+    simple_word_tokenize,
+    term_freqs_udf,
+)
+
+__all__ = [
+    "CODE_TOKEN_RE",
+    "code_analyze",
+    "code_tokens_udf",
+    "simple_tokens_col",
+    "simple_word_tokenize",
+    "term_freqs_udf",
+]

@@ -1,0 +1,130 @@
+"""Tokenizers / analyzers.
+
+Two analyzers, both deterministic and shared verbatim with the rank-identity
+oracle in tests/oracle.py (the oracle imports these same functions):
+
+* ``simple_word_tokenize`` — the reference's fallback tokenizer
+  (``simpleWordTokenize``, packages/core/src/code-tokenizer.ts:14-19):
+  split on ``[^a-zA-Z0-9_]+``, keep length>1, lowercase. Also available as
+  a pure Spark column expression (``simple_tokens_col``) so it runs fully
+  JVM-side inside whole-stage codegen — no Python at all on this path.
+
+* ``code_analyze`` — our canonical *code-aware analyzer* (the reference's
+  primary path is a StarCoder2 BPE vocabulary, out of scope for a pure
+  rebuild; the reference itself falls back to the word splitter whenever
+  BPE yields nothing, code-tokenizer.ts:113-117). On top of the word split
+  it emits camelCase / snake_case / digit-boundary subtokens so
+  ``getUserData`` also matches ``user`` and ``data`` — the behavior the
+  reference's tokenizer tests demand (code-tokenizer.test.ts:55-65).
+  Runs as an Arrow-vectorized pandas UDF (batched transfer, no per-row
+  Python UDF serde).
+
+Both preserve the reference's cleaning rules: lowercase + length>1
+(code-tokenizer.ts:104-107).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Reference split: /[^a-zA-Z0-9_]+/ (code-tokenizer.ts:15)
+WORD_SPLIT_RE = re.compile(r"[^a-zA-Z0-9_]+")
+
+# camelCase boundary: lower-or-digit followed by upper, or UPPER run before
+# Upper+lower (e.g. "HTTPServer" -> "HTTP" + "Server"); digit boundaries too.
+CAMEL_RE = re.compile(
+    r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"
+)
+
+CODE_TOKEN_RE = "[^a-z0-9_]+"  # post-lowercase split pattern (column form)
+
+
+def simple_word_tokenize(text: str) -> list[str]:
+    """Exact port of simpleWordTokenize (code-tokenizer.ts:14-19)."""
+    if not text:
+        return []
+    return [w.lower() for w in WORD_SPLIT_RE.split(text) if len(w) > 1]
+
+
+def _subtokens(word: str) -> list[str]:
+    """Split an identifier into snake_case / camelCase / digit subtokens."""
+    parts: list[str] = []
+    for snake in word.split("_"):
+        if not snake:
+            continue
+        parts.extend(CAMEL_RE.split(snake))
+    return [p for p in parts if p]
+
+
+def code_analyze(text: str) -> list[str]:
+    """Code-aware analyzer: word tokens + identifier subtokens.
+
+    For each raw identifier: emit the lowercased identifier (len>1), then —
+    when it actually decomposes — each lowercased subtoken (len>1) that
+    differs from the whole identifier. Order is deterministic
+    (document order, whole token before its subtokens).
+    """
+    if not text:
+        return []
+    out: list[str] = []
+    for w in WORD_SPLIT_RE.split(text):
+        if len(w) <= 1:
+            continue
+        lw = w.lower()
+        out.append(lw)
+        subs = _subtokens(w)
+        if len(subs) > 1:
+            for s in subs:
+                ls = s.lower()
+                if len(ls) > 1 and ls != lw:
+                    out.append(ls)
+    return out
+
+
+def simple_tokens_col(col: Column) -> Column:
+    """simple_word_tokenize as a JVM-side column expression.
+
+    Lowercasing before the split is equivalent to the reference's
+    split-then-lowercase because case does not affect the split class.
+    Stays inside whole-stage codegen; DuckDB-oracle equivalent:
+    ``list_filter(string_split_regex(lower(x), '[^a-z0-9_]+'), t -> len(t) > 1)``.
+    """
+    return F.filter(
+        F.split(F.lower(col), CODE_TOKEN_RE),
+        lambda x: F.length(x) > F.lit(1),
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def code_tokens_udf(content: pd.Series) -> pd.Series:
+    """Arrow-batched code-aware analyzer (1 file/chunk -> token list)."""
+    return content.map(lambda s: code_analyze(s) if isinstance(s, str) else [])
+
+
+def term_freqs_udf(analyzer=code_analyze):
+    """Tokenize + count in one Arrow batch: content -> {term: raw_freq}.
+
+    Counting inside the UDF keeps term-frequency aggregation map-side — the
+    raw token stream never enters a shuffle (SURVEY §2.4 A1). At 100 TB this
+    is the difference between shuffling ~10^13 token rows and shuffling the
+    ~50× smaller (doc, term) pairs.
+    """
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.LongType()))
+    def _udf(content: pd.Series) -> pd.Series:
+        def tf(s: object) -> dict[str, int]:
+            if not isinstance(s, str) or not s:
+                return {}
+            freqs: dict[str, int] = {}
+            for t in analyzer(s):
+                freqs[t] = freqs.get(t, 0) + 1
+            return freqs
+
+        return content.map(tf)
+
+    return _udf

@@ -1,0 +1,132 @@
+"""BM25 query engine (the reference's hot path, SURVEY §3.1).
+
+Query plan (all Catalyst built-ins — no Python in the scoring path):
+
+  1. tokenize + dedupe the query driver-side (queries are tiny strings;
+     dedupe per tfidf.ts:28 — a repeated query term counts once);
+  2. ``postings.filter(term IN (...))`` — an IN predicate Catalyst pushes
+     into the parquet/Iceberg scan (partition pruning when postings are
+     bucketed by term);
+  3. broadcast-join the (tiny) query-term slice of the dictionary for idf
+     (J4: the reference's Map lookup);
+  4. BM25 term score as a column expression inside whole-stage codegen:
+     idf * (raw_freq*(k1+1)) / (raw_freq + k1*(1 - b + b*dl/avgdl))
+     (tfidf.ts:315-321; raw frequency, not normalized tf);
+  5. groupBy(doc_id).sum — partial aggregation map-side, tiny shuffle
+     (only docs containing >=1 query term survive step 2);
+  6. orderBy(score desc, doc_id asc).limit(k) -> TakeOrderedAndProject
+     (per-partition heap + driver merge — the distributed generalization of
+     the reference's rising-threshold bounded sort, tfidf.ts:330-338).
+
+Missing-idf default is 1 per the production chunk-search path
+(indexer.ts:1344); it can only fire for terms present in postings but
+absent from the dictionary, which the build prevents.
+
+Filters (extension / path include / exclude — indexer.ts:1317-1333) are
+applied BEFORE scoring as pushed predicates. The reference applies them
+after its 2·limit candidate cap; the results differ only when that
+score-unsafe cap binds (SURVEY §4 caveat) — we score exhaustively, which is
+rank-safe, and verify rank-identity on the fixtures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark import BM25_B, BM25_K1
+from coderag_spark.functions.tokenize import code_analyze
+from coderag_spark.operators.postings import BuildStats
+
+
+@dataclass
+class Index:
+    """A built index: postings + dictionary + per-doc metadata + stats."""
+
+    postings: DataFrame  # (doc_id, term, raw_freq, tf, token_count)
+    dictionary: DataFrame  # (term, df, idf)
+    docs: DataFrame  # (doc_id, repo, path, lang, start_line, end_line, sha256, token_count, ...)
+    stats: BuildStats
+    extras: dict = field(default_factory=dict)
+
+
+def dedupe_query_tokens(query: str, analyzer=code_analyze) -> list[str]:
+    """tokenize + dedupe preserving first-seen order (tfidf.ts:28)."""
+    seen: dict[str, None] = {}
+    for t in analyzer(query):
+        seen.setdefault(t)
+    return list(seen)
+
+
+def bm25_term_score(
+    raw_freq: Column, idf: Column, token_count: Column, avgdl: float,
+    k1: float = BM25_K1, b: float = BM25_B,
+) -> Column:
+    """Per-(doc, term) BM25 contribution (tfidf.ts:315-321).
+
+    docLen falls back to 1 when token_count is 0/null (tfidf.ts:314).
+    """
+    dl = F.when(F.coalesce(token_count, F.lit(0)) > 0, token_count).otherwise(F.lit(1))
+    numer = raw_freq * (k1 + 1.0)
+    denom = raw_freq + k1 * (1.0 - b + (b * dl) / F.lit(float(avgdl)))
+    return F.coalesce(idf, F.lit(1.0)) * (numer / denom)
+
+
+def score_terms(
+    index: Index, terms: list[str], k1: float = BM25_K1, b: float = BM25_B
+) -> DataFrame:
+    """(doc_id, score, matched_terms) for every doc matching >=1 term (OR
+    retrieval — storage-persistent.ts:731-738)."""
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, matched_terms int"
+        )
+    cand = index.postings.filter(F.col("term").isin(terms))
+    idf = index.dictionary.filter(F.col("term").isin(terms)).select("term", "idf")
+    scored = cand.join(F.broadcast(idf), "term", "left")
+    per_term = bm25_term_score(
+        F.col("raw_freq"), F.col("idf"), F.col("token_count"), index.stats.avgdl, k1, b
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum(per_term).alias("score"),
+        F.count("*").alias("matched_terms"),
+    )
+
+
+def search(
+    index: Index,
+    query: str,
+    limit: int = 10,
+    min_score: float = 0.0,
+    file_extensions: list[str] | None = None,
+    path_filter: str | None = None,
+    exclude_paths: list[str] | None = None,
+    analyzer=code_analyze,
+) -> DataFrame:
+    """Top-k BM25 chunk search — the indexer.search surface
+    (indexer.ts:1165-1365). Returns
+    (doc_id, repo, path, start_line, end_line, lang, sha256, score)."""
+    terms = dedupe_query_tokens(query, analyzer)
+    docs = index.docs
+    # pre-scoring pushed predicates (P2/P3/P4)
+    if file_extensions:
+        cond = F.lit(False)
+        for ext in file_extensions:
+            cond = cond | F.col("path").endswith(ext)
+        docs = docs.filter(cond)
+    if path_filter:
+        docs = docs.filter(F.col("path").contains(path_filter))
+    for ex in exclude_paths or []:
+        docs = docs.filter(~F.col("path").contains(ex))
+
+    scores = score_terms(index, terms)
+    if min_score > 0:
+        scores = scores.filter(F.col("score") >= F.lit(min_score))
+    out = scores.join(
+        docs.select("doc_id", "repo", "path", "start_line", "end_line", "lang", "sha256"),
+        "doc_id",
+        "inner",
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)

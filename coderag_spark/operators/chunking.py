@@ -1,0 +1,205 @@
+"""File -> chunk splitting (the reference's indexing unit).
+
+Reference behavior (packages/core/src/ast-chunking.ts:183-225):
+  * supported code languages are chunked along AST boundaries
+    (functions/classes), 1-based line ranges (ast-chunking.ts:76-77);
+  * everything else — and any parse failure, and any file whose AST pass
+    yields zero chunks despite non-blank content — falls back to
+    character chunking, size 1000 / overlap 100, with ``type='text'`` and
+    ``start_line = end_line = 0`` (ast-chunking.ts:59-68; chunkText at
+    packages/core/src/embeddings.ts:259-297);
+  * empty input -> zero chunks (ast-chunking.test.ts:168-172).
+
+tree-sitter is not available here, so the code path uses a deterministic
+line/boundary splitter with the same *contract*: split at top-level
+definition boundaries (regex for `function`/`def`/`class`/`fn`/`func`/
+`impl`/`struct`/method headers), greedily packing blocks up to
+``max_chunk_size`` characters, 1-based inclusive line ranges, falling back
+to char chunks exactly as above when no boundary matches.
+
+The splitter is pure Python, shared with the oracle; Spark runs it inside an
+Arrow-batched pandas UDF returning ``array<struct<...>>`` which is then
+exploded (1 file -> N chunk rows) — the UDTF shape from SURVEY §2.10.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_CHUNK_SIZE = 1000  # ast-chunking.ts:188
+CHUNK_OVERLAP = 100  # embeddings.ts:267
+MAX_FILE_SIZE = 1024 * 1024  # indexer.ts:100 (1 MiB default skip)
+
+# Languages the reference AST-chunks (ast-chunking.ts:47-54), by our lang tags.
+CODE_LANGS = {"TypeScript", "TSX", "JavaScript", "JSX", "Python", "Rust", "Go", "Java"}
+
+_BOUNDARY_RE = re.compile(
+    r"^(?:export\s+)?(?:default\s+)?(?:async\s+)?"
+    r"(?:function\b|def\s|class\b|fn\s|func\s|impl\b|struct\b|interface\b|"
+    r"(?:public|private|protected|static)\s)"
+)
+
+
+@dataclass
+class Chunk:
+    content: str
+    chunk_type: str
+    start_line: int  # 1-based; 0 for fallback text chunks
+    end_line: int
+    chunk_index: int
+
+
+def chunk_text(text: str, max_chunk_size: int = MAX_CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> list[str]:
+    """Exact port of chunkText (embeddings.ts:259-297)."""
+    if len(text) == 0:
+        return []
+    chunks: list[str] = []
+    start = 0
+    n = len(text)
+    while start < n:
+        end = min(start + max_chunk_size, n)
+        chunks.append(text[start:end])
+        if end >= n:
+            break
+        next_start = end - overlap
+        start = end if next_start <= start else next_start
+    return chunks
+
+
+def _fallback_chunks(text: str, max_chunk_size: int) -> list[Chunk]:
+    """createFallbackChunks semantics (ast-chunking.ts:59-68)."""
+    return [
+        Chunk(content=c, chunk_type="text", start_line=0, end_line=0, chunk_index=i)
+        for i, c in enumerate(chunk_text(text, max_chunk_size))
+    ]
+
+
+def _code_chunks(text: str, max_chunk_size: int) -> list[Chunk]:
+    """Boundary-packed code chunking with 1-based inclusive line ranges."""
+    lines = text.split("\n")
+    # block start indices: line 0 plus every top-level boundary line
+    starts = [i for i, ln in enumerate(lines) if _BOUNDARY_RE.match(ln)]
+    if not starts:
+        return []
+    if starts[0] != 0:
+        starts = [0] + starts
+    blocks: list[tuple[int, int]] = []  # [start, end) line spans
+    for j, s in enumerate(starts):
+        e = starts[j + 1] if j + 1 < len(starts) else len(lines)
+        blocks.append((s, e))
+
+    chunks: list[Chunk] = []
+    cur_start: int | None = None
+    cur_end = 0
+    cur_len = 0
+    for s, e in blocks:
+        block_text_len = sum(len(lines[i]) + 1 for i in range(s, e))
+        if cur_start is not None and cur_len + block_text_len > max_chunk_size:
+            chunks.append(_mk_chunk(lines, cur_start, cur_end, len(chunks)))
+            cur_start = None
+            cur_len = 0
+        if cur_start is None:
+            cur_start = s
+        cur_end = e
+        cur_len += block_text_len
+        # single oversize block: flush immediately (keeps chunks bounded)
+        if cur_len > max_chunk_size:
+            chunks.append(_mk_chunk(lines, cur_start, cur_end, len(chunks)))
+            cur_start = None
+            cur_len = 0
+    if cur_start is not None:
+        chunks.append(_mk_chunk(lines, cur_start, cur_end, len(chunks)))
+    return [c for c in chunks if c.content.strip()]
+
+
+def _mk_chunk(lines: list[str], s: int, e: int, idx: int) -> Chunk:
+    return Chunk(
+        content="\n".join(lines[s:e]),
+        chunk_type="chunk",
+        start_line=s + 1,
+        end_line=e,  # inclusive 1-based end == exclusive 0-based end
+        chunk_index=idx,
+    )
+
+
+def chunk_file(content: str, lang: str | None, max_chunk_size: int = MAX_CHUNK_SIZE) -> list[Chunk]:
+    """chunkCodeByAST contract (ast-chunking.ts:183-225): code path with
+    fallback when unsupported / failed / zero chunks on non-blank input."""
+    if content is None or len(content) == 0:
+        return []
+    chunks: list[Chunk] = []
+    if lang in CODE_LANGS:
+        try:
+            chunks = _code_chunks(content, max_chunk_size)
+        except Exception:
+            chunks = []
+    if not chunks and content.strip():
+        chunks = _fallback_chunks(content, max_chunk_size)
+    # re-number after filtering
+    for i, c in enumerate(chunks):
+        c.chunk_index = i
+    return chunks
+
+
+CHUNK_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("content", T.StringType()),
+            T.StructField("chunk_type", T.StringType()),
+            T.StructField("start_line", T.IntegerType()),
+            T.StructField("end_line", T.IntegerType()),
+            T.StructField("chunk_index", T.IntegerType()),
+        ]
+    )
+)
+
+
+def chunk_corpus(corpus: DataFrame, max_chunk_size: int = MAX_CHUNK_SIZE, max_file_size: int = MAX_FILE_SIZE) -> DataFrame:
+    """corpus(repo,path,commit,lang,content,sha256) -> chunk rows.
+
+    * size filter first (indexer.ts:899-907) — pushed to the parquet scan;
+    * chunking via Arrow-batched pandas UDF + explode (1 file -> N rows);
+    * deterministic ``doc_id = xxhash64(repo,path,commit,chunk_index)``
+      (never monotonically_increasing_id — partition-layout dependent);
+    * the file's ``sha256`` invariant rides along on every chunk row.
+    """
+
+    @F.pandas_udf(CHUNK_STRUCT)
+    def chunk_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [
+                    (c.content, c.chunk_type, c.start_line, c.end_line, c.chunk_index)
+                    for c in chunk_file(cnt if isinstance(cnt, str) else "", lg, max_chunk_size)
+                ]
+                for cnt, lg in zip(content, lang)
+            ]
+        )
+
+    sized = corpus.filter(F.length(F.col("content")) <= F.lit(max_file_size))
+    chunks = (
+        sized.withColumn("chunk", F.explode(chunk_udf(F.col("content"), F.col("lang"))))
+        .select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "sha256",
+            F.col("chunk.content").alias("content"),
+            F.col("chunk.chunk_type").alias("chunk_type"),
+            F.col("chunk.start_line").alias("start_line"),
+            F.col("chunk.end_line").alias("end_line"),
+            F.col("chunk.chunk_index").alias("chunk_index"),
+        )
+        .withColumn(
+            "doc_id",
+            F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"), F.col("chunk_index")),
+        )
+    )
+    return chunks

@@ -1,0 +1,111 @@
+"""Inverted-index build: chunks -> postings + dictionary + global stats.
+
+Semantics pinned to the reference:
+  * postings row = (doc_id, term, raw_freq, tf) where doc == chunk
+    (packages/core/src/db/schema.ts:60-78); tf = raw_freq / token_count
+    (tfidf.ts:67-76);
+  * df counts CHUNKS containing the term (storage-persistent.ts:999-1007) —
+    since (term, doc_id) is unique after map-side counting, a plain count()
+    replaces COUNT(DISTINCT) (no extra distinct shuffle);
+  * smoothed idf = ln((N+1)/(df+1)) + 1, N = total chunk count
+    (tfidf.ts:95-103; storage-persistent.ts:843-845);
+  * avgdl = avg(token_count) over chunks (storage-persistent.ts:968-982);
+  * magnitude = sqrt(sum(tfidf^2)) per chunk (storage-persistent.ts:1051-1062).
+
+Scale notes (100 TB / 10^12 files):
+  * term counting happens inside the tokenizer UDF (map-side), so the only
+    shuffle in the build is the groupBy(term) for df — over (doc, term)
+    pairs, not raw tokens;
+  * df aggregation is partial-aggregated by Spark (map-side combine), so a
+    Zipf-hot term like ``import`` arrives at its reducer as one partial row
+    per map task, not one row per posting — no salting needed for *counting*;
+    salting matters for posting-list *construction* (see compact.py);
+  * dictionary is small (vocab ~10^7 rows max) — broadcast at query time.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark.functions.tokenize import code_analyze, term_freqs_udf
+
+
+@dataclass
+class BuildStats:
+    n_docs: int  # total chunks (N in the idf formula)
+    avgdl: float  # average chunk token_count
+
+
+def tokenize_chunks(chunks: DataFrame, analyzer=code_analyze) -> DataFrame:
+    """chunks + term_freqs map column + token_count.
+
+    token_count is the total token count (sum of raw freqs) — the BM25 |D|
+    (storage-persistent.ts:529-535 stores tokenCount per chunk).
+    """
+    with_freqs = chunks.withColumn("term_freqs", term_freqs_udf(analyzer)(F.col("content")))
+    return with_freqs.withColumn(
+        "token_count",
+        F.coalesce(
+            F.aggregate(F.map_values("term_freqs"), F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
+def build_postings(tokenized_chunks: DataFrame) -> DataFrame:
+    """(doc_id, term, raw_freq, tf) — one row per (chunk, term).
+
+    No shuffle here: the map explode preserves the input partitioning, and
+    (doc_id, term) is already unique because counting happened in the UDF.
+    """
+    return (
+        tokenized_chunks.select(
+            "doc_id",
+            "token_count",
+            F.explode_outer("term_freqs").alias("term", "raw_freq"),
+        )
+        .filter(F.col("term").isNotNull())
+        .withColumn("tf", F.col("raw_freq") / F.col("token_count"))
+        .select("doc_id", "term", "raw_freq", "tf", "token_count")
+    )
+
+
+def build_dictionary(postings: DataFrame, n_docs: int) -> DataFrame:
+    """(term, df, idf) — A3 + A4 from SURVEY §2.4."""
+    return postings.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+
+
+def compute_stats(tokenized_chunks: DataFrame) -> BuildStats:
+    """N + avgdl in one pass. Reference clamps avgdl >= 1 at query time
+    (tfidf.ts:292-294); we clamp here once."""
+    row = tokenized_chunks.agg(
+        F.count("*").alias("n"), F.avg(F.coalesce("token_count", F.lit(0))).alias("avgdl")
+    ).collect()[0]
+    n = row["n"] or 0
+    avgdl = max(float(row["avgdl"] or 0.0), 1.0)
+    return BuildStats(n_docs=n, avgdl=avgdl)
+
+
+def with_tfidf(postings: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """tfidf = tf * idf (J5: recalculateTfidfScores as one equi-join)."""
+    return postings.join(dictionary.select("term", "idf"), "term").withColumn(
+        "tfidf", F.col("tf") * F.col("idf")
+    )
+
+
+def compute_magnitudes(postings_tfidf: DataFrame) -> DataFrame:
+    """(doc_id, magnitude) — A5, for the cosine/TF-IDF legacy parity path."""
+    return postings_tfidf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.pow(F.col("tfidf"), 2))).alias("magnitude")
+    )
+
+
+def smoothed_idf(n_docs: int, df: int) -> float:
+    """Driver-side scalar mirror of the idf formula (shared with tests)."""
+    return math.log((n_docs + 1) / (df + 1)) + 1.0

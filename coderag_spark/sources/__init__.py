@@ -1,0 +1,15 @@
+from coderag_spark.sources.corpus import (
+    CORPUS_SCHEMA,
+    detect_language,
+    generate_corpus,
+    generate_corpus_df,
+    with_sha256,
+)
+
+__all__ = [
+    "CORPUS_SCHEMA",
+    "detect_language",
+    "generate_corpus",
+    "generate_corpus_df",
+    "with_sha256",
+]

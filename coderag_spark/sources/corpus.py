@@ -1,0 +1,209 @@
+"""Deterministic synthetic source-code corpus (the engine's input table).
+
+Schema per BASELINE.json input_hint: ``(repo, path, commit, lang, content)``
+plus the derived per-row invariant ``sha256 = sha2(content, 256)`` that every
+pipeline stage carries through and re-asserts.
+
+The generator mirrors FIXTURES.md §1: seeded identifier vocabulary with
+camelCase + snake_case mixes (the reference's tokenizer-test vocabulary,
+packages/core/src/code-tokenizer.test.ts:19-65), several languages drawn from
+the reference's extension map (packages/core/src/utils.ts:14-42), markdown /
+yaml files to exercise the char-fallback chunker
+(packages/core/src/ast-chunking.test.ts:26-64), and edge rows (empty file,
+whitespace-only, oversized, broken syntax, duplicate content at two paths).
+
+In production this table is an Iceberg table partitioned by ``repo`` —
+``CREATE TABLE corpus (...) USING iceberg PARTITIONED BY (repo)``; in this
+sandbox we read/write parquet with the same schema.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Mirror of detectLanguage (packages/core/src/utils.ts:14-42).
+LANGUAGE_MAP = {
+    ".ts": "TypeScript", ".tsx": "TSX", ".js": "JavaScript", ".jsx": "JSX",
+    ".py": "Python", ".java": "Java", ".go": "Go", ".rs": "Rust",
+    ".c": "C", ".cpp": "C++", ".cs": "C#", ".rb": "Ruby", ".php": "PHP",
+    ".swift": "Swift", ".kt": "Kotlin", ".md": "Markdown", ".json": "JSON",
+    ".yaml": "YAML", ".yml": "YAML", ".toml": "TOML", ".sql": "SQL",
+    ".sh": "Shell", ".bash": "Bash",
+}
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("sha256", T.StringType(), True),
+    ]
+)
+
+# Identifier vocabulary: camelCase / snake_case / plain (tokenizer tests).
+_CAMEL = [
+    "getUserData", "authenticateUser", "handleRequest", "parseConfig",
+    "DatabaseConnection", "getUserById", "setUserName", "fetchOrders",
+    "HTTPServer", "readFileSync", "connectDatabase", "validateToken",
+]
+_SNAKE = [
+    "is_authenticated", "user_name", "db_connection", "parse_query",
+    "hash_password", "load_config", "max_retries", "error_count",
+    "token_cache", "build_index",
+]
+_PLAIN = [
+    "user", "query", "index", "token", "cache", "error", "async", "await",
+    "function", "return", "import", "export", "class", "config", "server",
+    "client", "database", "password", "session", "request", "response",
+]
+_MODULES = ["auth", "db", "api", "core", "utils", "search", "index", "net"]
+_EXTS = [".ts", ".js", ".py", ".rs", ".go", ".java", ".md", ".yaml", ".json", ".c"]
+
+
+def _render_code(rng: random.Random, lang_ext: str, n_blocks: int) -> str:
+    """Templated source text: function/class blocks over the seeded vocab."""
+    lines: list[str] = []
+    for _ in range(n_blocks):
+        name = rng.choice(_CAMEL)
+        args = ", ".join(rng.sample(_SNAKE, rng.randint(1, 3)))
+        body_terms = rng.choices(_PLAIN + _SNAKE + _CAMEL, k=rng.randint(4, 12))
+        if lang_ext == ".py":
+            lines.append(f"def {name}({args}):")
+            for t in body_terms:
+                lines.append(f"    {t} = {rng.choice(_PLAIN)}({rng.randint(0, 99)})")
+            lines.append("")
+        elif lang_ext in (".md", ".yaml", ".json"):
+            lines.append(f"# {name}")
+            lines.append(" ".join(body_terms))
+            lines.append("")
+        else:
+            lines.append(f"function {name}({args}) {{")
+            for t in body_terms:
+                lines.append(f"  const {t} = {rng.choice(_PLAIN)}({rng.randint(0, 99)});")
+            lines.append("}")
+            lines.append("")
+    return "\n".join(lines)
+
+
+def generate_corpus(
+    n_files: int = 200, seed: int = 42, n_repos: int = 8, include_edge_rows: bool = True
+) -> pd.DataFrame:
+    """Deterministic corpus as a pandas DataFrame (driver-side, test scale).
+
+    For bench scale use :func:`generate_corpus_df`, which generates
+    distributed (one seeded generator per partition) so no 100 TB corpus
+    ever materializes on the driver.
+    """
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    for i in range(n_files):
+        repo = f"repo{i % n_repos:03d}"
+        ext = _EXTS[i % len(_EXTS)]
+        module = _MODULES[(i // n_repos) % len(_MODULES)]
+        path = f"src/{module}/file{i:05d}{ext}"
+        content = _render_code(rng, ext, rng.randint(1, 6))
+        rows.append(
+            {
+                "repo": repo,
+                "path": path,
+                "commit": hashlib.sha1(repo.encode()).hexdigest(),
+                "lang": LANGUAGE_MAP.get(ext),
+                "content": content,
+            }
+        )
+    if include_edge_rows and rows:
+        repo = rows[0]["repo"]
+        commit = rows[0]["commit"]
+        edge = [
+            ("src/edge/empty.ts", ""),  # 0 chunks (ast-chunking.test.ts:168-172)
+            ("src/edge/blank.py", "   \n\t  \n"),  # whitespace-only -> 0 tokens
+            ("src/edge/huge.md", "x" * 1_100_000),  # > 1 MiB skip rule (indexer.ts:899-902)
+            ("src/edge/broken.js", "function ((({{{ oops"),  # fallback resilience
+            ("src/edge/dup_a.ts", rows[0]["content"]),  # duplicate content, two paths
+            ("src/edge/dup_b.ts", rows[0]["content"]),
+        ]
+        for path, content in edge:
+            ext = "." + path.rsplit(".", 1)[1]
+            rows.append(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": commit,
+                    "lang": LANGUAGE_MAP.get(ext),
+                    "content": content,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf["sha256"] = pdf["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    return pdf
+
+
+def generate_corpus_df(
+    spark: SparkSession,
+    n_files: int = 200,
+    seed: int = 42,
+    n_repos: int = 8,
+    include_edge_rows: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed corpus generation.
+
+    Each partition renders its own file-id range with a seed derived from
+    (seed, partition) — deterministic regardless of parallelism, and the
+    driver never holds the corpus. This is the shape a 10^12-file synthetic
+    load test uses.
+    """
+    partitions = partitions or max(1, min(64, n_files // 64 + 1))
+    ranges = spark.range(0, n_files, 1, partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rng = random.Random(seed)  # per-row reseed below keeps determinism
+            out = []
+            for i in pdf["id"].tolist():
+                rng_i = random.Random((seed << 20) ^ i)
+                repo = f"repo{i % n_repos:03d}"
+                ext = _EXTS[i % len(_EXTS)]
+                module = _MODULES[(i // n_repos) % len(_MODULES)]
+                content = _render_code(rng_i, ext, rng_i.randint(1, 6))
+                out.append(
+                    {
+                        "repo": repo,
+                        "path": f"src/{module}/file{i:05d}{ext}",
+                        "commit": hashlib.sha1(repo.encode()).hexdigest(),
+                        "lang": LANGUAGE_MAP.get(ext),
+                        "content": content,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["repo", "path", "commit", "lang", "content"])
+
+    df = ranges.mapInPandas(
+        gen, schema="repo string, path string, commit string, lang string, content string"
+    )
+    df = with_sha256(df)
+    if include_edge_rows:
+        edge_pdf = generate_corpus(1, seed=seed, include_edge_rows=True).iloc[1:]
+        df = df.unionByName(spark.createDataFrame(edge_pdf, schema=CORPUS_SCHEMA))
+    return df
+
+
+def with_sha256(df: DataFrame) -> DataFrame:
+    """The per-row invariant: sha256(content), recomputable at any stage."""
+    return df.withColumn("sha256", F.sha2(F.col("content"), 256))
+
+
+def detect_language(path_col) -> F.Column:
+    """detectLanguage as a column expression over a broadcast literal map."""
+    ext = F.lower(F.regexp_extract(path_col, r"(\.[^./\\]+)$", 1))
+    pairs = []
+    for k, v in LANGUAGE_MAP.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.element_at(F.create_map(*pairs), ext)

@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+import pytest
+
+from coderag_spark import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("coderag-tests", cores=4, shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def corpus_pdf():
+    from coderag_spark.sources.corpus import generate_corpus
+
+    return generate_corpus(n_files=60, seed=42)
+
+
+@pytest.fixture(scope="session")
+def corpus_df(spark, corpus_pdf):
+    from coderag_spark.sources.corpus import CORPUS_SCHEMA
+
+    return spark.createDataFrame(corpus_pdf, schema=CORPUS_SCHEMA).repartition(4).cache()
+
+
+@pytest.fixture(scope="session")
+def index(spark, corpus_df):
+    from coderag_spark.engine import build_index
+
+    return build_index(corpus_df)
+
+
+@pytest.fixture(scope="session")
+def oracle_index(corpus_pdf, spark, index):
+    from tests.oracle import oracle_build
+
+    oidx = oracle_build(corpus_pdf.to_dict("records"))
+    # inject engine doc_ids for tie-break parity (doc_id = xxhash64 of the
+    # natural key, an engine artifact the oracle treats as opaque)
+    rows = index.docs.select("repo", "path", "commit", "chunk_index", "doc_id").collect()
+    mapping = {(r["repo"], r["path"], r["commit"], r["chunk_index"]): r["doc_id"] for r in rows}
+    for d in oidx.docs:
+        d.doc_id = mapping.get(d.key)
+    return oidx

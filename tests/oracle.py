@@ -1,0 +1,124 @@
+"""Single-node pure-Python oracle for rank-identity testing.
+
+Re-implements the reference pipeline — chunk -> tokenize -> TF -> smoothed
+IDF -> BM25 top-k — with plain dicts and loops (no Spark), following the
+cited reference semantics:
+  * smoothed idf = ln((N+1)/(df+1)) + 1, N = chunk count
+    (packages/core/src/tfidf.ts:95-103; storage-persistent.ts:843-845)
+  * BM25 k1=1.2 b=0.75 over RAW term frequency with docLen/avgdl
+    normalization (tfidf.ts:256-339), missing idf -> 1 (indexer.ts:1344)
+  * query terms deduped (tfidf.ts:28); OR retrieval (>=1 matched term)
+  * avgdl clamped >= 1 (tfidf.ts:292-294); docLen fallback 1 (tfidf.ts:314)
+  * tie-break (score desc, doc_id asc) — the engine's pinned determinism
+    rule (the reference's JS sort has no tie-break, SURVEY §7.1)
+
+The tokenizer and chunker are the same deterministic pure functions the
+engine's UDFs wrap (coderag_spark.functions / operators.chunking) — the
+point of the oracle is to check the *distributed index + scoring math*
+against a trivially-correct sequential loop.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+
+from coderag_spark import BM25_B, BM25_K1
+from coderag_spark.functions.tokenize import code_analyze
+from coderag_spark.operators.bm25 import dedupe_query_tokens
+from coderag_spark.operators.chunking import MAX_CHUNK_SIZE, MAX_FILE_SIZE, chunk_file
+
+
+@dataclass
+class OracleDoc:
+    key: tuple  # (repo, path, commit, chunk_index)
+    path: str
+    start_line: int
+    end_line: int
+    token_count: int
+    freqs: dict
+    doc_id: int | None = None  # engine doc_id, injected for tie-break parity
+
+
+@dataclass
+class OracleIndex:
+    docs: list = field(default_factory=list)
+    df: dict = field(default_factory=dict)
+    idf: dict = field(default_factory=dict)
+    n_docs: int = 0
+    avgdl: float = 1.0
+
+
+def oracle_build(
+    corpus_rows: list[dict],
+    analyzer=code_analyze,
+    max_chunk_size: int = MAX_CHUNK_SIZE,
+    max_file_size: int = MAX_FILE_SIZE,
+) -> OracleIndex:
+    idx = OracleIndex()
+    for row in corpus_rows:
+        content = row.get("content") or ""
+        if len(content) > max_file_size:
+            continue
+        for c in chunk_file(content, row.get("lang"), max_chunk_size):
+            toks = analyzer(c.content)
+            freqs = dict(Counter(toks))
+            idx.docs.append(
+                OracleDoc(
+                    key=(row["repo"], row["path"], row["commit"], c.chunk_index),
+                    path=row["path"],
+                    start_line=c.start_line,
+                    end_line=c.end_line,
+                    token_count=len(toks),
+                    freqs=freqs,
+                )
+            )
+    idx.n_docs = len(idx.docs)
+    df: Counter = Counter()
+    for d in idx.docs:
+        df.update(d.freqs.keys())
+    idx.df = dict(df)
+    idx.idf = {t: math.log((idx.n_docs + 1) / (v + 1)) + 1.0 for t, v in df.items()}
+    total = sum(d.token_count for d in idx.docs)
+    idx.avgdl = max(total / idx.n_docs if idx.n_docs else 0.0, 1.0)
+    return idx
+
+
+def oracle_search(
+    idx: OracleIndex,
+    query: str,
+    limit: int = 10,
+    min_score: float = 0.0,
+    file_extensions: list[str] | None = None,
+    path_filter: str | None = None,
+    exclude_paths: list[str] | None = None,
+    analyzer=code_analyze,
+) -> list[tuple]:
+    """Returns [(key, score)] sorted by (score desc, doc_id asc)."""
+    terms = dedupe_query_tokens(query, analyzer)
+    if not terms:
+        return []
+    results = []
+    for d in idx.docs:
+        if file_extensions and not any(d.path.endswith(e) for e in file_extensions):
+            continue
+        if path_filter and path_filter not in d.path:
+            continue
+        if exclude_paths and any(e in d.path for e in exclude_paths):
+            continue
+        matched = [t for t in terms if t in d.freqs]
+        if not matched:
+            continue
+        dl = d.token_count or 1
+        score = 0.0
+        for t in matched:
+            f = d.freqs[t]
+            numer = f * (BM25_K1 + 1.0)
+            denom = f + BM25_K1 * (1.0 - BM25_B + (BM25_B * dl) / idx.avgdl)
+            score += idx.idf.get(t, 1.0) * (numer / denom)
+        if score < min_score:
+            continue
+        results.append((d, score))
+    results.sort(key=lambda r: (-r[1], r[0].doc_id if r[0].doc_id is not None else 0))
+    return [(d.key, s) for d, s in results[:limit]]

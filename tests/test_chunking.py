@@ -1,0 +1,95 @@
+"""Chunker contract (ast-chunking.ts / embeddings.ts chunkText)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coderag_spark.operators.chunking import chunk_corpus, chunk_file, chunk_text
+
+
+def test_chunk_text_exact_port():
+    # size 1000 / overlap 100 semantics (embeddings.ts:259-297)
+    text = "x" * 2500
+    chunks = chunk_text(text)
+    assert [len(c) for c in chunks] == [1000, 1000, 700]
+    # overlap: chunk i+1 starts 100 chars before chunk i's end
+    assert chunks[0][-100:] == chunks[1][:100]
+
+
+def test_chunk_text_empty():
+    assert chunk_text("") == []
+
+
+def test_chunk_text_short():
+    assert chunk_text("hello") == ["hello"]
+
+
+def test_chunk_text_no_infinite_loop_on_small_max():
+    # nextStart <= start guard (embeddings.ts:287-292)
+    chunks = chunk_text("ab" * 60, max_chunk_size=50, overlap=50)
+    assert "".join(chunks) == "ab" * 60  # degenerates to non-overlapping
+
+
+def test_fallback_chunks_markdown():
+    # markdown -> char fallback with type 'text', lines 0
+    # (ast-chunking.test.ts:26-64)
+    chunks = chunk_file("# Title\n" + "word " * 400, "Markdown")
+    assert all(c.chunk_type == "text" for c in chunks)
+    assert all(c.start_line == 0 and c.end_line == 0 for c in chunks)
+    assert len(chunks) > 1
+
+
+def test_code_chunks_one_based_lines():
+    code = "function foo() {\n  return 1;\n}\n\nfunction bar() {\n  return 2;\n}"
+    chunks = chunk_file(code, "JavaScript", max_chunk_size=30)
+    assert len(chunks) == 2
+    assert chunks[0].start_line == 1
+    assert chunks[0].chunk_type == "chunk"
+    assert "foo" in chunks[0].content and "bar" in chunks[1].content
+
+
+def test_empty_input_zero_chunks():
+    # ast-chunking.test.ts:168-172
+    assert chunk_file("", "TypeScript") == []
+    assert chunk_file(None, "TypeScript") == []
+
+
+def test_broken_syntax_falls_back():
+    # invalid syntax must still produce chunks (ast-chunking.test.ts:158-166)
+    chunks = chunk_file("function ((({{{ oops", "JavaScript")
+    assert len(chunks) >= 1
+
+
+def test_whitespace_only_zero_chunks():
+    assert chunk_file("   \n\t  \n", "Python") == []
+
+
+def test_chunk_corpus_size_filter_and_ids(spark, corpus_df):
+    chunks = chunk_corpus(corpus_df)
+    # oversized file skipped (indexer.ts:899-902)
+    assert chunks.filter(F.col("path") == "src/edge/huge.md").count() == 0
+    # empty + whitespace files produce no chunks
+    assert chunks.filter(F.col("path").isin("src/edge/empty.ts", "src/edge/blank.py")).count() == 0
+    # doc_id unique and deterministic
+    n = chunks.count()
+    assert chunks.select("doc_id").distinct().count() == n
+    again = chunk_corpus(corpus_df)
+    assert again.select("doc_id").subtract(chunks.select("doc_id")).count() == 0
+
+
+def test_chunk_corpus_matches_pure_python(spark, corpus_df, corpus_pdf):
+    got = {
+        (r["repo"], r["path"], r["commit"], r["chunk_index"]): (
+            r["chunk_type"], r["start_line"], r["end_line"], r["content"],
+        )
+        for r in chunk_corpus(corpus_df).collect()
+    }
+    want = {}
+    for row in corpus_pdf.to_dict("records"):
+        if len(row["content"]) > 1024 * 1024:
+            continue
+        for c in chunk_file(row["content"], row["lang"]):
+            want[(row["repo"], row["path"], row["commit"], c.chunk_index)] = (
+                c.chunk_type, c.start_line, c.end_line, c.content,
+            )
+    assert got == want

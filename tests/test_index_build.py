@@ -1,0 +1,64 @@
+"""Index build vs the sequential oracle: df, idf, stats, invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.engine import verify_sha_invariant
+from coderag_spark.operators.postings import compute_magnitudes, with_tfidf
+
+
+def test_n_docs_and_avgdl(index, oracle_index):
+    assert index.stats.n_docs == oracle_index.n_docs
+    assert index.stats.avgdl == pytest.approx(oracle_index.avgdl, rel=1e-9)
+
+
+def test_dictionary_matches_oracle(index, oracle_index):
+    rows = index.dictionary.collect()
+    got_df = {r["term"]: r["df"] for r in rows}
+    got_idf = {r["term"]: r["idf"] for r in rows}
+    assert got_df == oracle_index.df
+    for t, v in oracle_index.idf.items():
+        assert got_idf[t] == pytest.approx(v, rel=1e-12)
+
+
+def test_postings_match_oracle(index, oracle_index):
+    doc_freqs = {}
+    for d in oracle_index.docs:
+        doc_freqs[d.doc_id] = d.freqs
+    got = index.postings.collect()
+    seen = set()
+    for r in got:
+        assert doc_freqs[r["doc_id"]][r["term"]] == r["raw_freq"]
+        seen.add((r["doc_id"], r["term"]))
+    want = {(d.doc_id, t) for d in oracle_index.docs for t in d.freqs}
+    assert seen == want
+
+
+def test_token_counts_match(index, oracle_index):
+    got = {r["doc_id"]: r["token_count"] for r in index.docs.collect()}
+    for d in oracle_index.docs:
+        assert got[d.doc_id] == d.token_count
+
+
+def test_sha_invariant_end_to_end(corpus_df, index):
+    assert verify_sha_invariant(corpus_df, index.docs) == 0
+
+
+def test_duplicate_content_both_indexed(index):
+    dups = index.docs.filter(F.col("path").contains("src/edge/dup_")).select("path").distinct()
+    assert dups.count() == 2
+
+
+def test_magnitudes_match_oracle(index, oracle_index):
+    mags = compute_magnitudes(with_tfidf(index.postings, index.dictionary)).collect()
+    got = {r["doc_id"]: r["magnitude"] for r in mags}
+    for d in oracle_index.docs:
+        if not d.freqs:
+            continue
+        tot = d.token_count
+        s = sum(
+            ((f / tot) * oracle_index.idf[t]) ** 2 for t, f in d.freqs.items()
+        )
+        assert got[d.doc_id] == pytest.approx(s**0.5, rel=1e-9)

@@ -1,0 +1,92 @@
+"""BM25 search rank-identity vs the oracle + the reference's golden
+semantic assertions (tfidf.test.ts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from coderag_spark.operators.bm25 import search
+
+QUERIES = [
+    "authenticate",
+    "user authentication",
+    "DatabaseConnection",
+    "async function error",
+    "getUserById",
+    "handleRequest",
+    "hash_password token",
+]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity(index, oracle_index, query):
+    from tests.oracle import oracle_search
+
+    got_rows = search(index, query, limit=10).collect()
+    want = oracle_search(oracle_index, query, limit=10)
+    assert len(got_rows) == len(want)
+    key_of = {d.doc_id: d.key for d in oracle_index.docs}
+    for r, (wkey, wscore) in zip(got_rows, want):
+        assert key_of[r["doc_id"]] == wkey
+        assert r["score"] == pytest.approx(wscore, rel=1e-9)
+
+
+def test_monotonic_ordering(index):
+    # tfidf.test.ts:113-120
+    rows = search(index, "user database query", limit=25).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_limit(index):
+    # tfidf.test.ts:130-134
+    assert len(search(index, "user", limit=3).collect()) == 3
+
+
+def test_no_match_empty(index):
+    # tfidf.test.ts:144-150
+    assert search(index, "nonexistent_term_xyz_qqq", limit=10).collect() == []
+
+
+def test_empty_query_empty(index):
+    # tfidf.test.ts:152-158
+    assert search(index, "", limit=10).collect() == []
+    assert search(index, "   ", limit=10).collect() == []
+
+
+def test_repeated_term_dedup(index):
+    # query dedup (tfidf.ts:28): 'user user' scores like 'user'
+    a = [(r["doc_id"], r["score"]) for r in search(index, "user user", limit=10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in search(index, "user", limit=10).collect()]
+    assert a == b
+
+
+def test_min_score(index, oracle_index):
+    from tests.oracle import oracle_search
+
+    rows = search(index, "user query", limit=50, min_score=2.0).collect()
+    want = oracle_search(oracle_index, "user query", limit=50, min_score=2.0)
+    assert all(r["score"] >= 2.0 for r in rows)
+    assert len(rows) == len(want)
+
+
+def test_extension_filter(index, oracle_index):
+    from tests.oracle import oracle_search
+
+    rows = search(index, "user query", limit=10, file_extensions=[".py"]).collect()
+    assert all(r["path"].endswith(".py") for r in rows)
+    want = oracle_search(oracle_index, "user query", limit=10, file_extensions=[".py"])
+    key_of = {d.doc_id: d.key for d in oracle_index.docs}
+    assert [key_of[r["doc_id"]] for r in rows] == [k for k, _ in want]
+
+
+def test_path_filters(index, oracle_index):
+    from tests.oracle import oracle_search
+
+    rows = search(index, "user", limit=10, path_filter="src/auth").collect()
+    assert all("src/auth" in r["path"] for r in rows)
+    rows2 = search(index, "user", limit=10, exclude_paths=["src/auth", "src/db"]).collect()
+    assert all("src/auth" not in r["path"] and "src/db" not in r["path"] for r in rows2)
+    want2 = oracle_search(oracle_index, "user", limit=10, exclude_paths=["src/auth", "src/db"])
+    key_of = {d.doc_id: d.key for d in oracle_index.docs}
+    assert [key_of[r["doc_id"]] for r in rows2] == [k for k, _ in want2]

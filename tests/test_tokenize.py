@@ -1,0 +1,67 @@
+"""Tokenizer semantics pinned to the reference (code-tokenizer.ts,
+code-tokenizer.test.ts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from coderag_spark.functions.tokenize import (
+    code_analyze,
+    simple_tokens_col,
+    simple_word_tokenize,
+)
+
+
+def test_simple_split_filter_lower():
+    # split on [^a-zA-Z0-9_]+, len>1, lowercase (code-tokenizer.ts:14-19)
+    assert simple_word_tokenize("const getUserData = (x) => db_conn.query(x);") == [
+        "const", "getuserdata", "db_conn", "query",
+    ]
+
+
+def test_simple_empty_and_whitespace():
+    # code-tokenizer.test.ts:45-52
+    assert simple_word_tokenize("") == []
+    assert simple_word_tokenize("   \n\t ") == []
+    assert simple_word_tokenize(None) == []
+
+
+def test_simple_single_chars_dropped():
+    assert simple_word_tokenize("a b cd e_f g") == ["cd", "e_f"]
+
+
+def test_code_analyze_camel_snake_subtokens():
+    # camelCase/snake_case handled (code-tokenizer.test.ts:55-65)
+    toks = code_analyze("getUserData is_authenticated")
+    assert "getuserdata" in toks
+    assert {"get", "user", "data"} <= set(toks)
+    assert "is_authenticated" in toks
+    assert {"is", "authenticated"} <= set(toks)  # 'is' has len 2, kept
+
+
+def test_code_analyze_acronyms_and_digits():
+    toks = code_analyze("HTTPServer utf8Decode")
+    assert "httpserver" in toks and {"http", "server"} <= set(toks)
+    assert "utf8decode" in toks and {"utf", "decode"} <= set(toks)
+
+
+def test_code_analyze_plain_word_not_duplicated():
+    # a non-decomposable word is emitted exactly once
+    assert code_analyze("database") == ["database"]
+
+
+def test_code_analyze_preserves_frequency_order():
+    toks = code_analyze("user user query")
+    assert toks == ["user", "user", "query"]
+
+
+def test_spark_column_matches_python(spark):
+    samples = [
+        "const getUserData = (x) => db_conn.query(x);",
+        "", "   ", "a b cd", "import {foo} from './bar';",
+        "SELECT * FROM users WHERE id = 42",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "content string")
+    got = [r["toks"] for r in df.select(simple_tokens_col(F.col("content")).alias("toks")).collect()]
+    want = [simple_word_tokenize(s) for s in samples]
+    assert got == want
