@@ -1,0 +1,246 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four families, each picked for a different scale/fidelity point:
+
+  * exact_dedup          — hash-groupBy on sha2(content). One shuffle over
+                           (hash, id) pairs; at 100 TB the map-side partial
+                           aggregation means reducers see one row per
+                           distinct hash per mapper.
+  * ngram_jaccard_pairs  — exact n-gram Jaccard via an inverted self-join
+                           on shingles (blocked by shingle, hot shingles
+                           frequency-pruned) — quadratic only within a
+                           shingle's posting group, never globally.
+  * minhash_lsh_pairs    — MinHash signatures (xxhash64 with k seeds, one
+                           aggregation) + banded LSH bucketing: candidates
+                           only collide within a band bucket, the classic
+                           sub-quadratic near-dup path for 10^9+ docs.
+  * simhash              — 64-bit SimHash per doc from term-frequency
+                           weighted hash bits; hamming-near docs cluster
+                           by 8-bit band for candidate generation.
+
+All distance math is built-in column expressions; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark.functions.tokenize import simple_tokens_col
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_sha, n_docs, keeper) — keeper = min id per identical content."""
+    return (
+        df.select(F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper"))
+    )
+
+
+def token_ngrams(tokens: Column, n: int = 3) -> Column:
+    """Distinct token n-grams (space-joined) from a token array column."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
+
+    Shape: explode distinct shingles -> self-join on shingle (the blocking
+    key) -> count shared -> |A∪B| = |A|+|B|-shared. ``max_shingle_df``
+    drops ultra-hot shingles before the join (skew guard: a shingle shared
+    by m docs contributes m^2 candidate pairs).
+    """
+    toks = simple_tokens_col(F.col(text_col))
+    docs = df.select(F.col(id_col).alias("doc"), token_ngrams(toks, n).alias("grams"))
+    sizes = docs.select("doc", F.size("grams").alias("n_grams")).filter(F.col("n_grams") > 0)
+    shingles = docs.select("doc", F.explode("grams").alias("gram"))
+    if max_shingle_df:
+        hot = (
+            shingles.groupBy("gram")
+            .agg(F.count("*").alias("g_df"))
+            .filter(F.col("g_df") > max_shingle_df)
+            .select("gram")
+        )
+        shingles = shingles.join(F.broadcast(hot), "gram", "left_anti")
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return jac.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig array<long>) — sig[i] = min over shingles of
+    xxhash64(shingle, i). One explode + one groupBy with num_hashes min()
+    aggregates (single shuffle, map-side combined)."""
+    toks = simple_tokens_col(F.col(text_col))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(token_ngrams(toks, shingle_n)).alias("gram")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = grams.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH over MinHash signatures,
+    scored by signature-estimated Jaccard (fraction of agreeing hashes).
+
+    rows_per_band = num_hashes / bands; docs collide iff one full band
+    matches — the standard S-curve selectivity. The band bucket is the
+    blocking key of the self-join, so the join never goes quadratic
+    globally; hot buckets are bounded by band-hash collisions only.
+    """
+    assert num_hashes % bands == 0
+    rows_per = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+    band_cols = [
+        F.xxhash64(F.concat_ws("_", *[F.element_at("sig", b * rows_per + r + 1).cast("string") for r in range(rows_per)]), F.lit(b)).alias("bucket")
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+    )
+    return est.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: sign of the frequency-weighted sum per bit of each
+    term's xxhash64. Pure column algebra: explode terms -> 64 conditional
+    sums -> bit assembly."""
+    toks = simple_tokens_col(F.col(text_col))
+    terms = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    bit_sums = terms.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for i in range(64):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bit_sums.select("doc_id", sh.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked by 16-bit bands
+    (a pair within hamming<=3*16/... any pair differing in <= max_hamming
+    bits must agree exactly on at least one of 4 bands when max_hamming < 4
+    ... for max_hamming <= 6 we use 8-bit x 8 bands to keep recall 1.0 when
+    max_hamming < 8)."""
+    sh = simhash(df, text_col, id_col).persist()
+    n_bands = 8  # 8 bands x 8 bits: hamming <= 7 guarantees a matching band
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(0xFF)).alias(f"band{i}")
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side contract is real and tested: typed binary columns with a
+metadata struct, Arrow-batched `mapInPandas` decode/feature stages with
+stable schemas and bounded batch sizes. The actual media decode is STUBBED
+(image/audio libs are not in this container): ``decode_image_features``
+raises ``NotImplementedError`` unless ``fake=True``, in which case it
+produces a deterministic fake decode (dimensions + per-channel means
+derived from the bytes) so the pipeline shape is exercisable end-to-end.
+
+Schema convention for a multimodal corpus row:
+  (doc_id long, modality string, payload binary,
+   meta struct<mime:string, n_bytes:long, source:string>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, modality string, payload binary, "
+    "meta struct<mime:string, n_bytes:long, source:string>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, modality string, width int, height int, "
+    "n_frames int, feat array<double>"
+)
+
+
+def to_media_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """Wrap an opaque payload into the multimodal schema (here: utf-8 text
+    bytes standing in for media payloads in tests/bench)."""
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("blob").alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.col(source_col).cast("string").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_features(media: DataFrame, fake: bool = False, batch_rows: int = 256) -> DataFrame:
+    """Decode + feature-extract stage over binary payloads.
+
+    Real decode requires PIL/ffmpeg (not in this container) — STUB: raises
+    NotImplementedError unless ``fake=True``. The fake path is deterministic
+    (derived purely from payload bytes) so schema, batching, and
+    partitioning are tested for real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires image/audio libraries not present in this "
+            "environment; pass fake=True for the deterministic test double"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = {
+                    "doc_id": chunk["doc_id"],
+                    "modality": chunk["modality"],
+                    "width": [],
+                    "height": [],
+                    "n_frames": [],
+                    "feat": [],
+                }
+                for payload in chunk["payload"]:
+                    b = bytes(payload or b"")
+                    n = len(b)
+                    out["width"].append(int(n % 640) + 1)
+                    out["height"].append(int(n % 480) + 1)
+                    out["n_frames"].append(1)
+                    # per-quartile byte means: a stable 4-dim "feature"
+                    if n:
+                        quarter = max(n // 4, 1)
+                        feat = [
+                            float(sum(b[i : i + quarter])) / max(len(b[i : i + quarter]), 1)
+                            for i in range(0, min(n, 4 * quarter), quarter)
+                        ][:4]
+                        feat += [0.0] * (4 - len(feat))
+                    else:
+                        feat = [0.0, 0.0, 0.0, 0.0]
+                    out["feat"].append(feat)
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Relational metadata pass (no decode): size stats per modality."""
+    return media.groupBy("modality").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
+    )

@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * cosine_topk      — exact brute-force top-k vs one query vector. The
+                       dot product is a JVM-side ``zip_with`` +
+                       ``aggregate`` fold (sequential, deterministic order
+                       — reproducible to the last ulp), then
+                       TakeOrderedAndProject. The scale path for "score
+                       every row once": one scan, no shuffle except the
+                       final top-k merge.
+  * cosine_pairs     — exact near-dup pairs above a cosine threshold
+                       (brute force; use lsh variants beyond ~10^5 rows).
+  * hyperplane_lsh_topk — ANN: random-hyperplane signatures (seeded,
+                       deterministic planes broadcast as literals) bucket
+                       the corpus; only the query's bucket(s) are scored.
+                       At 10^9 vectors this turns a full scan into a
+                       partition-pruned probe.
+  * knn_join         — for each left row, top-k right rows by cosine
+                       (blocked LSH join; exact fallback at small scale).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential fold — same order as DuckDB list functions."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact pairs with cosine >= threshold (doc_a < doc_b). Brute-force
+    cross-block join — only for corpus slices that fit a quadratic plan;
+    the LSH variant is the scale path."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-packed hyperplane signature (long) of an embedding column."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(x) for x in p])
+        sig = sig.bitwiseOR(
+            F.when(dot(vec, pc) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: score only rows whose hyperplane signature is within
+    ``max_hamming`` bits of the query's (multi-probe LSH). Recall < 1 by
+    construction; tested against cosine_topk for recall@k."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_planes, seed)
+    q_sig = 0
+    for i, p in enumerate(planes):
+        if sum(px * qx for px, qx in zip(p, query_vec)) >= 0:
+            q_sig |= 1 << i
+    sigs = embeddings.withColumn("_sig", _signature(F.col(vec_col), planes))
+    cand = sigs.filter(F.bit_count(F.col("_sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """For each left row: top-k right rows by cosine (exact, windowed).
+    Scale note: pre-bucket both sides with hyperplane signatures and join
+    on bucket before the window for >> 10^5 rows."""
+    from pyspark.sql import Window as W
+
+    a = left.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = right.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    scored = a.join(b, F.col("id_a") != F.col("id_b")).withColumn(
+        "cos", F.round(cosine(F.col("va"), F.col("vb")), 6)
+    )
+    w = W.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", "cos", "rank")
+    )
+
+
+def ivf_build_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic mini k-means (IVF coarse quantizer) — sample seeds by
+    id hash, Lloyd iterations as DataFrame aggs. Driver holds only the
+    centroid list (n_centroids x dim floats)."""
+    first = embeddings.orderBy(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10**9))).limit(
+        n_centroids
+    )
+    cents = [list(r[vec_col]) for r in first.collect()]
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cents, vec_col=vec_col).groupBy("centroid").agg(
+            *[F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}") for i in range(len(cents[0]))]
+        )
+        rows = assigned.collect()
+        for r in rows:
+            cents[r["centroid"]] = [float(r[f"d{i}"]) for i in range(len(cents[0]))]
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """Assign each row to its nearest centroid (max cosine) as a column."""
+    best = None
+    for ci, c in enumerate(centroids):
+        cc = F.array(*[F.lit(float(x)) for x in c])
+        cur = F.struct(cosine(F.col(vec_col), cc).alias("s"), F.lit(ci).alias("c"))
+        best = cur if best is None else F.when(cur["s"] > best["s"], cur).otherwise(best)
+    return embeddings.withColumn("centroid", best["c"])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: score only rows assigned to the nprobe centroids nearest
+    the query. With the assignment persisted and partitioned by centroid,
+    this is partition pruning at query time."""
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i], query_vec))
+    probe = order[:nprobe]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    cand = assigned.filter(F.col("centroid").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)

@@ -1,0 +1,149 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All of these run as pure JVM-side column expressions (whole-stage codegen,
+no Python in the hot path), using the engine's simple analyzer
+(split [^a-z0-9_]+ after lower, len>1 — the reference's fallback tokenizer)
+so every one of them has an exact DuckDB-SQL oracle.
+
+Operators:
+  * token_stats       — token count / avg token length per doc
+  * quality_score     — length + stopword-ratio + repetition heuristics
+  * langid            — n-gram/stopword-hit language ID over small wordlists
+  * fingerprint       — md5 document fingerprint over the normalized
+                        token stream (order-sensitive)
+  * simple_hash_udf   — parity port of the reference's 32-bit rolling
+                        simpleHash (packages/core/src/utils.ts:311-319)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from coderag_spark.functions.tokenize import simple_tokens_col
+
+# tiny deterministic stopword lists (public, common words)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "as", "with", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "por", "para"],
+}
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    """Count of tokens (with duplicates) that appear in a wordlist."""
+    return F.size(F.filter(tokens, lambda x: x.isin(*words)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    toks = simple_tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_chars"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristics: stopword ratio (fluency proxy),
+    distinct-token ratio (repetition proxy), and a combined [0,1] score."""
+    toks = simple_tokens_col(F.col(text_col))
+    n = F.size(toks)
+    stop_ratio = F.when(n > 0, _hits(toks, STOPWORDS["en"]) / n).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+    length_ok = F.when((n >= 5) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * length_ok
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * distinct_ratio
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID. Deterministic tie-break: language name asc
+    (stable across engines)."""
+    toks = simple_tokens_col(F.col(text_col))
+    out = df.select(F.col(id_col), toks.alias("_toks"))
+    langs = sorted(STOPWORDS)  # tie-break: alphabetically-smallest wins
+    scores = [
+        F.struct(
+            (_hits(F.col("_toks"), STOPWORDS[lang]) / F.greatest(F.size("_toks"), F.lit(1))).alias("s"),
+            F.lit(len(langs) - i).alias("prio"),  # higher prio = earlier alphabetical
+            F.lit(lang).alias("l"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    # array_max compares structs field-by-field: score first, then prio —
+    # on a score tie the alphabetically-smallest language (highest prio) wins
+    best = F.array_max(F.array(*scores))
+    return out.select(
+        F.col(id_col),
+        best["l"].alias("lang_pred"),
+        F.round(best["s"], 6).alias("lang_score"),
+    ).withColumn(
+        "lang_pred", F.when(F.col("lang_score") > 0, F.col("lang_pred")).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint: md5 over the normalized token
+    stream. Two docs with identical token streams (ignoring punctuation /
+    case / whitespace) collide — a cheap canonical-form dedup key."""
+    toks = simple_tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(toks, " ")).alias("fp"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+@F.pandas_udf(T.StringType())
+def simple_hash_udf(content: pd.Series) -> pd.Series:
+    """Parity port of simpleHash (utils.ts:311-319): 32-bit rolling
+    (h<<5)-h+c hash rendered base-36 (JS toString(36), incl. negatives).
+    Kept for reference-parity tests; production change detection uses
+    sha2(content, 256) per BASELINE.json input_hint."""
+
+    def js_to_string36(n: int) -> str:
+        if n == 0:
+            return "0"
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+        sign = "-" if n < 0 else ""
+        n = abs(n)
+        out = []
+        while n:
+            n, r = divmod(n, 36)
+            out.append(digits[r])
+        return sign + "".join(reversed(out))
+
+    def simple_hash(s: object) -> str:
+        if not isinstance(s, str):
+            s = ""
+        h = 0
+        for ch in s:
+            # two's-complement arithmetic mod 2^32 matches JS's
+            # signed-32-bit ops regardless of sign interpretation
+            h = ((h << 5) - h + ord(ch)) & 0xFFFFFFFF
+        if h >= 0x80000000:  # JS `hash &= hash` leaves a signed 32-bit int
+            h -= 0x100000000
+        return js_to_string36(h)
+
+    return content.map(simple_hash)

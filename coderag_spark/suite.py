@@ -1,0 +1,553 @@
+"""Driver-contract query suite: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus an exact DuckDB oracle SQL.
+
+The suite runs the engine's operators over the driver's testdata tables
+(``documents`` as the corpus — each row is one doc/chunk; ``embeddings``
+for the vector path; ``events`` for windowed aggregation). The tokenizer
+here is the engine's *simple* analyzer (the reference's fallback tokenizer,
+code-tokenizer.ts:14-19) because it is JVM-side and has a bit-exact DuckDB
+equivalent; the code-aware analyzer is exercised by the pytest
+rank-identity harness instead (tests/test_search.py).
+
+Column-name + value parity rules:
+  * every aggregate/computed column aliased identically in Spark and SQL;
+  * counts cast to long both sides;
+  * every float rounded to 6 decimals both sides, and orderings applied to
+    the ROUNDED value with an id tie-break, so IEEE ulp differences can
+    never reorder or hash-mismatch results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coderag_spark import BM25_B, BM25_K1
+from coderag_spark.functions.tokenize import simple_tokens_col, simple_word_tokenize
+from coderag_spark.operators import dedup as dd
+from coderag_spark.operators import multimodal as mm
+from coderag_spark.operators import similarity as sim
+from coderag_spark.operators import textops as tx
+
+# ---------------------------------------------------------------- helpers
+
+TOKS_SQL = (
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9_]+'),"
+    " t -> len(t) > 1)"
+)
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _tokdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _documents(spark, sf_dir).select(
+        "doc_id", simple_tokens_col(F.col("text")).alias("toks")
+    )
+
+
+def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, raw_freq) treating each documents row as one doc."""
+    return (
+        _tokdocs(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("raw_freq"))
+    )
+
+
+def query_terms(text: str) -> list[str]:
+    """tokenize + dedupe (tfidf.ts:28) for both engines' query literals."""
+    seen: dict[str, None] = {}
+    for t in simple_word_tokenize(text):
+        seen.setdefault(t)
+    return list(seen)
+
+
+def _terms_sql(terms: list[str]) -> str:
+    inner = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"SELECT unnest([{inner}]) AS term"
+
+
+# ------------------------------------------------------- core index ops
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.token_stats(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "avg_token_len",
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       length(coalesce(text, ''))::BIGINT AS n_chars,
+       round(CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks)
+                  ELSE 0.0 END, 6) AS avg_token_len
+FROM (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+"""
+
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_postings(spark, sf_dir)
+
+
+SQL_POSTINGS = f"""
+SELECT doc_id, term, count(*)::BIGINT AS raw_freq
+FROM (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+GROUP BY doc_id, term
+"""
+
+
+def q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_docs = _documents(spark, sf_dir).count()
+    return (
+        _doc_postings(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6).alias("idf"),
+        )
+    )
+
+
+SQL_DICTIONARY = f"""
+WITH post AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT term, count(*)::BIGINT AS df,
+       round(ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) + 1.0, 6) AS idf
+FROM post GROUP BY term
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokdocs(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.greatest(F.avg(F.size("toks")), F.lit(1.0)), 6).alias("avgdl"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+SELECT count(*)::BIGINT AS n_docs,
+       round(greatest(avg(len({TOKS_SQL}) * 1.0), 1.0), 6) AS avgdl
+FROM documents
+"""
+
+
+def _bm25(spark: SparkSession, sf_dir: str, terms: list[str], k: int, min_score: float = 0.0) -> DataFrame:
+    tok = _tokdocs(spark, sf_dir)
+    srow = tok.agg(
+        F.count("*").alias("n"), F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = srow["n"], float(srow["avgdl"])
+    post = _doc_postings(spark, sf_dir).filter(F.col("term").isin(terms))
+    idf = (
+        post.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select("term", (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"))
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("token_count"))
+    per_term = F.col("idf") * (
+        F.col("raw_freq") * (BM25_K1 + 1.0)
+    ) / (
+        F.col("raw_freq")
+        + BM25_K1 * (1.0 - BM25_B + (BM25_B * F.col("token_count")) / F.lit(avgdl))
+    )
+    scored = (
+        post.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(per_term), 6).alias("score"))
+    )
+    if min_score > 0:
+        scored = scored.filter(F.col("score") >= F.lit(min_score))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _sql_bm25(terms: list[str], k: int, min_score: float = 0.0) -> str:
+    having = f"HAVING round(score_raw, 6) >= {min_score}" if min_score > 0 else ""
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs, greatest(avg(len(toks) * 1.0), 1.0) AS avgdl FROM tok),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+qt AS ({_terms_sql(terms)}),
+idf AS (
+  SELECT term, ln((s.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM post JOIN qt USING (term), stats s
+  GROUP BY term, s.n_docs
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok),
+scored AS (
+  SELECT p.doc_id,
+         sum(i.idf * (p.raw_freq * {BM25_K1 + 1.0}) /
+             (p.raw_freq + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * d.token_count) / s.avgdl))
+            ) AS score_raw
+  FROM post p JOIN qt USING (term) JOIN idf i USING (term)
+       JOIN dl d ON d.doc_id = p.doc_id, stats s
+  GROUP BY p.doc_id
+  {having}
+)
+SELECT doc_id, round(score_raw, 6) AS score FROM scored
+ORDER BY 2 DESC, 1 ASC LIMIT {k}
+"""
+
+
+BM25_QUERY_MULTI = "table join fast"
+BM25_QUERY_LONG = "window stream batch order by"
+BM25_QUERY_SINGLE = "spark"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), 10)
+
+
+def q_bm25_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25(spark, sf_dir, query_terms(BM25_QUERY_LONG), 25)
+
+
+def q_bm25_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25(spark, sf_dir, query_terms(BM25_QUERY_SINGLE), 10)
+
+
+def q_bm25_minscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), 50, min_score=2.0)
+
+
+def q_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: candidates ranked by distinct matched query terms
+    (storage-persistent.ts:726-740), deterministic tie-break doc_id."""
+    terms = query_terms(BM25_QUERY_LONG)
+    return (
+        _doc_postings(spark, sf_dir)
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("matched"))
+        .orderBy(F.desc("matched"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_match_candidates(terms: list[str]) -> str:
+    return f"""
+WITH post AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT doc_id, count(*)::BIGINT AS matched
+FROM post JOIN ({_terms_sql(terms)}) USING (term)
+GROUP BY doc_id ORDER BY 2 DESC, 1 ASC LIMIT 20
+"""
+
+
+def q_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-doc TF-IDF vector magnitude (storage-persistent.ts:1051-1062)."""
+    n_docs = _documents(spark, sf_dir).count()
+    tok = _tokdocs(spark, sf_dir).select("doc_id", F.size("toks").alias("token_count"))
+    post = _doc_postings(spark, sf_dir)
+    idf = post.groupBy("term").agg(
+        (F.log((F.lit(n_docs) + 1.0) / (F.count("*") + 1.0)) + 1.0).alias("idf")
+    )
+    tfidf = (
+        post.join(idf, "term")
+        .join(tok, "doc_id")
+        .withColumn("tfidf", (F.col("raw_freq") / F.col("token_count")) * F.col("idf"))
+    )
+    return tfidf.groupBy("doc_id").agg(
+        F.round(F.sqrt(F.sum(F.pow("tfidf", 2))), 6).alias("magnitude")
+    )
+
+
+SQL_MAGNITUDE = f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+idf AS (
+  SELECT term, ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM post GROUP BY term
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok)
+SELECT p.doc_id, round(sqrt(sum(pow((p.raw_freq * 1.0 / d.token_count) * i.idf, 2))), 6) AS magnitude
+FROM post p JOIN idf i USING (term) JOIN dl d ON d.doc_id = p.doc_id
+GROUP BY p.doc_id
+"""
+
+
+# ------------------------------------------------- dedup / text analysis
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_documents(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(coalesce(text, '')) AS content_sha,
+       count(*)::BIGINT AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(_documents(spark, sf_dir), n=2, threshold=0.2)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH g AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])) AS grams
+  FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+),
+sizes AS (SELECT doc, len(grams) AS n_grams FROM g WHERE len(grams) > 0),
+sh AS (SELECT doc, unnest(grams) AS gram FROM g),
+shared AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(shared * 1.0 / (sa.n_grams + sb.n_grams - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.2
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.fingerprint(_documents(spark, sf_dir))
+    return out.select("doc_id", "fp", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({TOKS_SQL}, ' ')) AS fp,
+       len({TOKS_SQL})::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.quality_score(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "distinct_ratio",
+        "quality",
+    )
+
+
+_STOP_EN_SQL = "'" + "', '".join(tx.STOPWORDS["en"]) + "'"
+
+SQL_QUALITY = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({_STOP_EN_SQL}))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END AS length_ok
+  FROM t
+)
+SELECT doc_id, n::BIGINT AS n_tokens, round(stop_ratio, 6) AS stopword_ratio,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round(0.4 * length_ok + 0.3 * least(stop_ratio * 4, 1.0) + 0.3 * distinct_ratio, 6) AS quality
+FROM m
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.langid(_documents(spark, sf_dir))
+
+
+def _sql_langid() -> str:
+    cols = []
+    for lang, words in tx.STOPWORDS.items():
+        wl = "'" + "', '".join(words) + "'"
+        cols.append(
+            f"len(list_filter(toks, x -> x IN ({wl}))) * 1.0 / greatest(len(toks), 1) AS s_{lang}"
+        )
+    case_langs = sorted(tx.STOPWORDS)  # alphabetical tie-break (first match)
+    case = " ".join(f"WHEN s_{lg} = gs THEN '{lg}'" for lg in case_langs)
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, {', '.join(cols)} FROM t),
+g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS gs FROM s)
+SELECT doc_id,
+       CASE WHEN gs = 0 THEN 'und' {case} END AS lang_pred,
+       round(gs, 6) AS lang_score
+FROM g
+"""
+
+
+# ------------------------------------------------------ vector / events
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _embeddings(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
+    return list(row["embedding"])
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(_embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+                                 i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))) AS c
+  FROM embeddings, q
+)
+SELECT vec_id, round(c, 6) AS cos FROM s ORDER BY 2 DESC, 1 ASC LIMIT 10
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.to_media_table(_documents(spark, sf_dir))
+    return mm.media_stats(media).select(
+        "modality",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("max_bytes").cast("long").alias("max_bytes"),
+    )
+
+
+SQL_MEDIA_STATS = """
+SELECT 'blob' AS modality, count(*)::BIGINT AS n_docs,
+       sum(octet_length(encode(coalesce(text, ''))))::BIGINT AS total_bytes,
+       max(octet_length(encode(coalesce(text, ''))))::BIGINT AS max_bytes
+FROM documents
+"""
+
+
+# -------------------------------------------- rows-only (non-SQL) queries
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64-based — no DuckDB equivalent;
+    correctness covered by tests/test_dedup.py planted near-dups)."""
+    return dd.minhash_lsh_pairs(
+        _documents(spark, sf_dir), num_hashes=64, bands=16, shingle_n=1, threshold=0.5
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(_documents(spark, sf_dir))
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.hyperplane_lsh_topk(
+        _embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=10, n_planes=12, max_hamming=4
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.to_media_table(_documents(spark, sf_dir))
+    feats = mm.decode_image_features(media, fake=True)
+    return feats.select(
+        "doc_id", "width", "height", F.round(F.element_at("feat", 1), 6).alias("feat0")
+    )
+
+
+# ----------------------------------------------------------- registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "token_stats": q_token_stats,
+        "postings": q_postings,
+        "dictionary": q_dictionary,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25_topk,
+        "bm25_long": q_bm25_long,
+        "bm25_single": q_bm25_single,
+        "bm25_minscore": q_bm25_minscore,
+        "match_candidates": q_match_candidates,
+        "magnitude": q_magnitude,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "fingerprint": q_fingerprint,
+        "quality": q_quality,
+        "langid": q_langid,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "events_hourly": q_events_hourly,
+        "media_stats": q_media_stats,
+        # rows-only (no SQL oracle): hash-based / stubbed-decode operators
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lsh_ann": q_lsh_ann,
+        "media_features": q_media_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "token_stats": SQL_TOKEN_STATS,
+        "postings": SQL_POSTINGS,
+        "dictionary": SQL_DICTIONARY,
+        "corpus_stats": SQL_CORPUS_STATS,
+        "bm25_topk": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10),
+        "bm25_long": _sql_bm25(query_terms(BM25_QUERY_LONG), 25),
+        "bm25_single": _sql_bm25(query_terms(BM25_QUERY_SINGLE), 10),
+        "bm25_minscore": _sql_bm25(query_terms(BM25_QUERY_MULTI), 50, min_score=2.0),
+        "match_candidates": _sql_match_candidates(query_terms(BM25_QUERY_LONG)),
+        "magnitude": SQL_MAGNITUDE,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "fingerprint": SQL_FINGERPRINT,
+        "quality": SQL_QUALITY,
+        "langid": _sql_langid(),
+        "ann_cosine_topk": SQL_ANN_COSINE,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "media_stats": SQL_MEDIA_STATS,
+    }
