@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from coderag_spark.functions.tokenize import simple_tokens_col
 
@@ -39,12 +40,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def token_ngrams(tokens: Column, n: int = 3) -> Column:
-    """Distinct token n-grams (space-joined) from a token array column."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    """Distinct token n-grams (space-joined) from a token array column.
+
+    Guarded: fewer than n tokens -> empty array (F.sequence(1, 0) would
+    otherwise produce a DESCENDING [1, 0] sequence and out-of-bounds
+    element_at).
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(tokens, i + j) for j in range(n)]
     )
-    return F.array_distinct(F.transform(idx, gram))
+    empty = F.array().cast(T.ArrayType(T.StringType()))
+    return F.when(
+        F.size(tokens) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(empty)
 
 
 def ngram_jaccard_pairs(

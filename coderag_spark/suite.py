@@ -477,7 +477,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (xxhash64-based — no DuckDB equivalent;
     correctness covered by tests/test_dedup.py planted near-dups)."""
     return dd.minhash_lsh_pairs(
-        _documents(spark, sf_dir), num_hashes=64, bands=16, shingle_n=1, threshold=0.5
+        _documents(spark, sf_dir), num_hashes=64, bands=16, shingle_n=1, threshold=0.8
     )
 
 

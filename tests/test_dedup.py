@@ -1,0 +1,78 @@
+"""Dedup operators: planted duplicates and near-duplicates must be found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # 1-token change
+FAR = "completely different content about spark inverted index engines and bm25 scoring"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, NEAR),  # near dup of 1
+        (4, FAR),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["content_sha"]: r for r in dd.exact_dedup(docs).collect()}
+    groups = [r for r in out.values() if r["n_docs"] > 1]
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keeper"] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup -> jaccard 1
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert not any({a, b} == {1, 4} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in dd.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, shingle_n=3, threshold=0.3
+    ).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs  # near-dup lands in >=1 band
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_est_tracks_true_jaccard(docs):
+    # signature-estimated jaccard within 0.25 of the exact value for (1,3)
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()}
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in dd.minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, shingle_n=3, threshold=0.0
+    ).collect()}
+    assert abs(est[(1, 3)] - exact[(1, 3)]) < 0.25
+
+
+def test_simhash_near_dup_small_hamming(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) == 0  # identical docs -> identical simhash
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])  # near-dup closer than far doc
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dd.simhash_pairs(docs, max_hamming=8).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs
+
+
+def test_deterministic_across_partitioning(spark, docs):
+    one = dd.minhash_signatures(docs.repartition(1), shingle_n=3).collect()
+    many = dd.minhash_signatures(docs.repartition(7), shingle_n=3).collect()
+    assert {r["doc_id"]: r["sig"] for r in one} == {r["doc_id"]: r["sig"] for r in many}

@@ -1,0 +1,96 @@
+"""Text-analysis operators + multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.operators import multimodal as mm
+from coderag_spark.operators import textops as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox and the lazy dog", "s1"),
+        (2, "der Hund und die Katze sind nicht da", "s2"),
+        (3, "le chat est sur la table et les livres", "s3"),
+        (4, "xyzzy qwerty", "s4"),
+        (5, "", "s5"),
+        (6, "word word word word word", "s6"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_token_stats(docs):
+    out = {r["doc_id"]: r for r in tx.token_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 8  # 'the quick brown fox and the lazy dog'
+    assert out[5]["n_tokens"] == 0 and out[5]["avg_token_len"] == 0.0
+
+
+def test_langid(docs):
+    out = {r["doc_id"]: r for r in tx.langid(docs).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "fr"
+    assert out[4]["lang_pred"] == "und" and out[4]["lang_score"] == 0.0
+
+
+def test_quality(docs):
+    out = {r["doc_id"]: r for r in tx.quality_score(docs).collect()}
+    assert out[1]["quality"] > out[6]["quality"]  # repetition penalized
+    assert out[6]["distinct_ratio"] == pytest.approx(0.2)
+    assert out[5]["quality"] == 0.0
+
+
+def test_fingerprint_canonicalizes(spark):
+    # same token stream under different punctuation/case -> same fp
+    df = spark.createDataFrame(
+        [(1, "Hello, World! Foo"), (2, "hello world... FOO"), (3, "hello world bar")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fp"] for r in tx.fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
+    assert out[1] == hashlib.md5(b"hello world foo").hexdigest()
+
+
+def test_simple_hash_parity(spark):
+    # reference simpleHash (utils.ts:311-319): JS-checked golden values
+    # goldens computed with the actual JS implementation under node
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "x"), (4, "function foo() { return 42; }")],
+        "id long, c string",
+    )
+    out = {r["id"]: r["h"] for r in df.select("id", tx.simple_hash_udf(F.col("c")).alias("h")).collect()}
+    assert out[1] == "1n1e4y"
+    assert out[2] == "0"
+    assert out[3] == "3c"
+    assert out[4] == "-z4ofio"  # negative 32-bit path
+
+
+def test_media_roundtrip(docs):
+    media = mm.to_media_table(docs)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert rows[1]["meta"]["n_bytes"] == len("the quick brown fox and the lazy dog")
+    assert bytes(rows[1]["payload"]).decode() == "the quick brown fox and the lazy dog"
+
+
+def test_media_decode_stub_raises(docs):
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_features(mm.to_media_table(docs), fake=False)
+
+
+def test_media_fake_decode_deterministic(docs):
+    media = mm.to_media_table(docs)
+    a = {r["doc_id"]: (r["width"], r["height"], r["feat"]) for r in mm.decode_image_features(media, fake=True).collect()}
+    b = {r["doc_id"]: (r["width"], r["height"], r["feat"]) for r in mm.decode_image_features(media.repartition(5), fake=True).collect()}
+    assert a == b
+    assert a[5][2] == [0.0, 0.0, 0.0, 0.0]  # empty payload
+    assert len(a[1][2]) == 4
+
+
+def test_media_stats(docs):
+    row = mm.media_stats(mm.to_media_table(docs)).collect()[0]
+    assert row["modality"] == "blob" and row["n_docs"] == 6
