@@ -1,0 +1,427 @@
+"""Compressed posting lists: delta-encoded docID gaps + varbyte term
+frequencies with block-max metadata, built with applyInPandas, salted for
+Zipf-hot terms.
+
+Two layouts, two jobs (both required at 10^12-file scale):
+
+* **Term-partitioned store** (:func:`build_term_postings`) — the canonical
+  "global dictionary + postings" checkpoint from the north star. Build is a
+  two-phase salted shuffle:
+    phase 1: groupBy(term, salt) — hot terms (df > hot_threshold, think
+             ``get``/``import`` with df ~ 10^10) are split into
+             ``n_salts`` sub-groups by doc-id hash, so no single reducer
+             ever materializes a full hot posting list;
+    phase 2: groupBy(term) over the *already-compressed* partial blobs —
+             merging s compressed sublists (s = n_salts) is tiny compared
+             to re-shuffling raw postings.
+  The store is written partitioned by ``bucket = xxhash64(term) % B`` so a
+  query's ``term IN (...)`` prunes whole partitions, with per-partition
+  lineage rows for resumability.
+
+* **Doc-sharded serving index** (:func:`build_doc_sharded`) — postings
+  re-grouped by ``shard = xxhash64(doc_id) % S``; within a shard every
+  query term's list is local, so block-max WAND runs doc-at-a-time
+  per-shard with zero cross-shard traffic, and the global answer is a
+  k-row-per-shard TakeOrdered merge. This is the Lucene/Elasticsearch
+  document-sharding layout, the right scale-out for query serving.
+
+Encoding (pure little-endian LEB128 varints):
+  payload = varint(n) ++ zigzag_varint(first_doc) ++ varint(gap_2..n)
+            ++ varint(tf_1..n) ++ varint(dl_1..n)
+  block metadata (block = 128 postings): last_doc per block (skip pointers)
+  and max BM25 term quota per block (quota = (tf*(k1+1))/(tf + k1*(1-b+
+  b*dl/avgdl)), i.e. the score contribution excluding idf, computed with
+  the build-time avgdl) -> WAND upper bound = idf * block_max_quota.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark import BM25_B, BM25_K1
+
+BLOCK = 128
+
+# ------------------------------------------------------------- codec
+
+
+def _write_varint(out: bytearray, n: int) -> None:
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, pos
+        shift += 7
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) ^ -(z & 1)
+
+
+def encode_postings(doc_ids: list[int], tfs: list[int], dls: list[int]) -> bytes:
+    """doc_ids MUST be sorted ascending and unique."""
+    out = bytearray()
+    n = len(doc_ids)
+    _write_varint(out, n)
+    if n:
+        _write_varint(out, _zigzag(doc_ids[0]))
+        prev = doc_ids[0]
+        for d in doc_ids[1:]:
+            _write_varint(out, d - prev)
+            prev = d
+        for t in tfs:
+            _write_varint(out, t)
+        for dl in dls:
+            _write_varint(out, dl)
+    return bytes(out)
+
+
+def decode_postings(buf: bytes) -> tuple[list[int], list[int], list[int]]:
+    n, pos = _read_varint(buf, 0)
+    docs: list[int] = []
+    if n:
+        z, pos = _read_varint(buf, pos)
+        cur = _unzigzag(z)
+        docs.append(cur)
+        for _ in range(n - 1):
+            gap, pos = _read_varint(buf, pos)
+            cur += gap
+            docs.append(cur)
+    tfs = []
+    for _ in range(n):
+        v, pos = _read_varint(buf, pos)
+        tfs.append(v)
+    dls = []
+    for _ in range(n):
+        v, pos = _read_varint(buf, pos)
+        dls.append(v)
+    return docs, tfs, dls
+
+
+def _quota(tf: int, dl: int, avgdl: float, k1: float = BM25_K1, b: float = BM25_B) -> float:
+    """BM25 term score sans idf (tfidf.ts:318-320)."""
+    d = dl if dl > 0 else 1
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + (b * d) / avgdl))
+
+
+def _block_meta(doc_ids: list[int], tfs: list[int], dls: list[int], avgdl: float) -> tuple[list[int], list[float]]:
+    last_docs: list[int] = []
+    max_quotas: list[float] = []
+    for s in range(0, len(doc_ids), BLOCK):
+        e = min(s + BLOCK, len(doc_ids))
+        last_docs.append(doc_ids[e - 1])
+        max_quotas.append(max(_quota(tfs[i], dls[i], avgdl) for i in range(s, e)))
+    return last_docs, max_quotas
+
+
+PLIST_SCHEMA = (
+    "term string, n_docs long, payload binary, "
+    "block_last_doc array<long>, block_max_quota array<double>"
+)
+
+
+def _encode_group(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+    """One (term[, salt]) group -> one encoded posting-list row."""
+    pdf = pdf.sort_values("doc_id")
+    docs = pdf["doc_id"].tolist()
+    tfs = pdf["raw_freq"].tolist()
+    dls = pdf["token_count"].tolist()
+    payload = encode_postings(docs, tfs, dls)
+    last, maxq = _block_meta(docs, tfs, dls, avgdl)
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "n_docs": [len(docs)],
+            "payload": [payload],
+            "block_last_doc": [last],
+            "block_max_quota": [maxq],
+        }
+    )
+
+
+def _merge_groups(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+    """Merge salted partial blobs of one term (decode -> merge -> re-encode).
+
+    Partial lists are disjoint by construction (salt partitions doc ids),
+    so the merge is a k-way sorted interleave; re-sort keeps it simple.
+    """
+    if len(pdf) == 1:
+        return pdf[["term", "n_docs", "payload", "block_last_doc", "block_max_quota"]]
+    docs: list[int] = []
+    tfs: list[int] = []
+    dls: list[int] = []
+    for payload in pdf["payload"]:
+        d, t, l = decode_postings(bytes(payload))
+        docs.extend(d)
+        tfs.extend(t)
+        dls.extend(l)
+    order = sorted(range(len(docs)), key=lambda i: docs[i])
+    docs = [docs[i] for i in order]
+    tfs = [tfs[i] for i in order]
+    dls = [dls[i] for i in order]
+    payload = encode_postings(docs, tfs, dls)
+    last, maxq = _block_meta(docs, tfs, dls, avgdl)
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "n_docs": [len(docs)],
+            "payload": [payload],
+            "block_last_doc": [last],
+            "block_max_quota": [maxq],
+        }
+    )
+
+
+# ------------------------------------------------------ build pipelines
+
+
+def build_term_postings(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    avgdl: float,
+    hot_threshold: int = 100_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """postings (doc_id, term, raw_freq, token_count) -> compressed
+    per-term posting lists via the two-phase salted shuffle."""
+    hot_terms = dictionary.filter(F.col("df") > hot_threshold).select("term")
+    with_salt = postings.join(F.broadcast(hot_terms.withColumn("_hot", F.lit(True))), "term", "left")
+    with_salt = with_salt.withColumn(
+        "salt",
+        F.when(F.col("_hot"), F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))).otherwise(F.lit(0)),
+    ).drop("_hot")
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_group(pdf, avgdl)
+
+    partial = with_salt.groupBy("term", "salt").applyInPandas(enc, schema=PLIST_SCHEMA)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _merge_groups(pdf, avgdl)
+
+    return partial.groupBy("term").applyInPandas(merge, schema=PLIST_SCHEMA)
+
+
+def write_term_store(
+    plists: DataFrame,
+    dictionary: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    done_buckets: list[int] | None = None,
+) -> None:
+    """Checkpoint the compacted store, bucketed by term hash, with
+    per-partition lineage rows (bucket, n_terms, n_postings, bytes).
+
+    ``done_buckets`` (from :func:`read_lineage`) makes the write resumable:
+    already-committed buckets are skipped — the Iceberg-snapshot analogue.
+    """
+    b = plists.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    if done_buckets:
+        b = b.filter(~F.col("bucket").isin([int(x) for x in done_buckets]))
+    b.write.mode("append").partitionBy("bucket").parquet(f"{path}/plists")
+    lineage = b.groupBy("bucket").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("n_docs").alias("n_postings"),
+        F.sum(F.length("payload")).alias("payload_bytes"),
+    )
+    lineage.write.mode("append").parquet(f"{path}/_lineage")
+    dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+
+
+def read_lineage(spark, path: str) -> list[int]:
+    try:
+        return [r["bucket"] for r in spark.read.parquet(f"{path}/_lineage").select("bucket").distinct().collect()]
+    except Exception:  # noqa: BLE001 — no lineage yet
+        return []
+
+
+def build_doc_sharded(
+    postings: DataFrame, avgdl: float, n_shards: int = 16
+) -> DataFrame:
+    """Doc-sharded serving layout: (shard, term, payload, block meta).
+
+    No salting needed: a hot term's postings are already spread across all
+    shards by doc-id hash — the shard IS the salt.
+    """
+    sharded = postings.withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)))
+
+    def enc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _encode_group(pdf, avgdl)
+        out.insert(0, "shard", key[0])
+        return out
+
+    return sharded.groupBy("shard", "term").applyInPandas(
+        enc, schema="shard long, " + PLIST_SCHEMA
+    )
+
+
+# ------------------------------------------------------------- WAND query
+
+
+@dataclass
+class _TermList:
+    idf: float
+    docs: list[int]
+    tfs: list[int]
+    dls: list[int]
+    block_last: list[int]
+    block_maxq: list[float]
+    pos: int = 0
+    _max_upper: float | None = None
+
+    @property
+    def cur(self) -> int:
+        return self.docs[self.pos] if self.pos < len(self.docs) else 1 << 62
+
+    def upper(self) -> float:
+        if self._max_upper is None:
+            self._max_upper = self.idf * max(self.block_maxq) if self.block_maxq else 0.0
+        return self._max_upper
+
+    def block_upper_at(self, doc: int) -> float:
+        # first block whose last_doc >= doc
+        lo, hi = 0, len(self.block_last) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self.block_last[mid] < doc:
+                lo = mid + 1
+            else:
+                hi = mid
+        return self.idf * self.block_maxq[lo]
+
+    def advance_to(self, doc: int) -> None:
+        # galloping then binary search within the remaining suffix
+        lo, hi = self.pos, len(self.docs)
+        step = 1
+        while lo + step < hi and self.docs[lo + step] < doc:
+            lo += step
+            step <<= 1
+        hi = min(lo + step, hi)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self.docs[mid] < doc:
+                lo = mid + 1
+            else:
+                hi = mid
+        self.pos = lo
+
+
+def wand_topk_lists(
+    lists: list[_TermList], k: int, avgdl: float
+) -> list[tuple[int, float]]:
+    """Block-max WAND over in-memory decoded lists. OR semantics, exact
+    top-k by (score desc, doc_id asc). Returns [(doc_id, score)]."""
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -1.0
+
+    while True:
+        live = [t for t in lists if t.pos < len(t.docs)]
+        if not live:
+            break
+        live.sort(key=lambda t: t.cur)
+        # pivot: smallest prefix whose idf-upper sum exceeds theta
+        acc = 0.0
+        pivot_i = -1
+        for i, t in enumerate(live):
+            acc += t.upper()
+            if acc > theta():
+                pivot_i = i
+                break
+        if pivot_i == -1:
+            break  # no doc can beat theta
+        pivot_doc = live[pivot_i].cur
+        if live[0].cur == pivot_doc:
+            # block-max refinement: tighter bound from the blocks at pivot
+            block_acc = sum(
+                t.block_upper_at(pivot_doc) for t in live if t.cur <= pivot_doc
+            )
+            if block_acc <= theta() and len(heap) >= k:
+                # skip: advance the lowest list past this doc
+                live[0].advance_to(pivot_doc + 1)
+                continue
+            # full evaluation at pivot_doc
+            score = 0.0
+            for t in live:
+                if t.cur == pivot_doc:
+                    score += t.idf * _quota(t.tfs[t.pos], t.dls[t.pos], avgdl)
+            entry = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            for t in live:
+                if t.cur == pivot_doc:
+                    t.pos += 1
+        else:
+            # advance all pre-pivot lists to the pivot doc
+            for t in live[:pivot_i]:
+                t.advance_to(pivot_doc)
+    out = sorted(heap, key=lambda e: (-e[0], e[1]))
+    return [(-nd, s) for s, nd in out]
+
+
+def wand_search(
+    sharded: DataFrame,
+    dictionary: DataFrame,
+    terms: list[str],
+    avgdl: float,
+    k: int = 10,
+) -> DataFrame:
+    """Distributed block-max WAND: per-shard DAAT top-k inside
+    applyInPandas, global TakeOrdered merge. Returns (doc_id, score)."""
+    spark = sharded.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_map = {
+        r["term"]: r["idf"]
+        for r in dictionary.filter(F.col("term").isin(terms)).collect()
+    }
+    cand = sharded.filter(F.col("term").isin(terms))
+    b_idf = spark.sparkContext.broadcast(idf_map)
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic summation order (ulp-level reproducibility of ties)
+        pdf = pdf.sort_values("term")
+        lists = []
+        for _, row in pdf.iterrows():
+            docs, tfs, dls = decode_postings(bytes(row["payload"]))
+            lists.append(
+                _TermList(
+                    idf=float(b_idf.value.get(row["term"], 1.0)),
+                    docs=docs,
+                    tfs=tfs,
+                    dls=dls,
+                    block_last=list(row["block_last_doc"]),
+                    block_maxq=list(row["block_max_quota"]),
+                )
+            )
+        top = wand_topk_lists(lists, k, avgdl)
+        return pd.DataFrame({"doc_id": [d for d, _ in top], "score": [s for _, s in top]})
+
+    per = cand.groupBy("shard").applyInPandas(per_shard, schema="doc_id long, score double")
+    return per.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,137 @@
+"""Posting-list compaction (delta+varbyte, block-max) and WAND query."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.operators import compact as cp
+from coderag_spark.operators.bm25 import dedupe_query_tokens, search
+
+
+def test_varint_zigzag_roundtrip():
+    rng = random.Random(1)
+    vals = [0, 1, 127, 128, 300, 2**31, 2**62 - 1]
+    out = bytearray()
+    for v in vals:
+        cp._write_varint(out, v)
+    pos = 0
+    got = []
+    for _ in vals:
+        v, pos = cp._read_varint(bytes(out), pos)
+        got.append(v)
+    assert got == vals
+    for n in [0, -1, 1, -(2**62), 2**62, rng.randint(-(2**60), 2**60)]:
+        assert cp._unzigzag(cp._zigzag(n)) == n
+
+
+def test_encode_decode_roundtrip():
+    rng = random.Random(42)
+    docs = sorted({rng.randint(-(2**62), 2**62) for _ in range(500)})
+    tfs = [rng.randint(1, 50) for _ in docs]
+    dls = [rng.randint(1, 2000) for _ in docs]
+    d, t, l = cp.decode_postings(cp.encode_postings(docs, tfs, dls))
+    assert d == docs and t == tfs and l == dls
+    assert cp.decode_postings(cp.encode_postings([], [], [])) == ([], [], [])
+
+
+def test_compression_ratio():
+    # dense ascending ids compress far below 8 bytes/posting
+    docs = list(range(0, 100_000, 3))
+    tfs = [1] * len(docs)
+    dls = [100] * len(docs)
+    payload = cp.encode_postings(docs, tfs, dls)
+    assert len(payload) < len(docs) * 3.2  # ~1 byte gap + 1 tf + 1 dl
+
+
+def test_term_store_roundtrip(spark, index):
+    plists = cp.build_term_postings(
+        index.postings, index.dictionary, index.stats.avgdl, hot_threshold=10, n_salts=4
+    )
+    got = {}
+    for r in plists.collect():
+        docs, tfs, dls = cp.decode_postings(bytes(r["payload"]))
+        assert r["n_docs"] == len(docs)
+        assert docs == sorted(docs)
+        got[r["term"]] = dict(zip(docs, tfs))
+    want: dict = {}
+    for r in index.postings.collect():
+        want.setdefault(r["term"], {})[r["doc_id"]] = r["raw_freq"]
+    assert got == want
+
+
+def test_salting_invariance(spark, index):
+    """Salted (every term hot) and unsalted builds produce identical lists."""
+    a = cp.build_term_postings(index.postings, index.dictionary, index.stats.avgdl, hot_threshold=0, n_salts=8)
+    b = cp.build_term_postings(index.postings, index.dictionary, index.stats.avgdl, hot_threshold=10**9)
+    pa = {r["term"]: bytes(r["payload"]) for r in a.collect()}
+    pb = {r["term"]: bytes(r["payload"]) for r in b.collect()}
+    assert pa == pb
+
+
+def test_block_max_quota_is_upper_bound(spark, index):
+    plists = cp.build_term_postings(index.postings, index.dictionary, index.stats.avgdl)
+    avgdl = index.stats.avgdl
+    for r in plists.limit(50).collect():
+        docs, tfs, dls = cp.decode_postings(bytes(r["payload"]))
+        for i, (tf, dl) in enumerate(zip(tfs, dls)):
+            blk = i // cp.BLOCK
+            assert cp._quota(tf, dl, avgdl) <= r["block_max_quota"][blk] + 1e-12
+
+
+QUERIES = [
+    "authenticate",
+    "user authentication",
+    "DatabaseConnection",
+    "getUserById",
+    "async function error",
+    "user database query config",
+]
+
+
+@pytest.fixture(scope="module")
+def sharded(spark, index):
+    return cp.build_doc_sharded(index.postings, index.stats.avgdl, n_shards=8).persist()
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_rank_identity_vs_exhaustive(spark, index, sharded, query):
+    terms = dedupe_query_tokens(query)
+    want = [(r["doc_id"], r["score"]) for r in search(index, query, limit=10).collect()]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in cp.wand_search(sharded, index.dictionary, terms, index.stats.avgdl, k=10).collect()
+    ]
+    # scores match pairwise; doc order compared tie-tolerantly (docs whose
+    # scores differ only at the ulp level — different summation order in
+    # the two engines — are the same rank under our 1e-9 tolerance)
+    tie_sort = lambda rows: sorted(rows, key=lambda r: (-round(r[1], 9), r[0]))  # noqa: E731
+    assert [g[0] for g in tie_sort(got)] == [w[0] for w in tie_sort(want)]
+    for g, w in zip(tie_sort(got), tie_sort(want)):
+        assert g[1] == pytest.approx(w[1], rel=1e-9)
+
+
+def test_wand_empty_and_nomatch(spark, index, sharded):
+    assert cp.wand_search(sharded, index.dictionary, [], index.stats.avgdl).collect() == []
+    got = cp.wand_search(sharded, index.dictionary, ["zzz_nope"], index.stats.avgdl).collect()
+    assert got == []
+
+
+def test_resumable_write(spark, index, tmp_path):
+    path = str(tmp_path / "store")
+    plists = cp.build_term_postings(index.postings, index.dictionary, index.stats.avgdl).persist()
+    # simulate an interrupted build: commit only buckets 0..15
+    half = plists.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(32))).filter(
+        F.col("bucket") < 16
+    ).drop("bucket")
+    cp.write_term_store(half, index.dictionary, path)
+    done = cp.read_lineage(spark, path)
+    assert set(done) <= set(range(16)) and done
+    # resume: full input, done buckets skipped (no duplicates)
+    cp.write_term_store(plists, index.dictionary, path, done_buckets=done)
+    stored = spark.read.parquet(f"{path}/plists")
+    assert stored.count() == plists.count()
+    assert stored.select("term").distinct().count() == plists.count()
+    assert sorted(cp.read_lineage(spark, path)) == sorted(set(cp.read_lineage(spark, path)))
