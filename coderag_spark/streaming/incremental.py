@@ -1,0 +1,180 @@
+"""Incremental index maintenance (the reference's watcher + incremental
+TF-IDF engine, re-expressed as batch diff/merge jobs over corpus snapshots).
+
+Reference semantics pinned:
+  * change classification add/changed/deleted/unchanged via the
+    hand-rolled full-outer diff (indexer.ts:137-181); byte-identical
+    content (same hash) is skipped even when metadata changed
+    (indexer.ts:226-231, 499-507) — here: sha256 equality on (repo, path);
+  * any df change alters BM25 scores of every doc containing that term,
+    so the reference recomputes IDF globally after each incremental batch
+    (indexer.ts:320-338) — a cheap re-aggregation in Spark;
+  * full-rebuild decision: >20% docs changed or >1000 brand-new terms
+    (incremental-tfidf.ts:291-320).
+
+At scale this is a MERGE INTO over Iceberg snapshots; in this sandbox the
+same plans run over parquet paths, and `stream_corpus` wires them into
+Structured Streaming via foreachBatch (the corpus directory acting as the
+append-only source the watcher would tail).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark.engine import build_index
+from coderag_spark.operators.bm25 import Index
+from coderag_spark.operators.chunking import MAX_CHUNK_SIZE, MAX_FILE_SIZE
+
+FULL_REBUILD_CHANGED_RATIO = 0.2  # incremental-tfidf.ts:295
+FULL_REBUILD_NEW_TERMS = 1000  # incremental-tfidf.ts:291
+
+
+def diff_corpus(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Classify (repo, path) keys: added / changed / deleted / unchanged.
+
+    J6 from SURVEY §2.3 — one full-outer join on the file key, sha256
+    equality as the content test (P7: unchanged-file skip).
+    """
+    o = old.select("repo", "path", F.col("sha256").alias("old_sha"))
+    n = new.select("repo", "path", F.col("sha256").alias("new_sha"))
+    j = o.join(n, ["repo", "path"], "full_outer")
+    return j.withColumn(
+        "op",
+        F.when(F.col("old_sha").isNull(), F.lit("added"))
+        .when(F.col("new_sha").isNull(), F.lit("deleted"))
+        .when(F.col("old_sha") != F.col("new_sha"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")),
+    ).select("repo", "path", "op")
+
+
+@dataclass
+class IncrementalStats:
+    n_added: int
+    n_changed: int
+    n_deleted: int
+    n_unchanged: int
+    n_new_terms: int
+
+    @property
+    def n_affected(self) -> int:
+        return self.n_added + self.n_changed + self.n_deleted
+
+
+def should_full_rebuild(stats: IncrementalStats, total_docs: int) -> bool:
+    """Mirror of shouldFullRebuild (incremental-tfidf.ts:291-320)."""
+    if total_docs == 0:
+        return True
+    if stats.n_new_terms > FULL_REBUILD_NEW_TERMS:
+        return True
+    return stats.n_affected / total_docs > FULL_REBUILD_CHANGED_RATIO
+
+
+def apply_incremental(
+    index: Index,
+    old_corpus: DataFrame,
+    new_corpus: DataFrame,
+    analyzer=None,
+    max_chunk_size: int = MAX_CHUNK_SIZE,
+    max_file_size: int = MAX_FILE_SIZE,
+) -> tuple[Index, IncrementalStats]:
+    """index(old) ⊕ (new − old) -> index equivalent to build_index(new).
+
+    Only added/changed files are re-chunked and re-tokenized (the expensive
+    Python-UDF work); deleted/changed docs are anti-joined out of the
+    retained postings. Dictionary, N, and avgdl are re-aggregated globally
+    from the merged postings — exactly the reference's post-batch global
+    IDF recompute, and in Spark a cheap shuffle over (term) partials.
+    """
+    from coderag_spark.functions.tokenize import code_analyze
+    from coderag_spark.operators.postings import build_dictionary
+
+    analyzer = analyzer or code_analyze
+    diff = diff_corpus(old_corpus, new_corpus).persist()
+    ops = {r["op"]: r["n"] for r in diff.groupBy("op").agg(F.count("*").alias("n")).collect()}
+
+    affected_new = new_corpus.join(
+        diff.filter(F.col("op").isin("added", "changed")).select("repo", "path"),
+        ["repo", "path"],
+        "left_semi",
+    )
+    # rebuild only the affected slice (chunk + tokenize UDFs run on it alone)
+    partial = build_index(affected_new, analyzer, max_chunk_size, max_file_size, cache=False)
+
+    gone = diff.filter(F.col("op").isin("deleted", "changed")).select("repo", "path")
+    kept_docs = index.docs.join(gone, ["repo", "path"], "left_anti")
+    kept_postings = index.postings.join(
+        kept_docs.select("doc_id"), "doc_id", "left_semi"
+    )
+
+    docs = kept_docs.unionByName(partial.docs)
+    postings = kept_postings.unionByName(partial.postings)
+
+    # global re-aggregation (stats + dictionary) over the merged postings
+    srow = docs.agg(
+        F.count("*").alias("n"),
+        F.greatest(F.avg(F.coalesce("token_count", F.lit(0))), F.lit(1.0)).alias("avgdl"),
+    ).collect()[0]
+    from coderag_spark.operators.postings import BuildStats
+
+    stats = BuildStats(n_docs=srow["n"], avgdl=float(srow["avgdl"]))
+    dictionary = build_dictionary(postings, stats.n_docs)
+
+    new_terms = partial.dictionary.join(index.dictionary, "term", "left_anti").count()
+    inc_stats = IncrementalStats(
+        n_added=ops.get("added", 0),
+        n_changed=ops.get("changed", 0),
+        n_deleted=ops.get("deleted", 0),
+        n_unchanged=ops.get("unchanged", 0),
+        n_new_terms=new_terms,
+    )
+    return Index(postings=postings, dictionary=dictionary, docs=docs, stats=stats), inc_stats
+
+
+def maintain(
+    index: Index, old_corpus: DataFrame, new_corpus: DataFrame, **kw
+) -> tuple[Index, IncrementalStats, bool]:
+    """Incremental update unless the full-rebuild thresholds trip
+    (ST4 from SURVEY §2.9)."""
+    new_index, stats = apply_incremental(index, old_corpus, new_corpus, **kw)
+    if should_full_rebuild(stats, index.stats.n_docs):
+        return build_index(new_corpus), stats, True
+    return new_index, stats, False
+
+
+def stream_corpus(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    on_batch,
+    schema: str = "repo string, path string, commit string, lang string, content string, sha256 string",
+):
+    """Structured Streaming over an append-only corpus directory (the
+    Iceberg-snapshot tail / file-watcher analogue, ST1-ST3).
+
+    Each micro-batch is deduplicated per key to its latest row (ST2's
+    per-path debounce: latest event wins) before ``on_batch(df, batch_id)``
+    applies it. Returns the StreamingQuery (caller stops it).
+    """
+    from pyspark.sql import Window as W
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("repo", "path").orderBy(F.desc("commit"))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        on_batch(latest, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

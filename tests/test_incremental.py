@@ -1,0 +1,145 @@
+"""Incremental maintenance: incremental ≡ full rebuild (the reference's
+incremental-tfidf.test.ts equivalence contract)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.engine import build_index
+from coderag_spark.operators.bm25 import search
+from coderag_spark.sources.corpus import CORPUS_SCHEMA, generate_corpus
+from coderag_spark.streaming.incremental import (
+    IncrementalStats,
+    apply_incremental,
+    diff_corpus,
+    should_full_rebuild,
+)
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    old_pdf = generate_corpus(n_files=40, seed=42)
+    new_pdf = old_pdf.copy()
+    # change: edit one file's content
+    target = new_pdf.index[new_pdf["path"] == "src/auth/file00008.py"]
+    if len(target) == 0:
+        target = new_pdf.index[:1]
+    new_pdf.loc[target, "content"] = "def patchedFunction(user_token):\n    return validate(user_token)\n"
+    # delete: drop two files
+    new_pdf = new_pdf[~new_pdf["path"].isin(["src/auth/file00001.js", "src/db/file00008.json"])]
+    # add: two new files
+    add = pd.DataFrame(
+        [
+            {"repo": "repo000", "path": "src/new/added_one.py",
+             "commit": old_pdf["commit"].iloc[0], "lang": "Python",
+             "content": "def freshlyAddedThing(db_connection):\n    return db_connection.query()\n"},
+            {"repo": "repo001", "path": "src/new/added_two.ts",
+             "commit": old_pdf["commit"].iloc[0], "lang": "TypeScript",
+             "content": "function anotherNewThing(token_cache) {\n  return token_cache;\n}\n"},
+        ]
+    )
+    new_pdf = pd.concat([new_pdf, add], ignore_index=True)
+    import hashlib
+
+    new_pdf["sha256"] = new_pdf["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    old = spark.createDataFrame(old_pdf, schema=CORPUS_SCHEMA).cache()
+    new = spark.createDataFrame(new_pdf, schema=CORPUS_SCHEMA).cache()
+    return old, new
+
+
+def test_diff_classification(spark, corpora):
+    old, new = corpora
+    ops = {
+        (r["repo"], r["path"]): r["op"] for r in diff_corpus(old, new).collect()
+    }
+    n_by_op: dict = {}
+    for op in ops.values():
+        n_by_op[op] = n_by_op.get(op, 0) + 1
+    assert n_by_op["added"] == 2
+    assert n_by_op["deleted"] == 2
+    assert n_by_op["changed"] == 1
+    assert n_by_op["unchanged"] == len(ops) - 5
+
+
+def test_incremental_equals_full(spark, corpora):
+    old, new = corpora
+    base = build_index(old)
+    inc, stats = apply_incremental(base, old, new)
+    full = build_index(new)
+
+    assert inc.stats.n_docs == full.stats.n_docs
+    assert inc.stats.avgdl == pytest.approx(full.stats.avgdl, rel=1e-12)
+
+    inc_dict = {(r["term"]): (r["df"], r["idf"]) for r in inc.dictionary.collect()}
+    full_dict = {(r["term"]): (r["df"], r["idf"]) for r in full.dictionary.collect()}
+    assert set(inc_dict) == set(full_dict)
+    for t, (df_v, idf_v) in full_dict.items():
+        assert inc_dict[t][0] == df_v
+        assert inc_dict[t][1] == pytest.approx(idf_v, rel=1e-12)
+
+    inc_post = {(r["doc_id"], r["term"]): r["raw_freq"] for r in inc.postings.collect()}
+    full_post = {(r["doc_id"], r["term"]): r["raw_freq"] for r in full.postings.collect()}
+    assert inc_post == full_post
+
+    for q in ["authenticate user", "patchedFunction", "freshlyAddedThing", "token_cache"]:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in search(inc, q, limit=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in search(full, q, limit=10).collect()]
+        assert a == b
+
+    assert stats.n_added == 2 and stats.n_deleted == 2 and stats.n_changed == 1
+
+
+def test_changed_file_searchable_deleted_gone(spark, corpora):
+    old, new = corpora
+    base = build_index(old)
+    inc, _ = apply_incremental(base, old, new)
+    hits = [r["path"] for r in search(inc, "patchedFunction", limit=5).collect()]
+    assert any("file00008" in p or "src/auth" in p for p in hits)
+    gone = inc.docs.filter(F.col("path") == "src/auth/file00001.js").count()
+    assert gone == 0
+
+
+def test_full_rebuild_thresholds():
+    # >20% affected trips (incremental-tfidf.ts:295)
+    assert should_full_rebuild(IncrementalStats(21, 0, 0, 79, 0), 100)
+    assert not should_full_rebuild(IncrementalStats(5, 5, 5, 85, 10), 100)
+    # >1000 new terms trips (incremental-tfidf.ts:291)
+    assert should_full_rebuild(IncrementalStats(1, 0, 0, 999, 1001), 1000)
+    assert should_full_rebuild(IncrementalStats(0, 0, 0, 0, 0), 0)
+
+
+def test_byte_identical_change_is_unchanged(spark):
+    pdf = generate_corpus(n_files=10, seed=1, include_edge_rows=False)
+    old = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+    pdf2 = pdf.copy()
+    pdf2["commit"] = "f" * 40  # metadata-only change (mtime analogue)
+    new = spark.createDataFrame(pdf2, schema=CORPUS_SCHEMA)
+    ops = {r["op"] for r in diff_corpus(old, new).collect()}
+    assert ops == {"unchanged"}  # indexer.ts:226-231 skip semantics
+
+
+def test_stream_corpus_applies_batches(spark, tmp_path):
+    from coderag_spark.streaming.incremental import stream_corpus
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = generate_corpus(n_files=6, seed=3, include_edge_rows=False)
+    spark.createDataFrame(pdf, schema=CORPUS_SCHEMA).write.parquet(src)
+
+    seen: list[int] = []
+
+    def on_batch(df, batch_id):
+        seen.append(df.count())
+
+    q = stream_corpus(spark, src, ckpt, on_batch)
+    q.awaitTermination(60)
+    assert sum(seen) == 6
+
+    # append a second snapshot slice; availableNow trigger picks it up fresh
+    pdf2 = generate_corpus(n_files=9, seed=5, include_edge_rows=False).iloc[6:]
+    spark.createDataFrame(pdf2, schema=CORPUS_SCHEMA).write.mode("append").parquet(src)
+    q2 = stream_corpus(spark, src, ckpt, on_batch)
+    q2.awaitTermination(60)
+    assert sum(seen) == 9  # only the 3 new rows processed (checkpoint resume)
