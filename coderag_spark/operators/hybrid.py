@@ -1,0 +1,119 @@
+"""Hybrid search: vector knn + BM25 fused by max-normalized weighted sum.
+
+Ports (Spark-first):
+  * mock_embedding — exact port of generateMockEmbedding
+    (packages/core/src/embeddings.ts:42-65): JS Math.imul(31, h) rolling
+    hash, value_i = (sin(seed) + cos(seed*0.5)) / 2, unit-normalized.
+    Deterministic — the reference's own test/fallback embedding provider.
+    Runs as an Arrow-batched pandas UDF (numpy-vectorized over dims).
+  * hybrid_search — full-outer merge of vector-knn and BM25 results on the
+    chunk key, each side max-normalized, weighted ``vw*vec + (1-vw)*kw``
+    (hybrid-search.ts:169-263: J7 in SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _js_hash(s: str) -> int:
+    """JS `(Math.imul(31, h) + c) | 0` rolling hash (embeddings.ts:45-50)."""
+    h = 0
+    for ch in s:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    if h >= 0x80000000:
+        h -= 0x100000000
+    return h
+
+
+def mock_embedding(text: str, dimensions: int = 64) -> list[float]:
+    """Exact port of generateMockEmbedding (embeddings.ts:42-65)."""
+    base = _js_hash(text)
+    seeds = np.arange(dimensions, dtype=np.float64) + float(base)
+    vec = (np.sin(seeds) + np.cos(seeds * 0.5)) / 2.0
+    mag = math.sqrt(float(np.dot(vec, vec)))
+    if mag == 0:
+        return [0.0] * dimensions
+    return (vec / mag).tolist()
+
+
+def mock_embedding_udf(dimensions: int = 64):
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda s: mock_embedding(s if isinstance(s, str) else "", dimensions))
+
+    return _udf
+
+
+def embed_chunks(docs_with_content: DataFrame, dimensions: int = 64, text_col: str = "content") -> DataFrame:
+    """(doc_id, embedding) via the deterministic mock provider."""
+    return docs_with_content.select(
+        "doc_id", mock_embedding_udf(dimensions)(F.col(text_col)).alias("embedding")
+    )
+
+
+def hybrid_search(
+    index,
+    embeddings: DataFrame,
+    query: str,
+    vector_weight: float = 0.7,
+    limit: int = 10,
+    knn_k: int | None = None,
+    dimensions: int = 64,
+    analyzer=None,
+) -> DataFrame:
+    """Weighted fusion of vector knn and BM25 top-k (hybrid-search.ts:169-263).
+
+    Both sides over-fetch ``3 * limit`` (the reference fetches k*3 for the
+    vector side when filtered, vector-storage.ts:249, and limit*3 for
+    keyword candidates, indexer.ts:1298), are max-normalized, then merged
+    full-outer on doc_id with coalesce-weighted scores.
+    """
+    from coderag_spark.functions.tokenize import code_analyze
+    from coderag_spark.operators.bm25 import search
+    from coderag_spark.operators.similarity import cosine
+
+    analyzer = analyzer or code_analyze
+    k = knn_k or limit * 3
+
+    qv = mock_embedding(query, dimensions)
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    vec = (
+        embeddings.select("doc_id", cosine(F.col("embedding"), qcol).alias("similarity"))
+        .orderBy(F.desc("similarity"), F.asc("doc_id"))
+        .limit(k)
+    )
+    kw = search(index, query, limit=limit * 3, analyzer=analyzer).select(
+        "doc_id", F.col("score").alias("kw_score")
+    )
+
+    # max-normalization scalars (max(..., 0.01) per hybrid-search.ts:177-178)
+    vmax = max((vec.agg(F.max("similarity")).collect()[0][0] or 0.0), 0.01)
+    kmax = max((kw.agg(F.max("kw_score")).collect()[0][0] or 0.0), 0.01)
+
+    fused = (
+        vec.join(kw, "doc_id", "full_outer")
+        .withColumn(
+            "score",
+            F.coalesce(F.col("similarity") / F.lit(vmax), F.lit(0.0)) * F.lit(vector_weight)
+            + F.coalesce(F.col("kw_score") / F.lit(kmax), F.lit(0.0)) * F.lit(1.0 - vector_weight),
+        )
+        .withColumn(
+            "method",
+            F.when(F.col("similarity").isNotNull() & F.col("kw_score").isNotNull(), F.lit("hybrid"))
+            .when(F.col("similarity").isNotNull(), F.lit("vector"))
+            .otherwise(F.lit("tfidf")),
+        )
+    )
+    out = fused.join(
+        index.docs.select("doc_id", "repo", "path", "start_line", "end_line", "lang"),
+        "doc_id",
+        "inner",
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)

@@ -1,0 +1,93 @@
+"""Result presentation (driver-side): snippet formatting + block extraction.
+
+Ports of the reference's serving-surface formatting — these run on the
+driver over the top-k rows only (never distributed), exactly like the
+reference's MCP server layer:
+
+  * format_chunk_snippet — chunk content with ``startLine+i:`` line-number
+    prefixes (indexer.ts:1378-1382);
+  * extract_snippet — matched-line scoring, context expansion, block merge,
+    (unique terms desc, density desc) ranking, top-maxBlocks re-sorted by
+    position, char-budgeted join with ``...`` separators
+    (indexer.ts:1397-1507);
+  * truncate_for_display — head 70% + tail 20% truncation at max chars
+    (packages/mcp-server/src/index.ts:275-356).
+"""
+
+from __future__ import annotations
+
+
+def format_chunk_snippet(content: str, start_line: int) -> str:
+    """Line-numbered snippet (indexer.ts:1381): numbers start at the
+    chunk's startLine (0 for fallback chunks, matching the reference)."""
+    lines = content.split("\n")
+    return "\n".join(f"{start_line + i}: {line}" for i, line in enumerate(lines))
+
+
+def extract_snippet(
+    content: str,
+    matched_terms: list[str],
+    context_lines: int = 3,
+    max_chars: int = 2000,
+    max_blocks: int = 4,
+) -> str:
+    """Port of extractSnippet (indexer.ts:1397-1507)."""
+    lines = content.split("\n")
+
+    matched_infos: list[tuple[int, int, list[str]]] = []  # (lineNum, score, terms)
+    lowered = [t.lower() for t in matched_terms]
+    for i, line in enumerate(lines):
+        ll = line.lower()
+        terms_in_line = [t for t in lowered if t in ll]
+        if terms_in_line:
+            matched_infos.append((i, len(terms_in_line), terms_in_line))
+
+    if not matched_infos:
+        return "\n".join(lines[:5])  # indexer.ts:1427-1429
+
+    blocks: list[dict] = []  # {start, end, score, terms:set}
+    for line_num, score, terms in matched_infos:
+        start = max(0, line_num - context_lines)
+        end = min(len(lines) - 1, line_num + context_lines)
+        merged = False
+        for b in blocks:
+            if start <= b["end"] + 1 and end >= b["start"] - 1:
+                b["start"] = min(b["start"], start)
+                b["end"] = max(b["end"], end)
+                b["score"] += score
+                b["terms"].update(terms)
+                merged = True
+                break
+        if not merged:
+            blocks.append({"start": start, "end": end, "score": score, "terms": set(terms)})
+
+    def rank_key(b: dict) -> tuple:
+        unique = len(b["terms"])
+        density = unique / (b["end"] - b["start"] + 1)
+        return (-unique, -density)
+
+    top = sorted(blocks, key=rank_key)[:max_blocks]
+    top.sort(key=lambda b: b["start"])  # positional output order
+
+    parts: list[str] = []
+    total = 0
+    for b in top:
+        block_lines = lines[b["start"] : b["end"] + 1]
+        block_content = "\n".join(
+            f"{b['start'] + i + 1}: {line}" for i, line in enumerate(block_lines)
+        )
+        if total + len(block_content) > max_chars and parts:
+            break
+        parts.append(block_content)
+        total += len(block_content)
+    return "\n...\n".join(parts)
+
+
+def truncate_for_display(text: str, max_chars: int = 2000) -> str:
+    """Head 70% + tail 20% truncation (mcp-server index.ts:300-320 shape)."""
+    if len(text) <= max_chars:
+        return text
+    head = int(max_chars * 0.7)
+    tail = int(max_chars * 0.2)
+    omitted = len(text) - head - tail
+    return f"{text[:head]}\n... [{omitted} chars omitted] ...\n{text[len(text) - tail:]}"

@@ -1,0 +1,7 @@
+from coderag_spark.plans.explain import (
+    assert_plan_contains,
+    explain_str,
+    physical_plan,
+)
+
+__all__ = ["assert_plan_contains", "explain_str", "physical_plan"]

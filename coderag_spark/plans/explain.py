@@ -1,0 +1,33 @@
+"""Physical-plan inspection helpers.
+
+The engine's efficiency contract is expressed as plan shapes, not hopes:
+  * query-term predicates reach the parquet/Iceberg scan
+    (``PushedFilters: [In(term, ...)]``) and prune term-hash buckets;
+  * the dictionary join is a BroadcastHashJoin (never a shuffle);
+  * top-k is TakeOrderedAndProject (per-partition heap + driver merge),
+    never a global sort;
+  * scans read only the projected columns (``ReadSchema``).
+tests/test_plans.py pins these shapes so a regression that silently
+de-optimizes a plan fails CI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def assert_plan_contains(df: DataFrame, *fragments: str) -> None:
+    plan = explain_str(df)
+    missing = [f for f in fragments if f not in plan]
+    if missing:
+        raise AssertionError(f"plan missing {missing}; got:\n{plan}")

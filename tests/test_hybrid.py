@@ -1,0 +1,69 @@
+"""Hybrid search + deterministic mock embeddings (M7 parity)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from coderag_spark.operators.hybrid import (
+    _js_hash,
+    embed_chunks,
+    hybrid_search,
+    mock_embedding,
+)
+
+
+def test_js_hash_parity():
+    # goldens from node: ((h, c) => Math.imul(31, h) + c | 0) over chars
+    # "hello" -> 99162322, "" -> 0, "x" -> 120
+    assert _js_hash("hello") == 99162322
+    assert _js_hash("") == 0
+    assert _js_hash("x") == 120
+    assert _js_hash("function foo() { return 42; }") == -2124174480  # negative path
+
+
+def test_mock_embedding_deterministic_unit():
+    a = mock_embedding("authenticate user", 64)
+    b = mock_embedding("authenticate user", 64)
+    c = mock_embedding("different text", 64)
+    assert a == b != c
+    assert len(a) == 64
+    assert math.isclose(sum(x * x for x in a), 1.0, rel_tol=1e-12)
+
+
+def test_embed_chunks_matches_driver_function(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, content string"
+    )
+    rows = {r["doc_id"]: list(r["embedding"]) for r in embed_chunks(df, 16).collect()}
+    assert rows[1] == pytest.approx(mock_embedding("alpha beta", 16), rel=1e-12)
+    assert rows[2] == pytest.approx(mock_embedding("gamma", 16), rel=1e-12)
+
+
+@pytest.fixture(scope="module")
+def chunk_embeddings(spark, index, corpus_df):
+    from coderag_spark.operators.chunking import chunk_corpus
+
+    chunks = chunk_corpus(corpus_df).select("doc_id", "content")
+    return embed_chunks(chunks, 32).persist()
+
+
+def test_hybrid_fusion_merges_and_orders(spark, index, chunk_embeddings):
+    out = hybrid_search(index, chunk_embeddings, "authenticate user", limit=10).collect()
+    assert 0 < len(out) <= 10
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert set(r["method"] for r in out) <= {"hybrid", "vector", "tfidf"}
+    # weighted fusion bounded by 1 (both sides max-normalized)
+    assert all(s <= 1.0 + 1e-9 for s in scores)
+
+
+def test_hybrid_weight_extremes(spark, index, chunk_embeddings):
+    from coderag_spark.operators.bm25 import search
+
+    # vector_weight=0 reduces to (normalized) BM25 ranking on the kw side
+    kw_only = hybrid_search(index, chunk_embeddings, "authenticate user", vector_weight=0.0, limit=5).collect()
+    bm = search(index, "authenticate user", limit=5).collect()
+    kw_docs = [r["doc_id"] for r in kw_only if r["method"] in ("tfidf", "hybrid")]
+    assert kw_docs[: len(bm)] == [r["doc_id"] for r in bm][: len(kw_docs)]

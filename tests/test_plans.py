@@ -1,0 +1,61 @@
+"""Physical-plan shape assertions — the efficiency contract.
+
+A change that silently turns the broadcast dictionary join into a
+sort-merge join, loses the term-IN pushdown into the parquet scan, or
+replaces TakeOrderedAndProject with a global sort fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from coderag_spark.engine import load_index, save_index
+from coderag_spark.operators.bm25 import search
+from coderag_spark.plans import explain_str, physical_plan
+
+
+@pytest.fixture(scope="module")
+def stored(spark, index, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idx"))
+    save_index(index, path)
+    return load_index(spark, path)
+
+
+def test_topk_is_take_ordered(index):
+    plan = physical_plan(search(index, "authenticate user", limit=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort for a top-k
+
+
+def test_dictionary_join_is_broadcast(index):
+    plan = physical_plan(search(index, "authenticate user", limit=10))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_term_filter_pushed_to_scan(spark, stored):
+    df = search(stored, "authenticate user", limit=10)
+    plan = explain_str(df)
+    # the IN(term, ...) predicate must reach the parquet scan
+    assert "PushedFilters" in plan
+    seg = plan[plan.index("PushedFilters"):]
+    assert "term" in seg[:400]
+
+
+def test_column_pruning_on_scan(spark, stored):
+    # a projection that needs 2 columns must not read the payload-heavy rest
+    df = stored.docs.select("doc_id", "path")
+    plan = explain_str(df)
+    seg = plan[plan.index("ReadSchema"):]
+    head = seg[: seg.index("\n")]
+    assert "doc_id" in head and "path" in head
+    assert "sha256" not in head and "lang" not in head
+
+
+def test_search_has_no_python_udf_in_scoring(stored):
+    # scoring path over the persisted store is pure JVM: no
+    # BatchEvalPython / ArrowEvalPython nodes anywhere in the plan
+    # (the in-memory Index's plan string would show the cached tokenize
+    # UDF lineage inside InMemoryRelation, so the parquet-backed store is
+    # the right surface for this assertion)
+    plan = physical_plan(search(stored, "authenticate user", limit=10))
+    assert "EvalPython" not in plan

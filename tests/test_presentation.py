@@ -1,0 +1,130 @@
+"""Presentation layer (snippets, cache) + candidate-cap emulation."""
+
+from __future__ import annotations
+
+from coderag_spark.operators.cache import SearchCache, cache_key, cached_search
+from coderag_spark.operators.presentation import (
+    extract_snippet,
+    format_chunk_snippet,
+    truncate_for_display,
+)
+
+CONTENT = "\n".join(
+    [
+        "import db",  # 0
+        "",  # 1
+        "def authenticate(user, password):",  # 2
+        "    token = db.login(user, password)",  # 3
+        "    return token",  # 4
+        "",  # 5
+        "def unrelated():",  # 6
+        "    pass",  # 7
+        "",  # 8
+        "def check_user(user):",  # 9
+        "    return db.find(user)",  # 10
+    ]
+)
+
+
+def test_format_chunk_snippet_line_numbers():
+    # indexer.ts:1381: numbering starts at the chunk's startLine
+    out = format_chunk_snippet("a\nb", 7)
+    assert out == "7: a\n8: b"
+
+
+def test_extract_snippet_blocks_and_numbering():
+    out = extract_snippet(CONTENT, ["authenticate", "user"], context_lines=1)
+    # 1-based line numbers (indexer.ts:1490): content line index 2 -> "3:"
+    assert "3: def authenticate(user, password):" in out
+    # separate matched regions joined with ... when not adjacent
+    assert "check_user" in out
+
+
+def test_extract_snippet_no_match_returns_head():
+    out = extract_snippet(CONTENT, ["zzz"], context_lines=1)
+    assert out == "\n".join(CONTENT.split("\n")[:5])
+
+
+def test_extract_snippet_ranks_unique_terms_first():
+    # the block containing both terms must survive maxBlocks=1
+    out = extract_snippet(CONTENT, ["token", "password"], context_lines=0, max_blocks=1)
+    assert "token = db.login(user, password)" in out
+    assert "check_user" not in out
+
+
+def test_extract_snippet_adjacent_lines_merge_into_one_block():
+    # consecutive matched lines merge (indexer.ts:1446: start <= end+1) and
+    # the FIRST block is always emitted even when over budget
+    long = "\n".join(f"match line {i}" for i in range(40))
+    out = extract_snippet(long, ["match"], context_lines=0, max_chars=100)
+    assert out.count("\n...\n") == 0 and "40: match line 39" in out
+
+
+def test_extract_snippet_char_budget_cuts_later_blocks():
+    # matched lines every 4th line, context 0 -> separate blocks; budget
+    # admits the first block(s) then stops (indexer.ts:1497-1499)
+    lines = [(f"match line {i}" if i % 4 == 0 else f"filler {i}") for i in range(40)]
+    out = extract_snippet("\n".join(lines), ["match"], context_lines=0, max_chars=40)
+    blocks = out.split("\n...\n")
+    assert len(blocks) < 10  # 10 matched lines exist; budget cut applied
+    assert "1: match line 0" in blocks[0]
+
+
+def test_truncate_head_tail():
+    text = "a" * 5000
+    out = truncate_for_display(text, max_chars=2000)
+    assert out.startswith("a" * 100)
+    assert "chars omitted" in out
+    assert len(out) < 2200
+
+
+def test_cache_lru_ttl_and_invalidation():
+    t = [0.0]
+    c = SearchCache(max_entries=2, ttl_seconds=10, clock=lambda: t[0])
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1  # refreshes 'a'
+    c.put("c", 3)  # evicts 'b' (LRU)
+    assert c.get("b") is None
+    assert c.get("a") == 1 and c.get("c") == 3
+    t[0] = 11.0  # TTL expiry
+    assert c.get("a") is None
+    c.put("d", 4)
+    c.invalidate()
+    assert c.get("d") is None
+    s = c.stats()
+    assert s["entries"] == 0 and s["hits"] >= 3
+
+
+def test_cache_key_composition():
+    assert cache_key("q", "v1", limit=10) != cache_key("q", "v2", limit=10)
+    assert cache_key("q", "v1", limit=10) != cache_key("q", "v1", limit=20)
+    assert cache_key("q", "v1", b=1, a=2) == cache_key("q", "v1", a=2, b=1)
+
+
+def test_cached_search_hits(index):
+    cache = SearchCache()
+    r1 = cached_search(index, cache, "authenticate user", version="s1", limit=5)
+    r2 = cached_search(index, cache, "authenticate user", version="s1", limit=5)
+    assert r1 == r2 and cache.hits == 1
+    cached_search(index, cache, "authenticate user", version="s2", limit=5)
+    assert cache.misses == 2  # new snapshot version never hits old entries
+
+
+def test_candidate_cap_subset_of_exhaustive(index):
+    from coderag_spark.operators.bm25 import search
+
+    # the cap is score-UNSAFE by design (SURVEY §4): compare against the
+    # full match set, and check scores of surviving docs are unchanged
+    all_rows = search(index, "user database query", limit=10**6).collect()
+    full_scores = {r["doc_id"]: r["score"] for r in all_rows}
+    capped_rows = search(index, "user database query", limit=50, candidate_cap=20).collect()
+    assert len(capped_rows) <= 20
+    for r in capped_rows:
+        assert r["score"] == full_scores[r["doc_id"]]
+    # with a cap larger than the candidate set, results match exhaustive
+    wide = search(index, "user database query", limit=50, candidate_cap=10**6).collect()
+    assert [(r["doc_id"], r["score"]) for r in wide] == [
+        (r["doc_id"], r["score"])
+        for r in search(index, "user database query", limit=50).collect()
+    ]
