@@ -126,6 +126,17 @@ def _build_and_search(cores: int, n_files: int, do_search: bool = True) -> dict:
         out["exhaustive_search_sec_per_query"] = round(exh / len(REF_QUERIES), 4)
         out["exhaustive_queries_per_sec"] = round(len(REF_QUERIES) / exh, 3)
 
+        # batched multi-query: the whole query set in ONE Spark job
+        from coderag_spark.operators.bm25 import search_many
+
+        batch = REF_QUERIES * 8  # 64 queries
+        t0 = time.time()
+        search_many(idx, batch, limit=10).collect()
+        bt = time.time() - t0
+        out["batched_n_queries"] = len(batch)
+        out["batched_sec_total"] = round(bt, 3)
+        out["batched_queries_per_sec"] = round(len(batch) / bt, 3)
+
         t0 = time.time()
         sharded = cp.build_doc_sharded(idx.postings, idx.stats.avgdl, n_shards=cores).persist()
         sharded.count()

@@ -158,3 +158,93 @@ def search(
         "inner",
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
+def search_many(
+    index: Index,
+    queries: list[str],
+    limit: int = 10,
+    min_score: float = 0.0,
+    analyzer=code_analyze,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batched multi-query BM25: score ALL queries in ONE Spark job.
+
+    Per-query jobs pay local/cluster scheduling latency per query; the
+    Spark-native throughput shape broadcasts the whole (query_id, term)
+    set, scores every (query, doc) pair in a single shuffle, and takes
+    per-query top-k with a window (SURVEY §2.5) — at 1000 executors this
+    is how you serve a query log, not one driver roundtrip per query.
+
+    Returns (query_id, rank, doc_id, score) with the pinned tie-break.
+    """
+    from pyspark.sql import Window as W
+
+    spark = index.postings.sparkSession
+    qt_rows = [
+        (qid, t)
+        for qid, q in enumerate(queries)
+        for t in dedupe_query_tokens(q, analyzer)
+    ]
+    if not qt_rows:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    all_terms = list({t for _, t in qt_rows})
+    idf = index.dictionary.filter(F.col("term").isin(all_terms)).select("term", "idf")
+    cand = (
+        index.postings.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(idf), "term", "left")
+    )
+    per_term = bm25_term_score(
+        F.col("raw_freq"), F.col("idf"), F.col("token_count"), index.stats.avgdl, k1, b
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(F.sum(per_term).alias("score"))
+    if min_score > 0:
+        scored = scored.filter(F.col("score") >= F.lit(min_score))
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def tfidf_cosine_search(
+    index: Index, query: str, limit: int = 10, analyzer=code_analyze
+) -> DataFrame:
+    """Legacy TF-IDF cosine ranking (A10 — tfidf.ts:193-213), kept for
+    parity with the reference's pre-BM25 path.
+
+    Query vector: deduped terms with tf = 1/m each (m = #unique terms),
+    weighted by idf (missing idf -> 0, the in-memory path's default,
+    tfidf.ts:318). Doc vector: stored tfidf = (raw_freq/token_count)*idf;
+    denominator uses the materialized per-doc magnitude (A5).
+    """
+    terms = dedupe_query_tokens(query, analyzer)
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    from coderag_spark.operators.postings import compute_magnitudes, with_tfidf
+
+    m = len(terms)
+    idf_rows = {r["term"]: r["idf"] for r in index.dictionary.filter(F.col("term").isin(terms)).collect()}
+    qw = {t: (1.0 / m) * idf_rows.get(t, 0.0) for t in terms}
+    qmag = sum(w * w for w in qw.values()) ** 0.5
+    if qmag == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qw_df = spark.createDataFrame(list(qw.items()), "term string, qw double")
+
+    tfidf = with_tfidf(index.postings, index.dictionary)
+    mags = compute_magnitudes(tfidf)
+    dots = (
+        tfidf.join(F.broadcast(qw_df), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tfidf") * F.col("qw")).alias("dot"))
+    )
+    scored = dots.join(mags, "doc_id").select(
+        "doc_id",
+        (F.col("dot") / (F.lit(qmag) * F.col("magnitude"))).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)

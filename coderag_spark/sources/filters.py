@@ -1,0 +1,83 @@
+"""Corpus scan filters (S3/S4 in SURVEY §2.1) as pushed predicates.
+
+The reference walks the filesystem applying an ignore filter and a
+text-extension allow-list (packages/core/src/utils.ts:47-141); here the
+corpus is a table, so both become plain Catalyst predicates pushed into
+the scan — a 100 TB corpus with these filters never reads excluded rows'
+content column.
+
+  * default_exclude_filter — the reference's default ignore patterns
+    (node_modules, .git, dist, build, coverage, *.log, ... —
+    utils.ts:104-126) as one path regex;
+  * is_text_file_filter   — the text-extension allow-list + special
+    basenames (dockerfile/makefile/.gitignore/.env* — utils.ts:47-95);
+  * scan_filter           — both plus the max-file-size rule
+    (indexer.ts:899-907).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark.operators.chunking import MAX_FILE_SIZE
+
+# utils.ts:104-126 (directory/extension ignore defaults)
+DEFAULT_EXCLUDE_DIRS = [
+    "node_modules", ".git", ".svn", ".hg", ".idea", ".vscode", ".cache",
+    "dist", "build", "coverage", ".nyc_output", "tmp", "temp", ".coderag",
+]
+DEFAULT_EXCLUDE_FILE_PATTERNS = [
+    r"\.DS_Store$", r"\.suo$", r"\.ntvs[^/]*$", r"\.njsproj$", r"\.sln$",
+    r"\.swp$", r"\.log$",
+]
+
+# utils.ts:48-82
+TEXT_EXTENSIONS = [
+    ".ts", ".tsx", ".js", ".jsx", ".py", ".java", ".go", ".rs", ".c",
+    ".cpp", ".h", ".hpp", ".cs", ".rb", ".php", ".swift", ".kt", ".md",
+    ".txt", ".json", ".yaml", ".yml", ".toml", ".xml", ".sql", ".sh",
+    ".bash", ".zsh", ".fish", ".dockerfile", ".gitignore", ".env", ".config",
+]
+
+
+def _exclude_regex() -> str:
+    dirs = "|".join(re.escape(d) for d in DEFAULT_EXCLUDE_DIRS)
+    files = "|".join(DEFAULT_EXCLUDE_FILE_PATTERNS)
+    # a default-excluded name as any path segment, or an excluded suffix
+    return f"(^|/)({dirs})(/|$)|({files})"
+
+
+def default_exclude_filter(path_col: Column) -> Column:
+    """True for rows to KEEP (not matching any default ignore pattern)."""
+    return ~path_col.rlike(_exclude_regex())
+
+
+def is_text_file_filter(path_col: Column) -> Column:
+    """Port of isTextFile (utils.ts:47-95): extension allow-list plus the
+    special basenames dockerfile / makefile / .gitignore / .env*."""
+    lower = F.lower(path_col)
+    base = F.element_at(F.split(lower, "/"), -1)
+    cond = F.lit(False)
+    for ext in TEXT_EXTENSIONS:
+        cond = cond | lower.endswith(ext)
+    return (
+        cond
+        | (base == "dockerfile")
+        | (base == "makefile")
+        | (base == ".gitignore")
+        | base.startswith(".env")
+    )
+
+
+def scan_filter(corpus: DataFrame, max_file_size: int = MAX_FILE_SIZE) -> DataFrame:
+    """The reference's scan pipeline as pushed predicates: default ignores,
+    text allow-list, size cap."""
+    p = F.col("path")
+    return corpus.filter(
+        default_exclude_filter(p)
+        & is_text_file_filter(p)
+        & (F.length(F.col("content")) <= F.lit(max_file_size))
+    )

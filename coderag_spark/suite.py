@@ -470,6 +470,90 @@ FROM documents
 """
 
 
+def q_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: legacy TF-IDF cosine ranking (tfidf.ts:193-213) — query vector
+    tf=1/m weighted by idf, doc vector tfidf, materialized magnitudes."""
+    terms = query_terms(BM25_QUERY_MULTI)
+    m = len(terms)
+    n_docs = _documents(spark, sf_dir).count()
+    tok = _tokdocs(spark, sf_dir).select("doc_id", F.size("toks").alias("token_count"))
+    post = _doc_postings(spark, sf_dir)
+    idf = post.groupBy("term").agg(
+        (F.log((F.lit(n_docs) + 1.0) / (F.count("*") + 1.0)) + 1.0).alias("idf")
+    )
+    tfidf = (
+        post.join(idf, "term")
+        .join(tok, "doc_id")
+        .withColumn("tfidf", (F.col("raw_freq") / F.col("token_count")) * F.col("idf"))
+    )
+    mags = tfidf.groupBy("doc_id").agg(F.sqrt(F.sum(F.pow("tfidf", 2))).alias("mag"))
+    qidf = idf.filter(F.col("term").isin(terms)).withColumn("qw", F.col("idf") / F.lit(float(m)))
+    qmag = qidf.agg(F.sqrt(F.sum(F.pow("qw", 2))).alias("qmag")).collect()[0]["qmag"]
+    dots = (
+        tfidf.join(F.broadcast(qidf.select("term", "qw")), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tfidf") * F.col("qw")).alias("dot"))
+    )
+    out = dots.join(mags, "doc_id").select(
+        "doc_id", F.round(F.col("dot") / (F.lit(float(qmag)) * F.col("mag")), 6).alias("score")
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def _sql_cosine_tfidf(terms: list[str]) -> str:
+    m = float(len(terms))
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+idf AS (
+  SELECT term, ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM post GROUP BY term
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok),
+tfidf AS (
+  SELECT p.doc_id, p.term, (p.raw_freq * 1.0 / d.token_count) * i.idf AS tfidf
+  FROM post p JOIN idf i USING (term) JOIN dl d ON d.doc_id = p.doc_id
+),
+mag AS (SELECT doc_id, sqrt(sum(pow(tfidf, 2))) AS mag FROM tfidf GROUP BY doc_id),
+qidf AS (SELECT term, idf / {m} AS qw FROM idf JOIN ({_terms_sql(terms)}) USING (term)),
+qnorm AS (SELECT sqrt(sum(pow(qw, 2))) AS qmag FROM qidf),
+dots AS (
+  SELECT t.doc_id, sum(t.tfidf * q.qw) AS dot
+  FROM tfidf t JOIN qidf q USING (term) GROUP BY t.doc_id
+)
+SELECT d.doc_id, round(d.dot / (n.qmag * g.mag), 6) AS score
+FROM dots d JOIN mag g USING (doc_id), qnorm n
+ORDER BY 2 DESC, 1 ASC LIMIT 10
+"""
+
+
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND over compressed doc-sharded posting lists — must be
+    rank-identical to the exhaustive BM25 oracle (same SQL as bm25_topk)."""
+    from coderag_spark.operators import compact as cp
+
+    terms = query_terms(BM25_QUERY_MULTI)
+    tok = _tokdocs(spark, sf_dir)
+    srow = tok.agg(
+        F.count("*").alias("n"), F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = srow["n"], float(srow["avgdl"])
+    post = _doc_postings(spark, sf_dir).join(
+        tok.select("doc_id", F.size("toks").alias("token_count")), "doc_id"
+    )
+    dictionary = post.groupBy("term").agg(F.count("*").alias("df")).select(
+        "term", "df", (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf")
+    )
+    sharded = cp.build_doc_sharded(post, avgdl, n_shards=8)
+    out = cp.wand_search(sharded, dictionary, terms, avgdl, k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 # -------------------------------------------- rows-only (non-SQL) queries
 
 
@@ -512,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_long": q_bm25_long,
         "bm25_single": q_bm25_single,
         "bm25_minscore": q_bm25_minscore,
+        "wand_topk": q_wand_topk,
+        "cosine_tfidf": q_cosine_tfidf,
         "match_candidates": q_match_candidates,
         "magnitude": q_magnitude,
         "dedup_exact": q_dedup_exact,
@@ -540,6 +626,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_long": _sql_bm25(query_terms(BM25_QUERY_LONG), 25),
         "bm25_single": _sql_bm25(query_terms(BM25_QUERY_SINGLE), 10),
         "bm25_minscore": _sql_bm25(query_terms(BM25_QUERY_MULTI), 50, min_score=2.0),
+        "wand_topk": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10),
+        "cosine_tfidf": _sql_cosine_tfidf(query_terms(BM25_QUERY_MULTI)),
         "match_candidates": _sql_match_candidates(query_terms(BM25_QUERY_LONG)),
         "magnitude": SQL_MAGNITUDE,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -1,0 +1,90 @@
+"""Scan filters (S3/S4) + legacy TF-IDF cosine search (A10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.sources.filters import (
+    default_exclude_filter,
+    is_text_file_filter,
+    scan_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def paths_df(spark):
+    rows = [
+        (1, "src/app/index.ts", "x"),
+        (2, "node_modules/lib/foo.js", "x"),
+        (3, "src/dist/bundle.js", "x"),  # 'dist' as a segment
+        (4, "distance/metrics.py", "x"),  # NOT excluded ('dist' is a prefix only)
+        (5, ".git/hooks/pre-commit", "x"),
+        (6, "logs/app.log", "x"),
+        (7, "Dockerfile", "x"),
+        (8, "deep/.env.local", "x"),
+        (9, "src/binary/image.png", "x"),
+        (10, "Makefile", "x"),
+        (11, "src/core/utils.py", "y" * 2_000_000),  # oversized
+        (12, "tmp/scratch.md", "x"),
+    ]
+    return spark.createDataFrame(rows, "id long, path string, content string")
+
+
+def test_default_excludes(paths_df):
+    kept = {r["id"] for r in paths_df.filter(default_exclude_filter(F.col("path"))).collect()}
+    assert {2, 3, 5, 6, 12}.isdisjoint(kept)
+    assert {1, 4, 7, 8, 9, 10}.issubset(kept)  # 'distance/' kept: segment match only
+
+
+def test_text_allow_list(paths_df):
+    kept = {r["id"] for r in paths_df.filter(is_text_file_filter(F.col("path"))).collect()}
+    assert 9 not in kept  # .png is not text
+    assert {1, 7, 8, 10}.issubset(kept)  # Dockerfile / .env.local / Makefile special-cased
+
+
+def test_scan_filter_combined(paths_df):
+    kept = {r["id"] for r in scan_filter(paths_df).collect()}
+    assert kept == {1, 4, 8, 7, 10}  # text, not excluded, within size
+
+
+def test_tfidf_cosine_search(index, oracle_index):
+    """Cosine identities (tfidf.test.ts:161-229): self-similar chunk ranks
+    first; scores bounded (0, 1]; monotonic ordering; matches a sequential
+    reimplementation."""
+    import math
+
+    from coderag_spark.operators.bm25 import dedupe_query_tokens, tfidf_cosine_search
+
+    query = "user database query"
+    rows = tfidf_cosine_search(index, query, limit=15).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < s <= 1.0 + 1e-9 for s in scores)
+
+    # sequential oracle for the cosine path
+    terms = dedupe_query_tokens(query)
+    m = len(terms)
+    qw = {t: oracle_index.idf.get(t, 0.0) / m for t in terms}
+    qmag = math.sqrt(sum(w * w for w in qw.values()))
+    want = []
+    for d in oracle_index.docs:
+        if not d.freqs:
+            continue
+        dw = {t: (f / d.token_count) * oracle_index.idf[t] for t, f in d.freqs.items()}
+        dot = sum(qw[t] * dw.get(t, 0.0) for t in terms)
+        if dot <= 0:
+            continue
+        mag = math.sqrt(sum(w * w for w in dw.values()))
+        want.append((d.doc_id, dot / (qmag * mag)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert [r["doc_id"] for r in rows] == [w[0] for w in want[:15]]
+    for r, w in zip(rows, want):
+        assert r["score"] == pytest.approx(w[1], rel=1e-9)
+
+
+def test_tfidf_cosine_empty_and_unknown(index):
+    from coderag_spark.operators.bm25 import tfidf_cosine_search
+
+    assert tfidf_cosine_search(index, "", limit=5).collect() == []
+    assert tfidf_cosine_search(index, "zzz_unknown_term_q", limit=5).collect() == []

@@ -1,0 +1,42 @@
+"""Batched multi-query search == per-query search."""
+
+from __future__ import annotations
+
+import pytest
+
+from coderag_spark.operators.bm25 import search, search_many
+
+QUERIES = [
+    "authenticate",
+    "user authentication",
+    "DatabaseConnection",
+    "getUserById",
+    "nonexistent_term_xyz_qqq",
+    "",
+]
+
+
+def test_search_many_matches_per_query(index):
+    batched = search_many(index, QUERIES, limit=10).collect()
+    by_query: dict = {}
+    for r in batched:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in enumerate(QUERIES):
+        got = sorted(by_query.get(qid, []))
+        want = [
+            (i + 1, r["doc_id"], r["score"])
+            for i, r in enumerate(search(index, q, limit=10).collect())
+        ]
+        assert [(g[1]) for g in got] == [w[1] for w in want], f"query {q!r}"
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[2], rel=1e-9)
+
+
+def test_search_many_empty_input(index):
+    assert search_many(index, [], limit=5).collect() == []
+    assert search_many(index, ["", "   "], limit=5).collect() == []
+
+
+def test_search_many_min_score(index):
+    rows = search_many(index, ["user query"], limit=50, min_score=2.0).collect()
+    assert rows and all(r["score"] >= 2.0 for r in rows)
