@@ -115,3 +115,33 @@ def load_index(spark: SparkSession, path: str) -> Index:
 
 def index_exists(path: str) -> bool:
     return os.path.exists(f"{path}/stats.json")
+
+
+def resume_or_build(
+    spark: SparkSession, corpus: DataFrame, path: str, analyzer=code_analyze
+) -> Index:
+    """ST6 (indexer.ts:368-434): if a committed index exists, diff the
+    current corpus against the indexed snapshot and apply only the delta
+    (or a full rebuild when the thresholds trip); otherwise build fresh.
+    Always re-checkpoints to ``path``.
+    """
+    from coderag_spark.streaming.incremental import maintain
+
+    if index_exists(path):
+        import shutil
+
+        prev = load_index(spark, path)
+        # reconstruct the indexed snapshot's (repo, path, sha256) view from
+        # the docs table (chunk rows collapse to one row per file key)
+        old_view = prev.docs.select("repo", "path", "commit", "sha256").distinct()
+        new_index, stats, rebuilt = maintain(prev, old_view, corpus, analyzer=analyzer)
+        # the new index's plan reads the old files: write to a staging dir,
+        # then swap (Spark refuses to overwrite a path it is reading from)
+        staging = f"{path}.staging"
+        save_index(new_index, staging)
+        shutil.rmtree(path)
+        os.rename(staging, path)
+        return load_index(spark, path)
+    idx = build_index(corpus, analyzer)
+    save_index(idx, path)
+    return idx

@@ -278,6 +278,25 @@ def build_doc_sharded(
     )
 
 
+def write_doc_store(sharded: DataFrame, path: str) -> None:
+    """Persist the serving layout partitioned by shard: a query touches
+    only the parquet files of shards it probes, and within a shard only
+    row groups whose term range matches (rows are term-sorted)."""
+    sharded.sortWithinPartitions("term").write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/shards"
+    )
+    lineage = sharded.groupBy("shard").agg(
+        F.count("*").alias("n_terms"),
+        F.sum("n_docs").alias("n_postings"),
+        F.sum(F.length("payload")).alias("payload_bytes"),
+    )
+    lineage.write.mode("overwrite").parquet(f"{path}/_lineage")
+
+
+def read_doc_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/shards")
+
+
 # ------------------------------------------------------------- WAND query
 
 

@@ -145,6 +145,36 @@ def maintain(
     return new_index, stats, False
 
 
+class IncrementalIndexer:
+    """Stateful wrapper: an Index kept current against a stream of corpus
+    snapshots (the driver-side analogue of the reference's watcher loop,
+    indexer.ts:708-969). Each ``apply(new_corpus)`` diffs against the
+    corpus snapshot last applied and maintains incrementally (or full
+    rebuilds past the thresholds). Designed to be called from
+    ``stream_corpus``'s foreachBatch."""
+
+    def __init__(self, index: Index, corpus: DataFrame, analyzer=None):
+        self.index = index
+        self.corpus = corpus
+        self.analyzer = analyzer
+        self.n_batches = 0
+        self.n_full_rebuilds = 0
+
+    def apply(self, new_corpus: DataFrame) -> IncrementalStats:
+        kw = {"analyzer": self.analyzer} if self.analyzer else {}
+        new_index, stats, rebuilt = maintain(self.index, self.corpus, new_corpus, **kw)
+        # pin the new state (the old index's cached lineage stays valid —
+        # union plans reference it — so materialize before dropping refs)
+        new_index.postings = new_index.postings.persist()
+        new_index.dictionary = new_index.dictionary.persist()
+        new_index.postings.count()
+        self.index = new_index
+        self.corpus = new_corpus.persist()
+        self.n_batches += 1
+        self.n_full_rebuilds += int(rebuilt)
+        return stats
+
+
 def stream_corpus(
     spark,
     source_dir: str,

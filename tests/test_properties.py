@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the pure-Python cores the engine's
+UDFs wrap: codec round-trips, tokenizer invariants, chunker invariants."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from coderag_spark.functions.tokenize import code_analyze, simple_word_tokenize
+from coderag_spark.operators.chunking import chunk_file, chunk_text
+from coderag_spark.operators.compact import decode_postings, encode_postings
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.integers(min_value=1, max_value=10**6),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_codec_roundtrip_property(rows):
+    uniq = {}
+    for d, tf, dl in rows:
+        uniq[d] = (tf, dl)
+    docs = sorted(uniq)
+    tfs = [uniq[d][0] for d in docs]
+    dls = [uniq[d][1] for d in docs]
+    assert decode_postings(encode_postings(docs, tfs, dls)) == (docs, tfs, dls)
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_invariants(text):
+    toks = simple_word_tokenize(text)
+    assert all(len(t) > 1 for t in toks)
+    assert all(t == t.lower() for t in toks)
+    # idempotent under its own normalization: re-tokenizing the joined
+    # tokens yields the same stream
+    assert simple_word_tokenize(" ".join(toks)) == toks
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_code_analyzer_superset(text):
+    simple = simple_word_tokenize(text)
+    code = code_analyze(text)
+    # every simple token appears in the code-analyzer stream (it adds
+    # subtokens, never removes whole tokens)
+    it = iter(code)
+    for s in simple:
+        for c in it:
+            if c == s:
+                break
+        else:
+            raise AssertionError(f"{s!r} missing from code_analyze output")
+
+
+@given(st.text(max_size=5000), st.integers(min_value=10, max_value=500))
+@settings(max_examples=100, deadline=None)
+def test_chunk_text_covers_content(text, max_size):
+    chunks = chunk_text(text, max_chunk_size=max_size)
+    if not text:
+        assert chunks == []
+        return
+    # full coverage: concatenation with overlaps removed reconstructs text
+    assert chunks[0].startswith(text[: min(len(text), max_size)][:1])
+    assert all(len(c) <= max_size for c in chunks)
+    # every character position is inside at least one chunk
+    reassembled = chunks[0]
+    for c in chunks[1:]:
+        # find the overlap: the next chunk starts 100 before the previous end
+        # (or at it) — reassemble by locating the suffix
+        for ov in range(min(100, len(reassembled), len(c)), -1, -1):
+            if ov == 0 or reassembled.endswith(c[:ov]):
+                reassembled += c[ov:]
+                break
+    assert reassembled == text
+
+
+@given(st.text(max_size=3000), st.sampled_from(["Python", "JavaScript", "Markdown", None]))
+@settings(max_examples=100, deadline=None)
+def test_chunk_file_contract(text, lang):
+    chunks = chunk_file(text, lang)
+    if not text or not text.strip():
+        # empty/whitespace-only -> no chunks unless char-fallback of
+        # non-blank... blank is the only zero-chunk case for nonempty text
+        if not text:
+            assert chunks == []
+        return
+    assert chunks, "non-blank content must produce at least one chunk"
+    for i, c in enumerate(chunks):
+        assert c.chunk_index == i
+        if c.chunk_type == "text":
+            assert c.start_line == 0 and c.end_line == 0
+        else:
+            assert 1 <= c.start_line <= c.end_line

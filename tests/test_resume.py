@@ -1,0 +1,117 @@
+"""Engine-level resume (ST6) + persisted doc store + incremental indexer."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.engine import build_index, resume_or_build
+from coderag_spark.operators import compact as cp
+from coderag_spark.operators.bm25 import dedupe_query_tokens, search
+from coderag_spark.sources.corpus import CORPUS_SCHEMA, generate_corpus
+
+
+def _with_sha(pdf: pd.DataFrame) -> pd.DataFrame:
+    import hashlib
+
+    pdf = pdf.copy()
+    pdf["sha256"] = pdf["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    return pdf
+
+
+def test_resume_or_build_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    pdf = generate_corpus(n_files=20, seed=11, include_edge_rows=False)
+    corpus = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+    idx1 = resume_or_build(spark, corpus, path)  # fresh build
+    n1 = idx1.stats.n_docs
+
+    # second call with an UNCHANGED corpus: index equivalent, nothing lost
+    idx2 = resume_or_build(spark, corpus, path)
+    assert idx2.stats.n_docs == n1
+
+    # change one file, add one, delete one → resumed index == full rebuild
+    pdf3 = pdf.copy()
+    pdf3.loc[pdf3.index[0], "content"] = "def resumedPatched(user):\n    return user\n"
+    pdf3 = pdf3[pdf3["path"] != pdf3["path"].iloc[1]]
+    pdf3 = pd.concat(
+        [
+            pdf3,
+            pd.DataFrame(
+                [{
+                    "repo": "repo000", "path": "src/new/resumed.py",
+                    "commit": pdf["commit"].iloc[0], "lang": "Python",
+                    "content": "def brandNewResumeFn(db_conn):\n    return db_conn\n",
+                }]
+            ),
+        ],
+        ignore_index=True,
+    )
+    pdf3 = _with_sha(pdf3)
+    corpus3 = spark.createDataFrame(pdf3, schema=CORPUS_SCHEMA)
+    idx3 = resume_or_build(spark, corpus3, path)
+    full = build_index(corpus3)
+    assert idx3.stats.n_docs == full.stats.n_docs
+    got = {(r["doc_id"], r["term"]): r["raw_freq"] for r in idx3.postings.collect()}
+    want = {(r["doc_id"], r["term"]): r["raw_freq"] for r in full.postings.collect()}
+    assert got == want
+    hits = [r["path"] for r in search(idx3, "brandNewResumeFn", limit=3).collect()]
+    assert hits and hits[0] == "src/new/resumed.py"
+
+
+def test_doc_store_write_read_wand(spark, index, tmp_path):
+    path = str(tmp_path / "dstore")
+    sharded = cp.build_doc_sharded(index.postings, index.stats.avgdl, n_shards=4)
+    cp.write_doc_store(sharded, path)
+    loaded = cp.read_doc_store(spark, path)
+    q = "authenticate user"
+    terms = dedupe_query_tokens(q)
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in cp.wand_search(loaded, index.dictionary, terms, index.stats.avgdl, k=10).collect()
+    ]
+    want = [(r["doc_id"], round(r["score"], 9)) for r in search(index, q, limit=10).collect()]
+    assert got == want
+    # lineage rows cover every shard
+    lineage = spark.read.parquet(f"{path}/_lineage")
+    assert lineage.count() == 4
+    assert lineage.agg(F.sum("n_postings")).collect()[0][0] == index.postings.count()
+
+
+def test_incremental_indexer_batches(spark):
+    from coderag_spark.streaming.incremental import IncrementalIndexer
+
+    pdf = generate_corpus(n_files=15, seed=21, include_edge_rows=False)
+    corpus = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+    indexer = IncrementalIndexer(build_index(corpus), corpus)
+
+    # batch 1: add a file
+    pdf2 = pd.concat(
+        [pdf, pd.DataFrame([{
+            "repo": "repo000", "path": "src/new/streamed_a.py",
+            "commit": pdf["commit"].iloc[0], "lang": "Python",
+            "content": "def streamedFnAlpha(token_cache):\n    return token_cache\n",
+        }])],
+        ignore_index=True,
+    )
+    pdf2 = _with_sha(pdf2)
+    stats1 = indexer.apply(spark.createDataFrame(pdf2, schema=CORPUS_SCHEMA))
+    assert stats1.n_added == 1
+    assert [r["path"] for r in search(indexer.index, "streamedFnAlpha", limit=1).collect()] == [
+        "src/new/streamed_a.py"
+    ]
+
+    # batch 2: delete that file again
+    stats2 = indexer.apply(spark.createDataFrame(_with_sha(pdf), schema=CORPUS_SCHEMA))
+    assert stats2.n_deleted == 1
+    assert search(indexer.index, "streamedFnAlpha", limit=1).collect() == []
+    assert indexer.n_batches == 2
+
+    # incremental state == full rebuild of the final corpus
+    full = build_index(spark.createDataFrame(_with_sha(pdf), schema=CORPUS_SCHEMA))
+    assert indexer.index.stats.n_docs == full.stats.n_docs
+    got = {(r["doc_id"], r["term"]) for r in indexer.index.postings.collect()}
+    want = {(r["doc_id"], r["term"]) for r in full.postings.collect()}
+    assert got == want
