@@ -224,7 +224,7 @@ def main() -> None:
     # throughput saturates at ~8 threads and local[32] is 2-3x slower (see
     # the scaling note below); the suite queries below still run at the
     # driver-specified local[cpus].
-    n_files = int(os.environ.get("SPARK_GRAFT_BUILD_FILES", "12000"))
+    n_files = int(os.environ.get("SPARK_GRAFT_BUILD_FILES", "50000"))
     build = _build_and_search(min(8, cpus), n_files, do_search=True)
 
     # --- driver suite queries at sf_dir

@@ -45,6 +45,15 @@ _BOUNDARY_RE = re.compile(
     r"(?:public|private|protected|static)\s)"
 )
 
+# entity extraction from a boundary line: (kind, name) — the analogue of
+# the reference's AST entities (ast-chunking.ts:71-87: chunk type is the
+# first entity's type, metadata carries {name, type} pairs)
+_ENTITY_RE = re.compile(
+    r"\b(function|def|class|fn|func|impl|struct|interface)\s+"
+    r"(?:\([^)]*\)\s+)?"  # go method receiver
+    r"([A-Za-z_][A-Za-z0-9_]*)"
+)
+
 
 @dataclass
 class Chunk:
@@ -53,6 +62,11 @@ class Chunk:
     start_line: int  # 1-based; 0 for fallback text chunks
     end_line: int
     chunk_index: int
+    entities: list[str] = None  # "kind:name" pairs from definition lines
+
+    def __post_init__(self):
+        if self.entities is None:
+            self.entities = []
 
 
 def chunk_text(text: str, max_chunk_size: int = MAX_CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> list[str]:
@@ -118,13 +132,28 @@ def _code_chunks(text: str, max_chunk_size: int) -> list[Chunk]:
     return [c for c in chunks if c.content.strip()]
 
 
+_KIND_MAP = {
+    "function": "function", "def": "function", "fn": "function",
+    "func": "function", "class": "class", "impl": "class",
+    "struct": "class", "interface": "class",
+}
+
+
 def _mk_chunk(lines: list[str], s: int, e: int, idx: int) -> Chunk:
+    entities: list[str] = []
+    for ln in lines[s:e]:
+        m = _ENTITY_RE.search(ln)
+        if m:
+            entities.append(f"{_KIND_MAP[m.group(1)]}:{m.group(2)}")
+    # chunk type = first entity's type, else 'chunk' (ast-chunking.ts:71-73)
+    chunk_type = entities[0].split(":", 1)[0] if entities else "chunk"
     return Chunk(
         content="\n".join(lines[s:e]),
-        chunk_type="chunk",
+        chunk_type=chunk_type,
         start_line=s + 1,
         end_line=e,  # inclusive 1-based end == exclusive 0-based end
         chunk_index=idx,
+        entities=entities,
     )
 
 
@@ -155,6 +184,7 @@ CHUNK_STRUCT = T.ArrayType(
             T.StructField("start_line", T.IntegerType()),
             T.StructField("end_line", T.IntegerType()),
             T.StructField("chunk_index", T.IntegerType()),
+            T.StructField("entities", T.ArrayType(T.StringType())),
         ]
     )
 )
@@ -175,7 +205,7 @@ def chunk_corpus(corpus: DataFrame, max_chunk_size: int = MAX_CHUNK_SIZE, max_fi
         return pd.Series(
             [
                 [
-                    (c.content, c.chunk_type, c.start_line, c.end_line, c.chunk_index)
+                    (c.content, c.chunk_type, c.start_line, c.end_line, c.chunk_index, c.entities)
                     for c in chunk_file(cnt if isinstance(cnt, str) else "", lg, max_chunk_size)
                 ]
                 for cnt, lg in zip(content, lang)
@@ -196,6 +226,7 @@ def chunk_corpus(corpus: DataFrame, max_chunk_size: int = MAX_CHUNK_SIZE, max_fi
             F.col("chunk.start_line").alias("start_line"),
             F.col("chunk.end_line").alias("end_line"),
             F.col("chunk.chunk_index").alias("chunk_index"),
+            F.col("chunk.entities").alias("entities"),
         )
         .withColumn(
             "doc_id",

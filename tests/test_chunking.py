@@ -44,7 +44,9 @@ def test_code_chunks_one_based_lines():
     chunks = chunk_file(code, "JavaScript", max_chunk_size=30)
     assert len(chunks) == 2
     assert chunks[0].start_line == 1
-    assert chunks[0].chunk_type == "chunk"
+    # chunk type = first entity's kind (ast-chunking.ts:71-73)
+    assert chunks[0].chunk_type == "function"
+    assert chunks[0].entities == ["function:foo"]
     assert "foo" in chunks[0].content and "bar" in chunks[1].content
 
 
