@@ -56,6 +56,13 @@ SUITE_BENCH = [
     "quality",
     "fingerprint",
     "events_hourly",
+    "bm25_filtered",
+    "hybrid_fusion",
+    "snapshot_diff",
+    "idf_delta",
+    "topk_per_group",
+    "emb_knn",
+    "sessions",
 ]
 
 

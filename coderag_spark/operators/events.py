@@ -1,0 +1,74 @@
+"""Event-stream batch operators (windowed rollups + sessionization).
+
+The reference has no event analytics — these are the training-data /
+telemetry pipeline operators a 100 TB corpus build needs around the index
+jobs (ingest monitoring, per-user activity sessionization for dataset
+curation). Everything is built-in column algebra + window functions:
+JVM-side, whole-stage-codegen'd, one shuffle per groupBy/window key.
+
+Scale notes:
+  * hourly_rollup — map-side partial aggregation; the (hour, event_type)
+    key space is tiny, so reducers are never skewed.
+  * sessionize — single shuffle on user_id (the window partition key);
+    per-user event counts are bounded in practice, and a hot user can be
+    range-partitioned by (user_id, day) first. In Structured Streaming the
+    same semantics come from ``session_window(ts, gap)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SECONDS = 1800
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """(hour, event_type) -> count + value sum."""
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Per-user session assignment: a new session starts when the gap to
+    the previous event exceeds ``gap_seconds``.
+
+    Classic lag -> boundary flag -> running-sum pattern (two stacked
+    windows over the same partitioning — one shuffle). Timestamp deltas are
+    compared in integer microseconds (``unix_micros``) so the result is
+    bit-exact across engines. Output: one row per event with session_id.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; the session timezone is
+    # pinned to UTC (session.py) so this cast is an exact reinterpretation
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    boundary = F.when(
+        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_id", F.sum(boundary).over(run))
+
+
+def session_stats(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Per-user session summary: n_sessions, n_events, max session length
+    (events) — the curation-facing rollup."""
+    s = sessionize(events, gap_seconds)
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("sess_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("sess_events").cast("long").alias("n_events"),
+        F.max("sess_events").cast("long").alias("max_session_events"),
+    )

@@ -129,15 +129,28 @@ def knn_join(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    block_col: str | None = None,
 ) -> DataFrame:
     """For each left row: top-k right rows by cosine (exact, windowed).
-    Scale note: pre-bucket both sides with hyperplane signatures and join
-    on bucket before the window for >> 10^5 rows."""
+
+    ``block_col`` restricts candidate pairs to rows sharing that column
+    (e.g. a cluster/label/IVF-centroid assignment) — the blocking key keeps
+    the join linear-per-block instead of globally quadratic. Scale note:
+    beyond ~10^5 rows per block, pre-bucket both sides with hyperplane
+    signatures and join on bucket before the window."""
     from pyspark.sql import Window as W
 
-    a = left.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = right.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    scored = a.join(b, F.col("id_a") != F.col("id_b")).withColumn(
+    a_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")]
+    b_cols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")]
+    if block_col:
+        a_cols.append(F.col(block_col).alias("blk_a"))
+        b_cols.append(F.col(block_col).alias("blk_b"))
+    a = left.select(*a_cols)
+    b = right.select(*b_cols)
+    cond = F.col("id_a") != F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    scored = a.join(b, cond).withColumn(
         "cos", F.round(cosine(F.col("va"), F.col("vb")), 6)
     )
     w = W.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))

@@ -33,22 +33,27 @@ FULL_REBUILD_CHANGED_RATIO = 0.2  # incremental-tfidf.ts:295
 FULL_REBUILD_NEW_TERMS = 1000  # incremental-tfidf.ts:291
 
 
-def diff_corpus(old: DataFrame, new: DataFrame) -> DataFrame:
-    """Classify (repo, path) keys: added / changed / deleted / unchanged.
+def diff_corpus(
+    old: DataFrame, new: DataFrame, keys: tuple[str, ...] = ("repo", "path")
+) -> DataFrame:
+    """Classify rows by key: added / changed / deleted / unchanged.
 
     J6 from SURVEY §2.3 — one full-outer join on the file key, sha256
-    equality as the content test (P7: unchanged-file skip).
+    equality as the content test (P7: unchanged-file skip). ``keys``
+    defaults to the corpus file key; any unique key tuple works (e.g.
+    ``("doc_id",)`` for the driver's documents table).
     """
-    o = old.select("repo", "path", F.col("sha256").alias("old_sha"))
-    n = new.select("repo", "path", F.col("sha256").alias("new_sha"))
-    j = o.join(n, ["repo", "path"], "full_outer")
+    klist = list(keys)
+    o = old.select(*klist, F.col("sha256").alias("old_sha"))
+    n = new.select(*klist, F.col("sha256").alias("new_sha"))
+    j = o.join(n, klist, "full_outer")
     return j.withColumn(
         "op",
         F.when(F.col("old_sha").isNull(), F.lit("added"))
         .when(F.col("new_sha").isNull(), F.lit("deleted"))
         .when(F.col("old_sha") != F.col("new_sha"), F.lit("changed"))
         .otherwise(F.lit("unchanged")),
-    ).select("repo", "path", "op")
+    ).select(*klist, "op")
 
 
 @dataclass

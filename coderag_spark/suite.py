@@ -199,6 +199,8 @@ def _bm25(spark: SparkSession, sf_dir: str, terms: list[str], k: int, min_score:
     )
     if min_score > 0:
         scored = scored.filter(F.col("score") >= F.lit(min_score))
+    if k is None:
+        return scored
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -572,6 +574,302 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------- filtered search / fusion / diff
+
+
+FILTER_LANG = "en"
+FILTER_SRC_INCLUDE = "src1"  # substring: matches src1, src10..src19
+FILTER_SRC_EXCLUDE = "src13"
+
+
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3/P4 + A9: BM25 restricted to docs passing attribute filters
+    (extension/include/exclude analogues: lang equality, source contains,
+    source exclusion — indexer.ts:1317-1333). IDF/avgdl stay GLOBAL (the
+    reference scores with corpus-wide stats); the filter prunes candidates
+    before scoring, and with no candidate cap this is score-safe."""
+    terms = query_terms(BM25_QUERY_MULTI)
+    allowed = (
+        _documents(spark, sf_dir)
+        .filter(
+            (F.col("lang") == FILTER_LANG)
+            & F.col("source").contains(FILTER_SRC_INCLUDE)
+            & (F.col("source") != FILTER_SRC_EXCLUDE)
+        )
+        .select("doc_id")
+    )
+    scored = _bm25(spark, sf_dir, terms, None)  # unlimited scored set
+    return (
+        scored.join(allowed, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_bm25_filtered(terms: list[str]) -> str:
+    inner = _sql_bm25(terms, 10**9)
+    return f"""
+WITH scored AS ({inner}),
+allowed AS (
+  SELECT doc_id FROM documents
+  WHERE lang = '{FILTER_LANG}' AND source LIKE '%{FILTER_SRC_INCLUDE}%'
+        AND source <> '{FILTER_SRC_EXCLUDE}'
+)
+SELECT s.doc_id, s.score FROM scored s JOIN allowed USING (doc_id)
+ORDER BY 2 DESC, 1 ASC LIMIT 20
+"""
+
+
+HYBRID_VEC_WEIGHT = 0.7
+HYBRID_OVERFETCH = 30  # 3 * limit (indexer.ts:1298, vector-storage.ts:249)
+HYBRID_LIMIT = 15
+
+
+def q_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: full-outer merge of vector-knn and BM25 results, each side
+    max-normalized (floor 0.01, hybrid-search.ts:177-178), weighted
+    ``vw*vec + (1-vw)*kw`` (hybrid-search.ts:169-263). Join key:
+    doc_id == vec_id (the embeddings table is row-aligned)."""
+    vec = sim.cosine_topk(
+        _embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=HYBRID_OVERFETCH
+    ).select(F.col("vec_id").alias("doc_id"), F.col("cos").alias("vscore"))
+    kw = _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), HYBRID_OVERFETCH).select(
+        "doc_id", F.col("score").alias("kscore")
+    )
+    vmax = vec.agg(F.greatest(F.max("vscore"), F.lit(0.01)).alias("vmax"))
+    kmax = kw.agg(F.greatest(F.max("kscore"), F.lit(0.01)).alias("kmax"))
+    fused = (
+        vec.join(kw, "doc_id", "full_outer")
+        .crossJoin(F.broadcast(vmax))
+        .crossJoin(F.broadcast(kmax))
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("vscore") / F.col("vmax"), F.lit(0.0)) * HYBRID_VEC_WEIGHT
+                + F.coalesce(F.col("kscore") / F.col("kmax"), F.lit(0.0))
+                * (1.0 - HYBRID_VEC_WEIGHT),
+                6,
+            ).alias("hybrid_score"),
+            F.when(
+                F.col("vscore").isNotNull() & F.col("kscore").isNotNull(), F.lit("hybrid")
+            )
+            .when(F.col("vscore").isNotNull(), F.lit("vector"))
+            .otherwise(F.lit("tfidf"))
+            .alias("method"),
+        )
+    )
+    return fused.orderBy(F.desc("hybrid_score"), F.asc("doc_id")).limit(HYBRID_LIMIT)
+
+
+def _sql_hybrid_fusion(terms: list[str]) -> str:
+    return f"""
+WITH vec AS (
+  SELECT vec_id AS doc_id, cos AS vscore FROM ({SQL_ANN_COSINE.replace('LIMIT 10', f'LIMIT {HYBRID_OVERFETCH}')})
+),
+kw AS (
+  SELECT doc_id, score AS kscore FROM ({_sql_bm25(terms, HYBRID_OVERFETCH)})
+),
+vmax AS (SELECT greatest(max(vscore), 0.01) AS vmax FROM vec),
+kmax AS (SELECT greatest(max(kscore), 0.01) AS kmax FROM kw),
+fused AS (
+  SELECT coalesce(v.doc_id, k.doc_id) AS doc_id,
+         round(coalesce(v.vscore / vm.vmax, 0.0) * {HYBRID_VEC_WEIGHT}
+               + coalesce(k.kscore / km.kmax, 0.0) * {1.0 - HYBRID_VEC_WEIGHT}, 6) AS hybrid_score,
+         CASE WHEN v.doc_id IS NOT NULL AND k.doc_id IS NOT NULL THEN 'hybrid'
+              WHEN v.doc_id IS NOT NULL THEN 'vector' ELSE 'tfidf' END AS method
+  FROM vec v FULL OUTER JOIN kw k ON v.doc_id = k.doc_id, vmax vm, kmax km
+)
+SELECT doc_id, hybrid_score, method FROM fused
+ORDER BY 2 DESC, 1 ASC LIMIT {HYBRID_LIMIT}
+"""
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic old/new corpus snapshots derived from documents:
+    old drops doc_id%7==3 (those become 'added') and drifts text for
+    doc_id%5==0 (those become 'changed'); new drops doc_id%11==4
+    (those become 'deleted')."""
+    docs = _documents(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id",
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.coalesce("text", F.lit("")), F.lit(" drift"))
+            ).otherwise(F.coalesce("text", F.lit(""))),
+            256,
+        ).alias("sha256"),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 4).select(
+        "doc_id", F.sha2(F.coalesce("text", F.lit("")), 256).alias("sha256")
+    )
+    return old, new
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 + P7: full-outer snapshot diff classified added / changed /
+    deleted / unchanged by sha256 equality (indexer.ts:137-181, 499-507)
+    via the engine's diff operator."""
+    from coderag_spark.streaming.incremental import diff_corpus
+
+    old, new = _snapshots(spark, sf_dir)
+    return diff_corpus(old, new, keys=("doc_id",))
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id,
+         sha256(CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' drift'
+                     ELSE coalesce(text, '') END) AS old_sha
+  FROM documents WHERE doc_id % 7 <> 3
+),
+new AS (
+  SELECT doc_id, sha256(coalesce(text, '')) AS new_sha
+  FROM documents WHERE doc_id % 11 <> 4
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_sha IS NULL THEN 'added'
+            WHEN n.new_sha IS NULL THEN 'deleted'
+            WHEN o.old_sha <> n.new_sha THEN 'changed'
+            ELSE 'unchanged' END AS op
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
+def q_idf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: incremental df maintenance — df(new) computed as df(old) +
+    df(added docs) merged per term (incremental-tfidf.ts:64-134), NOT by
+    re-aggregating the full corpus; the oracle recomputes both snapshots
+    directly, so a hash match proves incremental == full. Old snapshot
+    drops doc_id%10==7."""
+    post = _doc_postings(spark, sf_dir)
+    old_df = (
+        post.filter(F.col("doc_id") % 10 != 7).groupBy("term").agg(F.count("*").alias("df_old"))
+    )
+    add_df = (
+        post.filter(F.col("doc_id") % 10 == 7).groupBy("term").agg(F.count("*").alias("df_add"))
+    )
+    n_docs = _documents(spark, sf_dir).count()
+    merged = (
+        old_df.join(add_df, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("df_old", F.lit(0)).cast("long").alias("df_old"),
+            (F.coalesce("df_old", F.lit(0)) + F.coalesce("df_add", F.lit(0)))
+            .cast("long")
+            .alias("df_new"),
+        )
+        .filter(F.col("df_old") != F.col("df_new"))
+    )
+    return merged.select(
+        "term",
+        "df_old",
+        "df_new",
+        F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df_new") + 1.0)) + 1.0, 6).alias(
+            "idf_new"
+        ),
+    )
+
+
+SQL_IDF_DELTA = f"""
+WITH post AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+old_df AS (SELECT term, count(*) AS df_old FROM post WHERE doc_id % 10 <> 7 GROUP BY term),
+new_df AS (SELECT term, count(*) AS df_new FROM post GROUP BY term)
+SELECT n.term, coalesce(o.df_old, 0)::BIGINT AS df_old, n.df_new::BIGINT AS df_new,
+       round(ln(((SELECT count(*) FROM documents) + 1.0) / (n.df_new + 1.0)) + 1.0, 6) AS idf_new
+FROM new_df n LEFT JOIN old_df o USING (term)
+WHERE coalesce(o.df_old, 0) <> n.df_new
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 window op: top-3 largest docs per language
+    (row_number over a partitioned ordered window)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _documents(spark, sf_dir)
+        .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT lang, doc_id, n_chars, rnk FROM (
+  SELECT lang, doc_id, n_chars::BIGINT AS n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rnk
+  FROM documents
+) WHERE rnk <= 3
+"""
+
+
+def q_emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-neighbor join: top-3 neighbors per vector,
+    blocked by the label column (cluster assignment) so the pair space is
+    linear-per-block, never globally quadratic."""
+    return sim.knn_join(
+        _embeddings(spark, sf_dir), _embeddings(spark, sf_dir), k=3, block_col="label"
+    ).select("id_a", "id_b", "cos", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_EMB_KNN = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+  FROM embeddings a JOIN embeddings b
+       ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT id_a, id_b, cos,
+         row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC)::BIGINT AS rank
+  FROM pairs
+)
+SELECT id_a, id_b, cos, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) + per-user rollup — lag/boundary/
+    running-sum window stack over the events stream table."""
+    from coderag_spark.operators.events import session_stats
+
+    return session_stats(_events(spark, sf_dir))
+
+
+SQL_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+b AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS boundary
+  FROM e
+),
+s AS (
+  SELECT user_id,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM b
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS sess_events FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions, sum(sess_events)::BIGINT AS n_events,
+       max(sess_events)::BIGINT AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
 # -------------------------------------------- rows-only (non-SQL) queries
 
 
@@ -627,6 +925,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "events_hourly": q_events_hourly,
         "media_stats": q_media_stats,
+        "bm25_filtered": q_bm25_filtered,
+        "hybrid_fusion": q_hybrid_fusion,
+        "snapshot_diff": q_snapshot_diff,
+        "idf_delta": q_idf_delta,
+        "topk_per_group": q_topk_per_group,
+        "emb_knn": q_emb_knn,
+        "sessions": q_sessions,
         # rows-only (no SQL oracle): hash-based / stubbed-decode operators
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -657,4 +962,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN_COSINE,
         "events_hourly": SQL_EVENTS_HOURLY,
         "media_stats": SQL_MEDIA_STATS,
+        "bm25_filtered": _sql_bm25_filtered(query_terms(BM25_QUERY_MULTI)),
+        "hybrid_fusion": _sql_hybrid_fusion(query_terms(BM25_QUERY_MULTI)),
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "idf_delta": SQL_IDF_DELTA,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "emb_knn": SQL_EMB_KNN,
+        "sessions": SQL_SESSIONS,
     }

@@ -1,0 +1,74 @@
+"""Event sessionization + rollup operators."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.operators import events as ev
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 1: three events close together, then a 2h gap, then one more
+    for i, mins in enumerate([0, 5, 10, 130]):
+        rows.append((i, t0 + timedelta(minutes=mins), 1, "click", 1.0, "{}"))
+    # user 2: single event
+    rows.append((10, t0, 2, "view", 2.0, "{}"))
+    # user 3: two events exactly 30min apart (gap == threshold -> same session)
+    rows.append((20, t0, 3, "click", 1.0, "{}"))
+    rows.append((21, t0 + timedelta(minutes=30), 3, "click", 1.0, "{}"))
+    # and one at 30min + 1us after the previous (gap > threshold -> new)
+    rows.append((22, t0 + timedelta(minutes=60, microseconds=1), 3, "click", 1.0, "{}"))
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_sessionize_boundaries(events_df):
+    out = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in ev.sessionize(events_df).collect()
+    }
+    assert out[(1, 0)] == out[(1, 1)] == out[(1, 2)] == 1
+    assert out[(1, 3)] == 2  # 2h gap
+    assert out[(2, 10)] == 1
+    assert out[(3, 20)] == out[(3, 21)] == 1  # gap == 30min stays
+    assert out[(3, 22)] == 2  # 30min + 1us breaks
+
+
+def test_session_stats(events_df):
+    out = {r["user_id"]: r for r in ev.session_stats(events_df).collect()}
+    assert out[1]["n_sessions"] == 2
+    assert out[1]["n_events"] == 4
+    assert out[1]["max_session_events"] == 3
+    assert out[2]["n_sessions"] == 1
+    assert out[3]["n_sessions"] == 2
+
+
+def test_hourly_rollup(events_df):
+    out = ev.hourly_rollup(events_df)
+    row = {
+        (r["hour"], r["event_type"]): r["n_events"] for r in out.collect()
+    }
+    assert row[(datetime(2024, 1, 1, 0, 0), "click")] == 5  # 3 (u1) + 2 (u3)
+
+
+def test_knn_join_blocked(spark):
+    from coderag_spark.operators.similarity import knn_join
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = knn_join(df, df, k=1, block_col="label").collect()
+    nn = {r["id_a"]: r["id_b"] for r in out}
+    # blocking: 1 and 2 only see each other; 3's best in-block is 4 (cos 0)
+    assert nn == {1: 2, 2: 1, 3: 4, 4: 3}

@@ -1,0 +1,71 @@
+"""Driver-contract gate, run locally: every `oracle_sql()` entry executed
+in DuckDB against the same parquet tables as the Spark `queries()` entry,
+compared value-for-value (the driver's CORRECTNESS check at sf0.01 does
+exactly this; here sf0.001 keeps it fast and catches oracle drift before
+the round gate)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    for c in cols:
+        if out[c].dtype.kind == "f":
+            out[c] = out[c].round(6)
+    out = out.sort_values(by=cols, na_position="last").reset_index(drop=True)
+    return out
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, duck):
+    spark_df = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    duck_df = _normalize(duck.sql(ORACLES[name]).df())
+    assert list(spark_df.columns) == list(duck_df.columns), (
+        f"{name}: column mismatch {list(spark_df.columns)} vs {list(duck_df.columns)}"
+    )
+    assert len(spark_df) == len(duck_df), (
+        f"{name}: row count {len(spark_df)} vs {len(duck_df)}"
+    )
+    pd.testing.assert_frame_equal(
+        spark_df, duck_df, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
+    )
+
+
+def test_every_query_has_entry_or_rows_only():
+    # every oracle key must have a query; rows-only queries are allowed
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) >= 2
