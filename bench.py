@@ -85,12 +85,15 @@ def _build_and_search(cores: int, n_files: int, do_search: bool = True) -> dict:
     ).persist()
     n_rows = corpus.count()  # materialize outside the timed section
 
-    # warm python workers (pandas/pyarrow import) + whole-stage codegen on a
-    # tiny slice — one-time startup a long-running cluster amortizes
+    # warm python workers (pandas/pyarrow import) + whole-stage codegen —
+    # one-time startup a long-running cluster amortizes. The warm slice is
+    # repartitioned to `cores` so EVERY worker slot imports pandas now, not
+    # inside the timed section (limit(64) alone touches 1-2 partitions and
+    # leaves the remaining workers cold — penalizing high parallelism).
     from coderag_spark.operators.chunking import chunk_corpus
     from coderag_spark.operators.postings import build_postings, tokenize_chunks
 
-    warm = corpus.limit(64)
+    warm = corpus.limit(64 * cores).repartition(cores)
     build_postings(
         tokenize_chunks(chunk_corpus(warm)).select("doc_id", "token_count", "term_freqs")
     ).groupBy("term").count().count()
@@ -177,7 +180,8 @@ def _scale_probe(cores: int, n_files: int) -> None:
         spark, n_files=n_files, include_edge_rows=False, partitions=128
     ).persist()
     corpus.count()
-    warm = corpus.limit(64)
+    # warm every worker slot (see note in _build_and_search)
+    warm = corpus.limit(64 * cores).repartition(cores)
     build_postings(
         tokenize_chunks(chunk_corpus(warm)).select("doc_id", "token_count", "term_freqs")
     ).groupBy("term").count().count()

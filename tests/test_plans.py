@@ -59,3 +59,32 @@ def test_search_has_no_python_udf_in_scoring(stored):
     # the right surface for this assertion)
     plan = physical_plan(search(stored, "authenticate user", limit=10))
     assert "EvalPython" not in plan
+
+
+def test_suite_bm25_filtered_semi_join_and_topk(spark):
+    from coderag_spark import suite
+
+    df = suite.q_bm25_filtered(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the attribute filter is a semi join against the scored set
+    assert "LeftSemi" in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    from coderag_spark.operators.events import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = physical_plan(sessionize(ev))
+    # lag + running-sum share one user_id partitioning: exactly one exchange
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_knn_join_blocked_plan_no_cartesian(spark):
+    from coderag_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = physical_plan(knn_join(emb, emb, k=3, block_col="label"))
+    # label blocking must make it an equi-join, not a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
