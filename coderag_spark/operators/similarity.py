@@ -69,11 +69,17 @@ def cosine_pairs(
     """Exact pairs with cosine >= threshold (doc_a < doc_b). Brute-force
     cross-block join — only for corpus slices that fit a quadratic plan;
     the LSH variant is the scale path."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn(
+            "cos", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        )
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", "cos")
     )
@@ -140,8 +146,19 @@ def knn_join(
     signatures and join on bucket before the window."""
     from pyspark.sql import Window as W
 
-    a_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")]
-    b_cols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")]
+    # norms are computed ONCE per row before the join (a row participates
+    # in ~|block| pairs; folding the norm per pair would triple the vector
+    # math); the pair then only pays one dot product
+    a_cols = [
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    ]
+    b_cols = [
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    ]
     if block_col:
         a_cols.append(F.col(block_col).alias("blk_a"))
         b_cols.append(F.col(block_col).alias("blk_b"))
@@ -151,7 +168,8 @@ def knn_join(
     if block_col:
         cond = cond & (F.col("blk_a") == F.col("blk_b"))
     scored = a.join(b, cond).withColumn(
-        "cos", F.round(cosine(F.col("va"), F.col("vb")), 6)
+        "cos",
+        F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
     )
     w = W.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return (
