@@ -159,6 +159,26 @@ def _build_and_search(cores: int, n_files: int, do_search: bool = True) -> dict:
         wand = time.time() - t0
         out["wand_search_sec_per_query"] = round(wand / len(REF_QUERIES), 4)
         out["wand_queries_per_sec"] = round(len(REF_QUERIES) / wand, 3)
+
+        # driver-local serving shard (the reference's in-memory serving
+        # mode, distributed-build + local-WAND): Spark builds and ships the
+        # compressed shard once; queries run in-process
+        from coderag_spark.operators.serve import LocalShard
+
+        t0 = time.time()
+        shard = LocalShard.from_index(idx)
+        out["shard_download_sec"] = round(time.time() - t0, 3)
+        for q in REF_QUERIES:  # warm: decode each query term's list once
+            shard.search(q)
+        reps = 25
+        t0 = time.time()
+        for _ in range(reps):
+            for q in REF_QUERIES:
+                shard.search(q, limit=10)
+        dt = time.time() - t0
+        n_q = reps * len(REF_QUERIES)
+        out["local_serve_queries_per_sec"] = round(n_q / dt, 1)
+        out["local_serve_ms_per_query"] = round(1000 * dt / n_q, 3)
     spark.stop()
     return out
 

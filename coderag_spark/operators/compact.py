@@ -400,7 +400,9 @@ def wand_topk_lists(
             # advance all pre-pivot lists to the pivot doc
             for t in live[:pivot_i]:
                 t.advance_to(pivot_doc)
-    out = sorted(heap, key=lambda e: (-e[0], e[1]))
+    # pinned tie-break (score desc, doc_id asc): heap entries are
+    # (score, -doc_id), so doc_id ascending means -doc_id DESCENDING
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
     return [(-nd, s) for s, nd in out]
 
 

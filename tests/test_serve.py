@@ -1,0 +1,70 @@
+"""Driver-local serving shard: rank identity vs the distributed plans and
+vs the pure-Python oracle semantics, plus latency sanity."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from coderag_spark.operators.bm25 import search
+from coderag_spark.operators.serve import LocalShard
+
+QUERIES = [
+    "authenticate",
+    "user authentication",
+    "DatabaseConnection",
+    "async function error",
+    "getUserById",
+    "handleRequest",
+]
+
+
+@pytest.fixture(scope="module")
+def shard(index):
+    return LocalShard.from_index(index)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity_vs_exhaustive(index, shard, query):
+    spark_rows = search(index, query, limit=10).select("doc_id", "score").collect()
+    local = shard.search(query, limit=10)
+    assert [d for d, _ in local] == [r["doc_id"] for r in spark_rows]
+    for (_, s_local), r in zip(local, spark_rows):
+        assert s_local == pytest.approx(r["score"], rel=1e-9)
+
+
+def test_empty_and_no_match(shard):
+    assert shard.search("") == []
+    assert shard.search("zzqqxxyy_nomatch") == []
+
+
+def test_repeated_term_counts_once(shard):
+    assert shard.search("user user") == shard.search("user")
+
+
+def test_latency_floor(shard):
+    # warm (decode lists), then 50 queries must run far below one Spark
+    # job's scheduling cost — the point of the serving mode
+    for q in QUERIES:
+        shard.search(q)
+    t0 = time.time()
+    for _ in range(50):
+        for q in QUERIES[:2]:
+            shard.search(q)
+    per_query = (time.time() - t0) / 100
+    assert per_query < 0.05, f"{per_query:.4f}s/query"
+
+
+def test_max_bytes_guard(index):
+    with pytest.raises(MemoryError):
+        LocalShard.from_index(index, max_bytes=10)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_vector_kernel_equals_wand_kernel(shard, query):
+    vec = shard.search(query, limit=10, kernel="vector")
+    wand = shard.search(query, limit=10, kernel="wand")
+    assert [d for d, _ in vec] == [d for d, _ in wand]
+    for (_, sv), (_, sw) in zip(vec, wand):
+        assert sv == pytest.approx(sw, rel=1e-9)
