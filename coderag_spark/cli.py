@@ -54,15 +54,35 @@ def _cmd_query(args) -> int:
 
     spark = get_spark("coderag-query", cores=args.cores)
     idx = load_index(spark, args.index)
-    rows = search(
-        idx,
-        args.query,
-        limit=args.limit,
-        min_score=args.min_score,
-        file_extensions=args.file_extensions.split(",") if args.file_extensions else None,
-        path_filter=args.path_filter,
-        exclude_paths=args.exclude_paths.split(",") if args.exclude_paths else None,
-    ).collect()
+    if args.local:
+        # serving-node mode: compact + download the shard once, score
+        # in-process (ms latency), then fetch metadata for only the k hits
+        from pyspark.sql import functions as F
+
+        from coderag_spark.operators.serve import LocalShard
+
+        shard = LocalShard.from_index(idx)
+        hits = shard.search(args.query, limit=args.limit)
+        hits = [(d, s) for d, s in hits if s >= args.min_score]
+        meta = {
+            r["doc_id"]: r
+            for r in idx.docs.filter(
+                F.col("doc_id").isin([d for d, _ in hits])
+            ).collect()
+        }
+        rows = [
+            {**meta[d].asDict(), "score": s} for d, s in hits if d in meta
+        ]
+    else:
+        rows = search(
+            idx,
+            args.query,
+            limit=args.limit,
+            min_score=args.min_score,
+            file_extensions=args.file_extensions.split(",") if args.file_extensions else None,
+            path_filter=args.path_filter,
+            exclude_paths=args.exclude_paths.split(",") if args.exclude_paths else None,
+        ).collect()
     out = []
     for r in rows:
         item = {
@@ -112,6 +132,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--path-filter", default=None)
     q.add_argument("--exclude-paths", default=None)
     q.add_argument("--include-content", action="store_true")
+    q.add_argument("--local", action="store_true", help="serve from an in-process shard")
 
     s = sub.add_parser("status")
     s.add_argument("--index", required=True)

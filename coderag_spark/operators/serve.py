@@ -218,3 +218,53 @@ class LocalShard:
             cand = np.arange(uniq.size)
         top = cand[np.lexsort((uniq[cand], -agg[cand]))][:k]
         return [(int(uniq[i]), float(agg[i])) for i in top]
+
+    def search_many(
+        self, queries: list[str], limit: int = 10, analyzer=code_analyze
+    ) -> list[list[tuple[int, float]]]:
+        """Batch serving surface: one result list per query."""
+        return [self.search(q, limit, analyzer) for q in queries]
+
+
+class LocalCluster:
+    """N serving shards + top-k fan-in — the full serving topology.
+
+    Each shard holds a doc-partition of the index (doc_id-hash sharding:
+    every query term's list is present in every shard, but each list is
+    1/N the size, bounding per-node memory and decode latency). A query
+    fans out to all shards and the fan-in is a k-way merge of per-shard
+    top-k — identical to the distributed ``compact.wand_search`` shape,
+    and to how Elasticsearch coordinators merge shard results. Here the
+    shards are in-process objects; over the network the same merge applies
+    unchanged.
+    """
+
+    def __init__(self, shards: list[LocalShard]):
+        self.shards = shards
+
+    @classmethod
+    def from_index(
+        cls, index: Index, n_shards: int = 4, max_bytes: int = 1 << 30
+    ) -> "LocalCluster":
+        shards = []
+        for i in range(n_shards):
+            part = index.postings.filter(
+                F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) == i
+            )
+            sub = Index(
+                postings=part,
+                dictionary=index.dictionary,  # global stats (df/idf are corpus-wide)
+                docs=index.docs,
+                stats=index.stats,
+            )
+            shards.append(LocalShard.from_index(sub, max_bytes=max_bytes))
+        return cls(shards)
+
+    def search(
+        self, query: str, limit: int = 10, analyzer=code_analyze
+    ) -> list[tuple[int, float]]:
+        merged: list[tuple[int, float]] = []
+        for sh in self.shards:
+            merged.extend(sh.search(query, limit, analyzer))
+        merged.sort(key=lambda e: (-e[1], e[0]))
+        return merged[:limit]

@@ -68,3 +68,12 @@ def test_vector_kernel_equals_wand_kernel(shard, query):
     assert [d for d, _ in vec] == [d for d, _ in wand]
     for (_, sv), (_, sw) in zip(vec, wand):
         assert sv == pytest.approx(sw, rel=1e-9)
+
+
+def test_cluster_fanin_rank_identity(index, shard):
+    from coderag_spark.operators.serve import LocalCluster
+
+    cluster = LocalCluster.from_index(index, n_shards=4)
+    for q in QUERIES:
+        assert cluster.search(q, limit=10) == shard.search(q, limit=10)
+    assert cluster.search("zzqqxxyy_nomatch") == []
