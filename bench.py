@@ -282,7 +282,7 @@ def main() -> None:
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "250000"))
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         hi_cores = lo_cores * 4
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
         # interleave levels and take the minimum per level: this shared
         # sandbox shows 2-4x run-to-run noise from host contention;
         # interleaving exposes both levels to the same conditions and min

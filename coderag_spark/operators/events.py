@@ -58,6 +58,25 @@ def sessionize(
     return events.withColumn("session_id", F.sum(boundary).over(run))
 
 
+def session_stats_native(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Same rollup via Spark's built-in ``session_window`` (the operator
+    Structured Streaming uses for gap sessions, so the identical groupBy
+    works unchanged on a stream with a watermark). Kept alongside the
+    lag/running-sum variant as a cross-validation of session semantics —
+    note the boundary difference: session_window closes a session when the
+    gap is >= gap, the lag variant when the gap is > gap."""
+    per_session = events.groupBy(
+        F.session_window(F.col("ts"), f"{gap_seconds} seconds"), "user_id"
+    ).agg(F.count("*").alias("sess_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("sess_events").cast("long").alias("n_events"),
+        F.max("sess_events").cast("long").alias("max_session_events"),
+    )
+
+
 def session_stats(
     events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
 ) -> DataFrame:

@@ -72,3 +72,13 @@ def test_knn_join_blocked(spark):
     nn = {r["id_a"]: r["id_b"] for r in out}
     # blocking: 1 and 2 only see each other; 3's best in-block is 4 (cos 0)
     assert nn == {1: 2, 2: 1, 3: 4, 4: 3}
+
+
+def test_session_window_native_agrees(spark):
+    # cross-validate the lag/running-sum sessionizer against Spark's
+    # built-in session_window on the driver events table (no exact-gap
+    # events there, so the >= vs > boundary difference cannot bite)
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in ev.session_stats(df).collect()}
+    b = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in ev.session_stats_native(df).collect()}
+    assert a == b

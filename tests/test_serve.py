@@ -77,3 +77,23 @@ def test_cluster_fanin_rank_identity(index, shard):
     for q in QUERIES:
         assert cluster.search(q, limit=10) == shard.search(q, limit=10)
     assert cluster.search("zzqqxxyy_nomatch") == []
+
+
+def test_from_store_roundtrip(index, shard, tmp_path):
+    from coderag_spark.operators.compact import build_term_postings, write_term_store
+    from coderag_spark.operators.serve import LocalShard
+
+    spark = index.postings.sparkSession
+    plists = build_term_postings(index.postings, index.dictionary, index.stats.avgdl)
+    path = str(tmp_path / "store")
+    write_term_store(plists, index.dictionary, path)
+    loaded = LocalShard.from_store(spark, path, index.stats)
+    for q in QUERIES[:3]:
+        assert loaded.search(q, limit=10) == shard.search(q, limit=10)
+
+
+def test_search_many_batch(shard):
+    outs = shard.search_many(QUERIES, limit=5)
+    assert len(outs) == len(QUERIES)
+    for q, out in zip(QUERIES, outs):
+        assert out == shard.search(q, limit=5)
