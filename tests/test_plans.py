@@ -88,3 +88,32 @@ def test_knn_join_blocked_plan_no_cartesian(spark):
     # label blocking must make it an equi-join, not a cartesian product
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_build_postings_no_shuffle(spark, corpus_df):
+    from coderag_spark.operators.chunking import chunk_corpus
+    from coderag_spark.operators.postings import build_postings, tokenize_chunks
+
+    post = build_postings(
+        tokenize_chunks(chunk_corpus(corpus_df)).select("doc_id", "token_count", "term_freqs")
+    )
+    plan = physical_plan(post)
+    # map-side term counting + explode: the postings DF adds no shuffle.
+    # (RoundRobin Exchanges from the fixture corpus's own repartition —
+    # including the copy embedded in its InMemoryRelation lineage — are
+    # not pipeline shuffles.)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_dictionary_has_partial_aggregation(spark, corpus_df):
+    from coderag_spark.operators.chunking import chunk_corpus
+    from coderag_spark.operators.postings import build_dictionary, build_postings, tokenize_chunks
+
+    post = build_postings(
+        tokenize_chunks(chunk_corpus(corpus_df)).select("doc_id", "token_count", "term_freqs")
+    )
+    plan = physical_plan(build_dictionary(post, 100))
+    # exactly one shuffle (the term groupBy), with map-side partial agg
+    # before it so hot terms arrive as one partial row per map task
+    assert plan.count("Exchange hashpartitioning(term") == 1
+    assert "partial_count" in plan
