@@ -279,7 +279,7 @@ def main() -> None:
     # Override with SPARK_GRAFT_SCALE_N / SPARK_GRAFT_SCALE_FILES.
     scaling: dict = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "250000"))
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "600000"))
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         hi_cores = lo_cores * 4
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
