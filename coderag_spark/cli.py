@@ -47,42 +47,43 @@ def _cmd_build(args) -> int:
 
 
 def _cmd_query(args) -> int:
+    from pyspark.sql import functions as F
+
     from coderag_spark import get_spark
     from coderag_spark.engine import load_index
     from coderag_spark.operators.bm25 import dedupe_query_tokens, search
-    from coderag_spark.operators.presentation import truncate_for_display
 
     spark = get_spark("coderag-query", cores=args.cores)
     idx = load_index(spark, args.index)
     if args.local:
         # serving-node mode: compact + download the shard once, score
         # in-process (ms latency), then fetch metadata for only the k hits
-        from pyspark.sql import functions as F
-
         from coderag_spark.operators.serve import LocalShard
 
         shard = LocalShard.from_index(idx)
-        hits = shard.search(args.query, limit=args.limit)
-        hits = [(d, s) for d, s in hits if s >= args.min_score]
-        meta = {
-            r["doc_id"]: r
-            for r in idx.docs.filter(
-                F.col("doc_id").isin([d for d, _ in hits])
-            ).collect()
-        }
-        rows = [
-            {**meta[d].asDict(), "score": s} for d, s in hits if d in meta
+        hits = [
+            (d, s)
+            for d, s in shard.search(args.query, limit=args.limit)
+            if s >= args.min_score
         ]
     else:
-        rows = search(
-            idx,
-            args.query,
-            limit=args.limit,
-            min_score=args.min_score,
-            file_extensions=args.file_extensions.split(",") if args.file_extensions else None,
-            path_filter=args.path_filter,
-            exclude_paths=args.exclude_paths.split(",") if args.exclude_paths else None,
-        ).collect()
+        hits = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                idx,
+                args.query,
+                limit=args.limit,
+                min_score=args.min_score,
+                file_extensions=args.file_extensions.split(",") if args.file_extensions else None,
+                path_filter=args.path_filter,
+                exclude_paths=args.exclude_paths.split(",") if args.exclude_paths else None,
+            ).collect()
+        ]
+    meta = {
+        r["doc_id"]: r.asDict()
+        for r in idx.docs.filter(F.col("doc_id").isin([d for d, _ in hits])).collect()
+    }
+    rows = [{**meta[d], "score": s} for d, s in hits if d in meta]
     out = []
     for r in rows:
         item = {
@@ -95,9 +96,54 @@ def _cmd_query(args) -> int:
         }
         out.append(item)
     print(json.dumps({"query": args.query, "terms": dedupe_query_tokens(args.query), "results": out}))
-    if args.include_content and out:
-        print(truncate_for_display("(content retrieval requires the corpus table)", 200), file=sys.stderr)
+    if args.include_content and rows:
+        _print_snippets(spark, args, rows)
     return 0
+
+
+def _print_snippets(spark, args, rows) -> None:
+    """MCP-formatter parity (packages/mcp-server/src/index.ts:275-356):
+    ``## path:start-end`` headers + fenced code snippets. Chunk content is
+    reconstructed by re-chunking the k hit files from the corpus table —
+    the index store deliberately does not duplicate content."""
+    from pyspark.sql import functions as F
+
+    from coderag_spark.operators.bm25 import dedupe_query_tokens
+    from coderag_spark.operators.chunking import chunk_file
+    from coderag_spark.operators.presentation import extract_snippet, truncate_for_display
+
+    if not args.corpus:
+        print("(--include-content needs --corpus <path> to fetch file content)", file=sys.stderr)
+        return
+    paths = list({r["path"] for r in rows})
+    files = (
+        spark.read.parquet(args.corpus)
+        .filter(F.col("path").isin(paths))
+        .select("repo", "path", "commit", "lang", "content")
+        .collect()
+    )
+    content_map = {(f["repo"], f["path"], f["commit"]): (f["content"], f["lang"]) for f in files}
+    terms = dedupe_query_tokens(args.query)
+    for r in rows:
+        key = (r["repo"], r["path"], r["commit"])
+        if key not in content_map:
+            continue
+        content, lang = content_map[key]
+        chunks = chunk_file(content, lang)
+        if r["chunk_index"] >= len(chunks):
+            continue
+        chunk = chunks[r["chunk_index"]]
+        snippet = extract_snippet(
+            chunk.content,
+            terms,
+            context_lines=args.context_lines,
+            max_chars=args.max_snippet_chars,
+            max_blocks=args.max_snippet_blocks,
+        )
+        print(f"## {r['path']}:{r['start_line']}-{r['end_line']}")
+        print(f"```{(lang or '').lower()}")
+        print(truncate_for_display(snippet, args.max_snippet_chars))
+        print("```")
 
 
 def _cmd_status(args) -> int:
@@ -133,6 +179,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--exclude-paths", default=None)
     q.add_argument("--include-content", action="store_true")
     q.add_argument("--local", action="store_true", help="serve from an in-process shard")
+    q.add_argument("--corpus", default=None, help="corpus parquet (for --include-content)")
+    q.add_argument("--context-lines", type=int, default=3)
+    q.add_argument("--max-snippet-chars", type=int, default=2000)
+    q.add_argument("--max-snippet-blocks", type=int, default=4)
 
     s = sub.add_parser("status")
     s.add_argument("--index", required=True)
