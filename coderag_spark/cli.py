@@ -32,6 +32,15 @@ def _cmd_build(args) -> int:
     idx = build_index(corpus)
     bad = verify_sha_invariant(corpus, idx.docs)
     save_index(idx, args.index)
+    if args.with_vectors:
+        # optional vector build (indexer.ts:681-684): deterministic mock
+        # provider embeds every chunk; real providers slot into the same
+        # mapInPandas shape
+        from coderag_spark.operators.chunking import chunk_corpus
+        from coderag_spark.operators.hybrid import embed_chunks
+
+        chunks = chunk_corpus(corpus).select("doc_id", "content")
+        embed_chunks(chunks).write.mode("overwrite").parquet(f"{args.index}/embeddings")
     print(
         json.dumps(
             {
@@ -55,7 +64,20 @@ def _cmd_query(args) -> int:
 
     spark = get_spark("coderag-query", cores=args.cores)
     idx = load_index(spark, args.index)
-    if args.local:
+    if args.hybrid:
+        # semanticSearch surface (mcp-server index.ts:211-228): vector knn
+        # (mock provider) fused with BM25 by max-normalized weighted sum
+        from coderag_spark.operators.hybrid import hybrid_search
+
+        emb = spark.read.parquet(f"{args.index}/embeddings")
+        hits = [
+            (r["doc_id"], r["score"])
+            for r in hybrid_search(
+                idx, emb, args.query, vector_weight=args.vector_weight, limit=args.limit
+            ).collect()
+            if r["score"] >= args.min_score
+        ]
+    elif args.local:
         # serving-node mode: compact + download the shard once, score
         # in-process (ms latency), then fetch metadata for only the k hits
         from coderag_spark.operators.serve import LocalShard
@@ -168,6 +190,7 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build")
     b.add_argument("--corpus", required=True)
     b.add_argument("--index", required=True)
+    b.add_argument("--with-vectors", action="store_true", help="embed chunks (mock provider)")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -179,6 +202,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--exclude-paths", default=None)
     q.add_argument("--include-content", action="store_true")
     q.add_argument("--local", action="store_true", help="serve from an in-process shard")
+    q.add_argument("--hybrid", action="store_true", help="vector+BM25 fusion (needs --with-vectors build)")
+    q.add_argument("--vector-weight", type=float, default=0.7)
     q.add_argument("--corpus", default=None, help="corpus parquet (for --include-content)")
     q.add_argument("--context-lines", type=int, default=3)
     q.add_argument("--max-snippet-chars", type=int, default=2000)

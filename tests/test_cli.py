@@ -1,0 +1,75 @@
+"""CLI surface: build / query (spark, local, hybrid, snippets) / status."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from coderag_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus_df, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    corpus_path = str(d / "corpus")
+    index_path = str(d / "idx")
+    corpus_df.write.mode("overwrite").parquet(corpus_path)
+    rc = main(["--cores", "4", "build", "--corpus", corpus_path, "--index", index_path,
+               "--with-vectors"])
+    assert rc == 0
+    return corpus_path, index_path
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, out
+
+
+def test_status(built, capsys):
+    _, index_path = built
+    rc, out = _run(capsys, ["--cores", "4", "status", "--index", index_path])
+    assert rc == 0
+    st = json.loads(out[-1])
+    assert st["indexed"] and st["n_docs"] > 0
+
+
+def test_query_spark_vs_local_identical(built, capsys):
+    _, index_path = built
+    base = ["--cores", "4", "query", "--index", index_path,
+            "--query", "authenticate user", "--limit", "5"]
+    rc1, out1 = _run(capsys, base)
+    rc2, out2 = _run(capsys, base + ["--local"])
+    assert rc1 == rc2 == 0
+    assert json.loads(out1[-1])["results"] == json.loads(out2[-1])["results"]
+
+
+def test_query_filters(built, capsys):
+    _, index_path = built
+    rc, out = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                            "--query", "authenticate user", "--limit", "5",
+                            "--file-extensions", ".py"])
+    assert rc == 0
+    res = json.loads(out[-1])["results"]
+    assert all(r["path"].endswith(".py") for r in res)
+
+
+def test_query_hybrid(built, capsys):
+    _, index_path = built
+    rc, out = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                            "--query", "authenticate user", "--limit", "5", "--hybrid"])
+    assert rc == 0
+    res = json.loads(out[-1])["results"]
+    assert len(res) == 5
+    assert res == sorted(res, key=lambda r: -r["score"])
+
+
+def test_query_snippets(built, capsys):
+    corpus_path, index_path = built
+    rc, out = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                            "--query", "authenticate user", "--limit", "2",
+                            "--local", "--include-content", "--corpus", corpus_path])
+    assert rc == 0
+    text = "\n".join(out)
+    assert "## " in text and "```" in text  # MCP-format snippet blocks
