@@ -80,12 +80,30 @@ def _cmd_query(args) -> int:
     elif args.local:
         # serving-node mode: compact + download the shard once, score
         # in-process (ms latency), then fetch metadata for only the k hits
+        import numpy as np
+
         from coderag_spark.operators.serve import LocalShard
 
         shard = LocalShard.from_index(idx)
+        allowed = None
+        if args.file_extensions or args.path_filter or args.exclude_paths:
+            docs = idx.docs
+            if args.file_extensions:
+                cond = F.lit(False)
+                for ext in args.file_extensions.split(","):
+                    cond = cond | F.col("path").endswith(ext)
+                docs = docs.filter(cond)
+            if args.path_filter:
+                docs = docs.filter(F.col("path").contains(args.path_filter))
+            for ex in (args.exclude_paths or "").split(","):
+                if ex:
+                    docs = docs.filter(~F.col("path").contains(ex))
+            allowed = np.array(
+                [r["doc_id"] for r in docs.select("doc_id").collect()], dtype=np.int64
+            )
         hits = [
             (d, s)
-            for d, s in shard.search(args.query, limit=args.limit)
+            for d, s in shard.search(args.query, limit=args.limit, allowed_docs=allowed)
             if s >= args.min_score
         ]
     else:

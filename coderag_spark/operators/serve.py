@@ -166,6 +166,7 @@ class LocalShard:
         limit: int = 10,
         analyzer=code_analyze,
         kernel: str = "vector",
+        allowed_docs: "np.ndarray | None" = None,
     ) -> list[tuple[int, float]]:
         """Rank-identical BM25 top-k: [(doc_id, score)], (score desc,
         doc_id asc). Same semantics as bm25.search: query tokens deduped,
@@ -181,9 +182,17 @@ class LocalShard:
         kernel='wand': the block-max WAND loop (same kernel the
         distributed path runs per shard) — kept for parity testing and for
         the long-tail-list regime.
+
+        ``allowed_docs`` (sorted int64 array of doc ids) restricts results
+        to those docs BEFORE top-k — score-safe attribute filtering (the
+        vector kernel scores every matched doc anyway, so the filter is a
+        free mask; contrast with the reference's post-candidate-cap
+        filtering, which is not score-safe — SURVEY §4).
         """
         terms = dedupe_query_tokens(query, analyzer)
         if kernel == "wand":
+            if allowed_docs is not None:
+                raise ValueError("allowed_docs requires kernel='vector'")
             lists = [tl for t in terms if (tl := self._term_list(t)) is not None]
             if not lists:
                 return []
@@ -204,6 +213,10 @@ class LocalShard:
         idx = np.flatnonzero(starts)
         uniq = d[idx]
         agg = np.add.reduceat(s, idx)
+        if allowed_docs is not None:
+            mask = np.isin(uniq, allowed_docs)
+            uniq = uniq[mask]
+            agg = agg[mask]
         k = min(limit, uniq.size)
         if k == 0:
             return []

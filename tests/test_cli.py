@@ -73,3 +73,14 @@ def test_query_snippets(built, capsys):
     assert rc == 0
     text = "\n".join(out)
     assert "## " in text and "```" in text  # MCP-format snippet blocks
+
+
+def test_query_filters_local_matches_spark(built, capsys):
+    _, index_path = built
+    base = ["--cores", "4", "query", "--index", index_path,
+            "--query", "authenticate user", "--limit", "5",
+            "--file-extensions", ".py,.ts", "--path-filter", "src/"]
+    rc1, out1 = _run(capsys, base)
+    rc2, out2 = _run(capsys, base + ["--local"])
+    assert rc1 == rc2 == 0
+    assert json.loads(out1[-1])["results"] == json.loads(out2[-1])["results"]
