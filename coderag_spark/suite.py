@@ -870,6 +870,50 @@ FROM per_session GROUP BY user_id
 """
 
 
+CAND_CAP = 20
+
+
+def q_bm25_candidate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4 caveat, oracle-verified: the reference's score-UNSAFE candidate
+    pruning (top 2·limit candidates by distinct matched-term count BEFORE
+    scoring, storage-persistent.ts:726-740) with the pinned tie-break
+    (matched desc, doc_id asc), then BM25 top-10 among the survivors."""
+    terms = query_terms(BM25_QUERY_LONG)
+    cand = (
+        _doc_postings(spark, sf_dir)
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("m"))
+        .orderBy(F.desc("m"), F.asc("doc_id"))
+        .limit(CAND_CAP)
+        .select("doc_id")
+    )
+    scored = _bm25(spark, sf_dir, terms, None)
+    return (
+        scored.join(cand, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_bm25_candidate_cap(terms: list[str]) -> str:
+    return f"""
+WITH cand AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) AS m
+    FROM (SELECT doc_id, term FROM
+          (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+          GROUP BY doc_id, term) p
+    JOIN ({_terms_sql(terms)}) USING (term)
+    GROUP BY doc_id ORDER BY m DESC, doc_id ASC LIMIT {CAND_CAP}
+  )
+),
+scored AS ({_sql_bm25(terms, 10**9)})
+SELECT s.doc_id, s.score FROM scored s JOIN cand USING (doc_id)
+ORDER BY 2 DESC, 1 ASC LIMIT 10
+"""
+
+
 # -------------------------------------------- rows-only (non-SQL) queries
 
 
@@ -932,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "emb_knn": q_emb_knn,
         "sessions": q_sessions,
+        "bm25_candidate_cap": q_bm25_candidate_cap,
         # rows-only (no SQL oracle): hash-based / stubbed-decode operators
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -969,4 +1014,5 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "emb_knn": SQL_EMB_KNN,
         "sessions": SQL_SESSIONS,
+        "bm25_candidate_cap": _sql_bm25_candidate_cap(query_terms(BM25_QUERY_LONG)),
     }

@@ -98,3 +98,67 @@ def test_chunk_file_contract(text, lang):
             assert c.start_line == 0 and c.end_line == 0
         else:
             assert 1 <= c.start_line <= c.end_line
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),  # doc_id
+                st.integers(min_value=1, max_value=9),  # tf
+                st.integers(min_value=1, max_value=200),  # dl
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "zeta"]), min_size=1, max_size=5),
+)
+@settings(max_examples=150, deadline=None)
+def test_local_vector_kernel_matches_naive_bm25(term_postings, query_terms):
+    """The serving shard's numpy kernel == a naive per-doc BM25 sum, for
+    arbitrary posting data (both kernels share only the formula)."""
+    import math
+
+    from coderag_spark.operators.compact import _block_meta, encode_postings
+    from coderag_spark.operators.serve import LocalShard, _StoredList
+
+    avgdl = 25.0
+    k1, b = 1.2, 0.75
+    lists = {}
+    idf = {}
+    clean: dict[str, dict[int, tuple[int, int]]] = {}
+    for t, posts in term_postings.items():
+        uniq = {}
+        for d, tf, dl in posts:
+            uniq[d] = (tf, dl)
+        clean[t] = uniq
+        docs = sorted(uniq)
+        tfs = [uniq[d][0] for d in docs]
+        dls = [uniq[d][1] for d in docs]
+        last, maxq = _block_meta(docs, tfs, dls, avgdl)
+        lists[t] = _StoredList(
+            payload=encode_postings(docs, tfs, dls), block_last=last, block_maxq=maxq
+        )
+        idf[t] = math.log((51 + 1) / (len(docs) + 1)) + 1
+    shard = LocalShard(lists, idf, avgdl, n_docs=51)
+
+    # naive reference
+    scores: dict[int, float] = {}
+    seen = set()
+    for t in query_terms:
+        if t in seen or t not in clean:  # query dedupe
+            continue
+        seen.add(t)
+        for d, (tf, dl) in clean[t].items():
+            s = idf[t] * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+            scores[d] = scores.get(d, 0.0) + s
+    expect = sorted(scores.items(), key=lambda e: (-e[1], e[0]))[:10]
+
+    got = shard.search(" ".join(query_terms), limit=10)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, a), (_, e) in zip(got, expect):
+        assert abs(a - e) <= 1e-9 * max(1.0, abs(e))
