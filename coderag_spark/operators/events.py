@@ -77,6 +77,40 @@ def session_stats_native(
     )
 
 
+def stream_session_counts(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    watermark: str = "1 hour",
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+):
+    """Structured Streaming sessionization: watermarked gap-session windows
+    over an append-only events directory, complete-mode counts per
+    (user_id, session). The exact batch groupBy from session_stats_native
+    — demonstrating that the same declarative plan serves both batch and
+    streaming (late events beyond the watermark are dropped, sessions
+    finalize when the watermark passes their close).
+
+    Returns the StreamingQuery writing to an in-memory sink named
+    ``sessions`` (read back via ``spark.sql("select * from sessions")``).
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    per_session = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), f"{gap_seconds} seconds"), "user_id")
+        .agg(F.count("*").alias("sess_events"))
+    )
+    return (
+        per_session.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_stats(
     events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
 ) -> DataFrame:

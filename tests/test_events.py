@@ -82,3 +82,28 @@ def test_session_window_native_agrees(spark):
     a = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in ev.session_stats(df).collect()}
     b = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in ev.session_stats_native(df).collect()}
     assert a == b
+
+
+def test_stream_session_counts(spark, tmp_path):
+    import shutil
+
+    # stream the driver events table through the watermarked session
+    # window and compare per-user session/event totals with the batch path
+    src = str(tmp_path / "events_src")
+    shutil.copytree("/root/testdata/sf0.001", src, ignore=shutil.ignore_patterns("*"))
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/events.parquet")
+    q = ev.stream_session_counts(spark, src, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            "select user_id, count(*) as n_sessions, sum(sess_events) as n_events "
+            "from sessions group by user_id"
+        ).collect()
+    }
+    batch_df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in ev.session_stats_native(batch_df).collect()
+    }
+    assert got == want

@@ -1,0 +1,33 @@
+"""Package coderag_spark for `spark-submit --py-files`.
+
+Usage:
+    python tools/make_pyfiles.py [out.zip]
+    spark-submit --py-files coderag_spark.zip your_job.py
+
+Produces a zip with the package at the archive root (importable on every
+executor's PYTHONPATH), excluding caches.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+
+def make_zip(out: str = "coderag_spark.zip") -> str:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "coderag_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for base, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(base, f)
+                    z.write(full, os.path.relpath(full, root))
+    return out
+
+
+if __name__ == "__main__":
+    out = make_zip(sys.argv[1] if len(sys.argv) > 1 else "coderag_spark.zip")
+    print(out)
