@@ -40,17 +40,17 @@ def sessionize(
     the previous event exceeds ``gap_seconds``.
 
     Classic lag -> boundary flag -> running-sum pattern (two stacked
-    windows over the same partitioning — one shuffle). Timestamp deltas are
-    compared in integer microseconds (``unix_micros``) so the result is
-    bit-exact across engines. Output: one row per event with session_id.
+    windows over the same partitioning — one shuffle). The gap is computed
+    as a day-time interval directly on the (NTZ) timestamps — no epoch
+    conversion, so the result is independent of the session timezone (an
+    epoch-based delta would shift across a DST transition of whatever tz
+    the calling session happens to run under).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet timestamps arrive as TIMESTAMP_NTZ; the session timezone is
-    # pinned to UTC (session.py) so this cast is an exact reinterpretation
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev = F.lag(us).over(w)
+    prev = F.lag(F.col("ts")).over(w)
+    gap = F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(float(gap_seconds)))
     boundary = F.when(
-        prev.isNull() | ((us - prev) > gap_seconds * 1_000_000), F.lit(1)
+        prev.isNull() | ((F.col("ts") - prev) > gap), F.lit(1)
     ).otherwise(F.lit(0))
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
