@@ -206,8 +206,18 @@ def build_term_postings(
     n_salts: int = 16,
 ) -> DataFrame:
     """postings (doc_id, term, raw_freq, token_count) -> compressed
-    per-term posting lists via the two-phase salted shuffle."""
+    per-term posting lists via the two-phase salted shuffle.
+
+    When NO term exceeds ``hot_threshold`` the salt column is constant, so
+    phase 2 would re-shuffle every already-final blob just to short-circuit
+    per group — skip it entirely (one shuffle + one applyInPandas saved)."""
     hot_terms = dictionary.filter(F.col("df") > hot_threshold).select("term")
+    if not hot_terms.head(1):
+
+        def enc_plain(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _encode_group(pdf, avgdl)
+
+        return postings.groupBy("term").applyInPandas(enc_plain, schema=PLIST_SCHEMA)
     with_salt = postings.join(F.broadcast(hot_terms.withColumn("_hot", F.lit(True))), "term", "left")
     with_salt = with_salt.withColumn(
         "salt",

@@ -67,11 +67,16 @@ def _tokdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, toks), tokenized once and persisted per (session, sf_dir)."""
     key = (id(spark), sf_dir)
     if key not in _TOK_CACHE:
-        _TOK_CACHE[key] = (
+        df = (
             _documents(spark, sf_dir)
             .select("doc_id", simple_tokens_col(F.col("text")).alias("toks"))
             .persist()
         )
+        # materialize NOW: several consumers (broadcast stats subplans,
+        # postings, dl join) would otherwise race to compute the uncached
+        # plan concurrently inside one job, tokenizing repeatedly
+        df.count()
+        _TOK_CACHE[key] = df
     return _TOK_CACHE[key]
 
 
@@ -173,27 +178,35 @@ FROM documents
 
 
 def _bm25(spark: SparkSession, sf_dir: str, terms: list[str], k: int, min_score: float = 0.0) -> DataFrame:
+    """Stats (N, avgdl) ride along as a broadcast 1-row cross-join instead
+    of a separate collect — the whole query is ONE Spark job (one fewer
+    scheduling round per query; same math to the last ulp)."""
     tok = _tokdocs(spark, sf_dir)
-    srow = tok.agg(
-        F.count("*").alias("n"), F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = srow["n"], float(srow["avgdl"])
+    stats = tok.agg(
+        F.count("*").alias("n_docs"),
+        F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl"),
+    )
     post = _doc_postings(spark, sf_dir).filter(F.col("term").isin(terms))
     idf = (
         post.groupBy("term")
         .agg(F.count("*").alias("df"))
-        .select("term", (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
     )
     dl = tok.select("doc_id", F.size("toks").alias("token_count"))
     per_term = F.col("idf") * (
         F.col("raw_freq") * (BM25_K1 + 1.0)
     ) / (
         F.col("raw_freq")
-        + BM25_K1 * (1.0 - BM25_B + (BM25_B * F.col("token_count")) / F.lit(avgdl))
+        + BM25_K1 * (1.0 - BM25_B + (BM25_B * F.col("token_count")) / F.col("avgdl"))
     )
     scored = (
         post.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
         .groupBy("doc_id")
         .agg(F.round(F.sum(per_term), 6).alias("score"))
     )
