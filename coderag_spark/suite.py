@@ -46,7 +46,7 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table, persisted once per (session, sf_dir): the suite's
     queries are run back-to-back in one session, and every one of them
     starts from this scan."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _DOC_CACHE:
         _DOC_CACHE[key] = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
     return _DOC_CACHE[key]
@@ -65,7 +65,7 @@ _TOK_CACHE: dict = {}
 
 def _tokdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, toks), tokenized once and persisted per (session, sf_dir)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TOK_CACHE:
         df = (
             _documents(spark, sf_dir)
