@@ -113,6 +113,47 @@ def load_index(spark: SparkSession, path: str) -> Index:
     )
 
 
+def save_index_bucketed(index: Index, name: str, n_buckets: int = 32) -> None:
+    """Persist postings + docs as Hive-bucketed tables co-located on
+    doc_id (``bucketBy`` + ``sortBy``).
+
+    With both sides bucketed identically, the entire scoring pipeline —
+    ``groupBy(doc_id)`` on postings AND the final ``scores ⋈ docs`` join —
+    runs with ZERO exchanges: each task reads one bucket of each table and
+    never shuffles (pinned by tests/test_plans.py). This is the co-located
+    join layout a 100 TB deployment uses for every doc-keyed operation;
+    the term-hash-partitioned store (save_index / write_term_store) is the
+    complementary layout for term-keyed posting fetches.
+    """
+    (
+        index.postings.write.bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .mode("overwrite")
+        .saveAsTable(f"{name}_postings")
+    )
+    (
+        index.docs.write.bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .mode("overwrite")
+        .saveAsTable(f"{name}_docs")
+    )
+    index.dictionary.write.mode("overwrite").saveAsTable(f"{name}_dictionary")
+
+
+def load_index_bucketed(spark: SparkSession, name: str) -> Index:
+    docs = spark.table(f"{name}_docs")
+    srow = docs.agg(
+        F.count("*").alias("n"),
+        F.greatest(F.avg(F.coalesce("token_count", F.lit(0))), F.lit(1.0)).alias("avgdl"),
+    ).collect()[0]
+    return Index(
+        postings=spark.table(f"{name}_postings"),
+        dictionary=spark.table(f"{name}_dictionary"),
+        docs=docs,
+        stats=BuildStats(n_docs=srow["n"], avgdl=float(srow["avgdl"])),
+    )
+
+
 def index_exists(path: str) -> bool:
     return os.path.exists(f"{path}/stats.json")
 

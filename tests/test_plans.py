@@ -117,3 +117,24 @@ def test_dictionary_has_partial_aggregation(spark, corpus_df):
     # before it so hot terms arrive as one partial row per map task
     assert plan.count("Exchange hashpartitioning(term") == 1
     assert "partial_count" in plan
+
+
+def test_bucketed_index_scoring_is_shuffle_free(spark, index):
+    """Co-located bucketed layout: groupBy(doc_id) + scores⋈docs with no
+    exchange — each task reads one bucket of each table."""
+    from coderag_spark.engine import load_index_bucketed, save_index_bucketed
+    from coderag_spark.operators.bm25 import search
+
+    save_index_bucketed(index, "covtest", n_buckets=8)
+    try:
+        bidx = load_index_bucketed(spark, "covtest")
+        df = search(bidx, "authenticate user", limit=10)
+        plan = physical_plan(df)
+        # broadcast exchanges (idf dict) are fine; no doc_id re-shuffle
+        assert "Exchange hashpartitioning(doc_id" not in plan
+        rows = df.collect()
+        ref = search(index, "authenticate user", limit=10).collect()
+        assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in ref]
+    finally:
+        for t in ["covtest_postings", "covtest_docs", "covtest_dictionary"]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
