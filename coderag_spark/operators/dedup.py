@@ -23,6 +23,10 @@ All distance math is built-in column expressions; nothing leaves the JVM.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -42,18 +46,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def token_ngrams(tokens: Column, n: int = 3) -> Column:
     """Distinct token n-grams (space-joined) from a token array column.
 
-    Guarded: fewer than n tokens -> empty array (F.sequence(1, 0) would
-    otherwise produce a DESCENDING [1, 0] sequence and out-of-bounds
-    element_at).
+    Built by zipping n shifted slices of the array (``zip_with(slice(t,1),
+    slice(t,2), concat)`` …) instead of ``transform(indexes,
+    element_at(t, i+j))``: a lambda body referencing the OUTER expression
+    re-evaluates it per element, so when ``tokens`` is an unmaterialized
+    split expression the transform form re-tokenizes the whole text once
+    per gram index — O(tokens²) regex work (measured 60x slowdown).
+    Slices reference the tokens expression once per row per offset.
+
+    Guarded: fewer than n tokens -> empty array.
     """
-    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + j) for j in range(n)]
-    )
+    sz = F.size(tokens)
+    cnt = F.greatest(sz - (n - 1), F.lit(0))
+    grams = F.slice(tokens, F.lit(1), cnt)
+    for j in range(1, n):
+        shifted = F.slice(tokens, F.lit(1 + j), cnt)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     empty = F.array().cast(T.ArrayType(T.StringType()))
-    return F.when(
-        F.size(tokens) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(empty)
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(empty)
 
 
 def ngram_jaccard_pairs(
@@ -71,8 +81,11 @@ def ngram_jaccard_pairs(
     drops ultra-hot shingles before the join (skew guard: a shingle shared
     by m docs contributes m^2 candidate pairs).
     """
-    toks = simple_tokens_col(F.col(text_col))
-    docs = df.select(F.col(id_col).alias("doc"), token_ngrams(toks, n).alias("grams"))
+    # two-step select: see minhash_signatures — the grams transform must
+    # consume a materialized column, not the raw split expression
+    docs = df.select(
+        F.col(id_col).alias("doc"), simple_tokens_col(F.col(text_col)).alias("_toks")
+    ).select("doc", token_ngrams(F.col("_toks"), n).alias("grams"))
     sizes = docs.select("doc", F.size("grams").alias("n_grams")).filter(F.col("n_grams") > 0)
     shingles = docs.select("doc", F.explode("grams").alias("gram"))
     if max_shingle_df:
@@ -108,20 +121,55 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc_id, sig array<long>) — sig[i] = min over shingles of
-    xxhash64(shingle, i). One explode + one groupBy with num_hashes min()
-    aggregates (single shuffle, map-side combined)."""
-    toks = simple_tokens_col(F.col(text_col))
-    grams = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(token_ngrams(toks, shingle_n)).alias("gram")
+    """(doc_id, sig array<long>) — sig[i] = min over shingles of h_i,
+    where h_i is a multiply-shift transform of a 64-bit blake2b base hash
+    (the standard one-base-hash + k-affine-transforms MinHash family).
+
+    Shape: ONE map-side Arrow pass, zero shuffle. The previous form —
+    groupBy with ``num_hashes`` separate ``min(xxhash64(gram, i))``
+    aggregates — blew past the whole-stage-codegen method limit and fell
+    back to interpreted evaluation (~12 s at 5k docs); here the per-batch
+    work is a memoized base hash per DISTINCT shingle (Zipfian reuse)
+    plus one vectorized (n_grams x k) min, and docs never leave their
+    input partition.
+    """
+    rng = np.random.RandomState(42)
+    # odd multipliers + offsets for multiply-shift over uint64 (mod 2^64)
+    A = (rng.randint(1, 2**62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.randint(1, 2**62, size=num_hashes).astype(np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(grams: pd.Series) -> pd.Series:
+        base_cache: dict[str, np.uint64] = {}
+
+        def base(g: str) -> np.uint64:
+            h = base_cache.get(g)
+            if h is None:
+                h = np.uint64(
+                    int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+                )
+                base_cache[g] = h
+            return h
+
+        out = []
+        for row in grams:
+            bases = np.array([base(g) for g in row], dtype=np.uint64)
+            # (n_grams x k) multiply-shift, column-wise min
+            sig = (bases[:, None] * A[None, :] + B[None, :]).min(axis=0)
+            out.append(sig.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    # materialize the token array BEFORE building grams: the transform
+    # lambda inlines its input expression per element, so passing the raw
+    # split expression would re-tokenize the whole text once per gram
+    # index (O(tokens^2) regex work)
+    with_toks = df.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("_toks")
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = grams.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    with_grams = with_toks.select(
+        "doc_id", token_ngrams(F.col("_toks"), shingle_n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    return with_grams.select("doc_id", sig_udf(F.col("grams")).alias("sig"))
 
 
 def minhash_lsh_pairs(
