@@ -883,6 +883,55 @@ FROM per_session GROUP BY user_id
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (hour, event_type) -> (hour) -> grand total,
+    with grouping_id distinguishing the levels — the grouping-sets
+    capability a telemetry pipeline needs around the index jobs."""
+    return (
+        _events(spark, sf_dir)
+        .rollup(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value,
+       (grouping(date_trunc('hour', ts)) * 2 + grouping(event_type))::BIGINT AS gid
+FROM events GROUP BY ROLLUP (date_trunc('hour', ts), event_type)
+"""
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (data
+    profiling op). Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition, so values match exactly."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("qs"))
+        .select(
+            "event_type",
+            F.round(F.element_at("qs", 1), 6).alias("p50"),
+            F.round(F.element_at("qs", 2), 6).alias("p95"),
+            F.round(F.element_at("qs", 3), 6).alias("p99"),
+        )
+    )
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 CAND_CAP = 20
 
 
@@ -990,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn": q_emb_knn,
         "sessions": q_sessions,
         "bm25_candidate_cap": q_bm25_candidate_cap,
+        "events_rollup": q_events_rollup,
+        "events_quantiles": q_events_quantiles,
         # rows-only (no SQL oracle): hash-based / stubbed-decode operators
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1028,4 +1079,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn": SQL_EMB_KNN,
         "sessions": SQL_SESSIONS,
         "bm25_candidate_cap": _sql_bm25_candidate_cap(query_terms(BM25_QUERY_LONG)),
+        "events_rollup": SQL_EVENTS_ROLLUP,
+        "events_quantiles": SQL_EVENTS_QUANTILES,
     }

@@ -37,6 +37,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in cols:
         if out[c].dtype.kind == "f":
             out[c] = out[c].round(6)
+        elif out[c].dtype.kind == "M":
+            # Spark yields datetime64[ns], DuckDB datetime64[us]; unify the
+            # precision so assert_frame_equal compares instants, not ints
+            out[c] = out[c].astype("datetime64[us]")
     out = out.sort_values(by=cols, na_position="last").reset_index(drop=True)
     return out
 
