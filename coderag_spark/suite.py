@@ -932,6 +932,77 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------- relational analytics (TPC-H-ish)
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary per (returnflag, linestatus) with a
+    shipdate predicate pushed to the parquet scan — sums/avgs stay inside
+    whole-stage codegen, one partial-aggregated shuffle. Money sums are
+    rounded at 2 decimals on both sides: at ~1e7 magnitude a 6-decimal
+    round sits within accumulation-order float error."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: lineitem ⋈ orders ⋈ customer ⋈ nation,
+    revenue per nation, top-10. The dims (customer/nation) broadcast; the
+    fact-side join keys carry the only shuffles."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    nation = _tbl(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("nation")).limit(10)
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY 2 DESC, 1 ASC LIMIT 10
+"""
+
+
 CAND_CAP = 20
 
 
@@ -1041,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_candidate_cap": q_bm25_candidate_cap,
         "events_rollup": q_events_rollup,
         "events_quantiles": q_events_quantiles,
+        "pricing_summary": q_pricing_summary,
+        "nation_revenue": q_nation_revenue,
         # rows-only (no SQL oracle): hash-based / stubbed-decode operators
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1081,4 +1154,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_candidate_cap": _sql_bm25_candidate_cap(query_terms(BM25_QUERY_LONG)),
         "events_rollup": SQL_EVENTS_ROLLUP,
         "events_quantiles": SQL_EVENTS_QUANTILES,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "nation_revenue": SQL_NATION_REVENUE,
     }
