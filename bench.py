@@ -63,6 +63,10 @@ SUITE_BENCH = [
     "topk_per_group",
     "emb_knn",
     "sessions",
+    "events_rollup",
+    "events_quantiles",
+    "pricing_summary",
+    "nation_revenue",
 ]
 
 
