@@ -56,8 +56,16 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_EVENTS_CACHE: dict = {}
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    """events table, persisted once per (session, sf_dir) — four suite
+    queries (hourly, rollup, quantiles, sessions) start from this scan."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EVENTS_CACHE:
+        _EVENTS_CACHE[key] = spark.read.parquet(f"{sf_dir}/events.parquet").persist()
+    return _EVENTS_CACHE[key]
 
 
 _TOK_CACHE: dict = {}
