@@ -66,41 +66,38 @@ def _cmd_query(args) -> int:
     idx = load_index(spark, args.index)
     if args.hybrid:
         # semanticSearch surface (mcp-server index.ts:211-228): vector knn
-        # (mock provider) fused with BM25 by max-normalized weighted sum
+        # (mock provider) fused with BM25 by max-normalized weighted sum;
+        # attribute filters apply to the fused set (same flags as the
+        # keyword paths)
         from coderag_spark.operators.hybrid import hybrid_search
 
         emb = spark.read.parquet(f"{args.index}/embeddings")
         hits = [
             (r["doc_id"], r["score"])
             for r in hybrid_search(
-                idx, emb, args.query, vector_weight=args.vector_weight, limit=args.limit
+                idx,
+                emb,
+                args.query,
+                vector_weight=args.vector_weight,
+                limit=args.limit,
+                file_extensions=args.file_extensions.split(",") if args.file_extensions else None,
+                path_filter=args.path_filter,
+                exclude_paths=args.exclude_paths.split(",") if args.exclude_paths else None,
             ).collect()
             if r["score"] >= args.min_score
         ]
     elif args.local:
-        # serving-node mode: compact + download the shard once, score
-        # in-process (ms latency), then fetch metadata for only the k hits
-        import numpy as np
-
+        # serving-node mode: compact + download the shard (with its doc
+        # attribute table) once; scoring AND attribute filtering run
+        # in-process — zero Spark jobs per query
         from coderag_spark.operators.serve import LocalShard
 
-        shard = LocalShard.from_index(idx)
-        allowed = None
-        if args.file_extensions or args.path_filter or args.exclude_paths:
-            docs = idx.docs
-            if args.file_extensions:
-                cond = F.lit(False)
-                for ext in args.file_extensions.split(","):
-                    cond = cond | F.col("path").endswith(ext)
-                docs = docs.filter(cond)
-            if args.path_filter:
-                docs = docs.filter(F.col("path").contains(args.path_filter))
-            for ex in (args.exclude_paths or "").split(","):
-                if ex:
-                    docs = docs.filter(~F.col("path").contains(ex))
-            allowed = np.array(
-                [r["doc_id"] for r in docs.select("doc_id").collect()], dtype=np.int64
-            )
+        shard = LocalShard.from_index(idx, with_docs=True)
+        allowed = shard.allowed_docs(
+            file_extensions=args.file_extensions.split(",") if args.file_extensions else None,
+            path_filter=args.path_filter,
+            exclude_paths=[e for e in (args.exclude_paths or "").split(",") if e],
+        )
         hits = [
             (d, s)
             for d, s in shard.search(args.query, limit=args.limit, allowed_docs=allowed)
@@ -119,10 +116,14 @@ def _cmd_query(args) -> int:
                 exclude_paths=args.exclude_paths.split(",") if args.exclude_paths else None,
             ).collect()
         ]
-    meta = {
-        r["doc_id"]: r.asDict()
-        for r in idx.docs.filter(F.col("doc_id").isin([d for d, _ in hits])).collect()
-    }
+    if args.local:
+        # metadata comes from the shard's in-process doc table — no job
+        meta = {d: info for d, _ in hits if (info := shard.doc_info(d)) is not None}
+    else:
+        meta = {
+            r["doc_id"]: r.asDict()
+            for r in idx.docs.filter(F.col("doc_id").isin([d for d, _ in hits])).collect()
+        }
     rows = [{**meta[d], "score": s} for d, s in hits if d in meta]
     out = []
     for r in rows:

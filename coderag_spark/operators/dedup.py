@@ -72,21 +72,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
 
     Shape: explode distinct shingles -> self-join on shingle (the blocking
     key) -> count shared -> |A∪B| = |A|+|B|-shared. ``max_shingle_df``
     drops ultra-hot shingles before the join (skew guard: a shingle shared
-    by m docs contributes m^2 candidate pairs).
+    by m docs contributes m^2 candidate pairs). The guard is ON by default
+    (1000): an unguarded hot shingle turns the self-join quadratic in
+    corpus size, the classic dedup-at-scale failure. Pass ``None`` for
+    exact semantics on corpora known to have no hot shingles. NOTE the
+    guard changes results for pairs whose overlap includes dropped
+    shingles: dropped grams leave both the intersection AND each doc's
+    gram count (consistent jaccard over the surviving shingle space).
+    ``log_dropped=True`` eagerly counts and logs the dropped shingles
+    (one extra aggregation job).
     """
     # two-step select: see minhash_signatures — the grams transform must
     # consume a materialized column, not the raw split expression
     docs = df.select(
         F.col(id_col).alias("doc"), simple_tokens_col(F.col(text_col)).alias("_toks")
     ).select("doc", token_ngrams(F.col("_toks"), n).alias("grams"))
-    sizes = docs.select("doc", F.size("grams").alias("n_grams")).filter(F.col("n_grams") > 0)
     shingles = docs.select("doc", F.explode("grams").alias("gram"))
     if max_shingle_df:
         hot = (
@@ -95,7 +103,23 @@ def ngram_jaccard_pairs(
             .filter(F.col("g_df") > max_shingle_df)
             .select("gram")
         )
+        if log_dropped:
+            import logging
+
+            dropped = hot.count()
+            if dropped:
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: dropping %d shingles with df > %d",
+                    dropped, max_shingle_df,
+                )
         shingles = shingles.join(F.broadcast(hot), "gram", "left_anti")
+        # per-doc gram counts over the SURVIVING shingle space, so dropped
+        # grams leave both the intersection and the union consistently
+        sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_grams"))
+    else:
+        sizes = docs.select("doc", F.size("grams").alias("n_grams")).filter(
+            F.col("n_grams") > 0
+        )
     a = shingles.alias("a")
     b = shingles.alias("b")
     shared = (
@@ -133,6 +157,11 @@ def minhash_signatures(
     plus one vectorized (n_grams x k) min, and docs never leave their
     input partition.
     """
+    return _sig_from_grams(doc_grams(df, text_col, id_col, shingle_n), num_hashes)
+
+
+def _sig_from_grams(with_grams: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc_id, sig) from a (doc_id, grams) frame — see minhash_signatures."""
     rng = np.random.RandomState(42)
     # odd multipliers + offsets for multiply-shift over uint64 (mod 2^64)
     A = (rng.randint(1, 2**62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
@@ -159,17 +188,25 @@ def minhash_signatures(
             out.append(sig.astype(np.int64).tolist())
         return pd.Series(out)
 
-    # materialize the token array BEFORE building grams: the transform
-    # lambda inlines its input expression per element, so passing the raw
-    # split expression would re-tokenize the whole text once per gram
-    # index (O(tokens^2) regex work)
+    return with_grams.select("doc_id", sig_udf(F.col("grams")).alias("sig"))
+
+
+def doc_grams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, grams array<string>) — distinct token shingles per doc.
+
+    The token array is materialized BEFORE building grams: the transform
+    lambda inlines its input expression per element, so passing the raw
+    split expression would re-tokenize the whole text once per gram index
+    (O(tokens^2) regex work). Docs with no grams are dropped.
+    """
     with_toks = df.select(
         F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("_toks")
     )
-    with_grams = with_toks.select(
+    return with_toks.select(
         "doc_id", token_ngrams(F.col("_toks"), shingle_n).alias("grams")
     ).filter(F.size("grams") > 0)
-    return with_grams.select("doc_id", sig_udf(F.col("grams")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -181,18 +218,34 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    rescore: str = "signature",
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded LSH over MinHash signatures,
-    scored by signature-estimated Jaccard (fraction of agreeing hashes).
+    """Near-dup candidate pairs via banded LSH over MinHash signatures.
 
     rows_per_band = num_hashes / bands; docs collide iff one full band
     matches — the standard S-curve selectivity. The band bucket is the
     blocking key of the self-join, so the join never goes quadratic
     globally; hot buckets are bounded by band-hash collisions only.
+
+    ``rescore`` picks the scoring pass over the candidate pairs:
+      * "signature" — estimated Jaccard = fraction of agreeing minhashes
+        (cheapest; output column ``est_jaccard``);
+      * "exact" — true shingle-set Jaccard via array_intersect/array_union
+        on the per-doc gram arrays (output column ``jaccard``). Still
+        sub-quadratic: the exact math runs only on LSH candidates. With
+        bands sized so P(collide | j >= threshold) ~ 1 (e.g. 64 hashes /
+        32 bands -> r=2: miss probability (1-t^2)^32 < 1e-14 at t=0.8),
+        output == the full quadratic exact-Jaccard pairs — which is what
+        makes this variant oracle-checkable against plain SQL.
     """
     assert num_hashes % bands == 0
     rows_per = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+    grams = None
+    if rescore == "exact":
+        grams = doc_grams(df, text_col, id_col, shingle_n).persist()
+        sig = _sig_from_grams(grams, num_hashes).persist()
+    else:
+        sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
     band_cols = [
         F.xxhash64(F.concat_ws("_", *[F.element_at("sig", b * rows_per + r + 1).cast("string") for r in range(rows_per)]), F.lit(b)).alias("bucket")
         for b in range(bands)
@@ -224,6 +277,20 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    if rescore == "exact":
+        ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+        gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
+        exact = (
+            cand.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.size(F.array_union("g_a", "g_b")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= F.lit(threshold))
+        )
+        return exact.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (

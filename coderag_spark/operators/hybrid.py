@@ -67,6 +67,9 @@ def hybrid_search(
     knn_k: int | None = None,
     dimensions: int = 64,
     analyzer=None,
+    file_extensions: list[str] | None = None,
+    path_filter: str | None = None,
+    exclude_paths: list[str] | None = None,
 ) -> DataFrame:
     """Weighted fusion of vector knn and BM25 top-k (hybrid-search.ts:169-263).
 
@@ -74,6 +77,15 @@ def hybrid_search(
     vector side when filtered, vector-storage.ts:249, and limit*3 for
     keyword candidates, indexer.ts:1298), are max-normalized, then merged
     full-outer on doc_id with coalesce-weighted scores.
+
+    ONE Spark job: the max-normalization scalars ride along as broadcast
+    1-row cross-joins instead of two driver-side ``.collect()`` round
+    trips (each of which was a full extra job over the candidate subplans).
+
+    Attribute filters (extension / path include / path exclude — same
+    semantics as bm25.search) are applied to the fused candidate set
+    BEFORE the final limit; the 3x over-fetch on both sides is the
+    reference's own mitigation for filter-induced candidate loss.
     """
     from coderag_spark.functions.tokenize import code_analyze
     from coderag_spark.operators.bm25 import search
@@ -94,15 +106,18 @@ def hybrid_search(
     )
 
     # max-normalization scalars (max(..., 0.01) per hybrid-search.ts:177-178)
-    vmax = max((vec.agg(F.max("similarity")).collect()[0][0] or 0.0), 0.01)
-    kmax = max((kw.agg(F.max("kw_score")).collect()[0][0] or 0.0), 0.01)
+    vmax = vec.agg(F.greatest(F.max("similarity"), F.lit(0.01)).alias("_vmax"))
+    kmax = kw.agg(F.greatest(F.max("kw_score"), F.lit(0.01)).alias("_kmax"))
 
     fused = (
         vec.join(kw, "doc_id", "full_outer")
+        .crossJoin(F.broadcast(vmax))
+        .crossJoin(F.broadcast(kmax))
         .withColumn(
             "score",
-            F.coalesce(F.col("similarity") / F.lit(vmax), F.lit(0.0)) * F.lit(vector_weight)
-            + F.coalesce(F.col("kw_score") / F.lit(kmax), F.lit(0.0)) * F.lit(1.0 - vector_weight),
+            F.coalesce(F.col("similarity") / F.col("_vmax"), F.lit(0.0)) * F.lit(vector_weight)
+            + F.coalesce(F.col("kw_score") / F.col("_kmax"), F.lit(0.0))
+            * F.lit(1.0 - vector_weight),
         )
         .withColumn(
             "method",
@@ -110,10 +125,17 @@ def hybrid_search(
             .when(F.col("similarity").isNotNull(), F.lit("vector"))
             .otherwise(F.lit("tfidf")),
         )
+        .drop("_vmax", "_kmax")
     )
-    out = fused.join(
-        index.docs.select("doc_id", "repo", "path", "start_line", "end_line", "lang"),
-        "doc_id",
-        "inner",
-    )
+    docs = index.docs.select("doc_id", "repo", "path", "start_line", "end_line", "lang")
+    if file_extensions:
+        cond = F.lit(False)
+        for ext in file_extensions:
+            cond = cond | F.col("path").endswith(ext)
+        docs = docs.filter(cond)
+    if path_filter:
+        docs = docs.filter(F.col("path").contains(path_filter))
+    for ex in exclude_paths or []:
+        docs = docs.filter(~F.col("path").contains(ex))
+    out = fused.join(docs, "doc_id", "inner")
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)

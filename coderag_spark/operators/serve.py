@@ -62,7 +62,15 @@ class _StoredList:
 
 
 class LocalShard:
-    """One serving node's in-memory shard of the compacted index."""
+    """One serving node's in-memory shard of the compacted index.
+
+    ``docs_meta`` (optional, ``from_index(..., with_docs=True)``) is the
+    per-doc attribute table (path, lang, line ranges) a serving node holds
+    alongside its postings — attribute filters and result formatting then
+    run in-process with zero Spark jobs per query (the reference's serving
+    node equally holds chunk metadata next to the index,
+    packages/core/src/storage-persistent.ts chunk rows).
+    """
 
     def __init__(
         self,
@@ -70,11 +78,13 @@ class LocalShard:
         idf: dict[str, float],
         avgdl: float,
         n_docs: int,
+        docs_meta=None,
     ):
         self.lists = lists
         self.idf = idf
         self.avgdl = avgdl
         self.n_docs = n_docs
+        self.docs_meta = docs_meta  # pandas DataFrame indexed by doc_id, or None
 
     # ------------------------------------------------------------ build
 
@@ -84,6 +94,7 @@ class LocalShard:
         index: Index,
         max_bytes: int = 1 << 30,
         hot_threshold: int = 100_000,
+        with_docs: bool = False,
     ) -> "LocalShard":
         """Collect the compressed store built by the Spark compaction job.
 
@@ -92,22 +103,74 @@ class LocalShard:
         """
         plists = build_term_postings(
             index.postings, index.dictionary, index.stats.avgdl, hot_threshold=hot_threshold
-        )
-        total = plists.agg(F.sum(F.length("payload")).alias("b")).collect()[0]["b"] or 0
-        if total > max_bytes:
-            raise MemoryError(
-                f"shard payload {total}B exceeds max_bytes={max_bytes}; "
-                "use more doc-shards (compact.build_doc_sharded) instead"
-            )
+        ).persist()
+        try:
+            total = plists.agg(F.sum(F.length("payload")).alias("b")).collect()[0]["b"] or 0
+            if total > max_bytes:
+                raise MemoryError(
+                    f"shard payload {total}B exceeds max_bytes={max_bytes}; "
+                    "use more doc-shards (compact.build_doc_sharded) instead"
+                )
+            rows = plists.collect()
+        finally:
+            plists.unpersist()
         lists: dict[str, _StoredList] = {}
-        for r in plists.collect():
+        for r in rows:
             lists[r["term"]] = _StoredList(
                 payload=bytes(r["payload"]),
                 block_last=list(r["block_last_doc"]),
                 block_maxq=list(r["block_max_quota"]),
             )
         idf = {r["term"]: float(r["idf"]) for r in index.dictionary.collect()}
-        return cls(lists, idf, index.stats.avgdl, index.stats.n_docs)
+        docs_meta = None
+        if with_docs:
+            import pandas as pd
+
+            meta_cols = [
+                c
+                for c in ("doc_id", "repo", "path", "commit", "lang",
+                          "chunk_index", "start_line", "end_line")
+                if c in index.docs.columns
+            ]
+            docs_meta = (
+                index.docs.select(*meta_cols).toPandas().set_index("doc_id", drop=False)
+            )
+        return cls(lists, idf, index.stats.avgdl, index.stats.n_docs, docs_meta)
+
+    # ---------------------------------------------------- attribute filters
+
+    def allowed_docs(
+        self,
+        file_extensions: list[str] | None = None,
+        path_filter: str | None = None,
+        exclude_paths: list[str] | None = None,
+    ) -> "np.ndarray | None":
+        """Sorted int64 doc-id array passing the attribute filters, computed
+        in-process from ``docs_meta`` (no Spark job). None == no filtering.
+        Requires ``from_index(..., with_docs=True)``."""
+        if not (file_extensions or path_filter or exclude_paths):
+            return None
+        if self.docs_meta is None:
+            raise ValueError("attribute filters need from_index(with_docs=True)")
+        paths = self.docs_meta["path"].astype(str)
+        mask = np.ones(len(paths), dtype=bool)
+        if file_extensions:
+            ext_mask = np.zeros(len(paths), dtype=bool)
+            for ext in file_extensions:
+                ext_mask |= paths.str.endswith(ext).to_numpy()
+            mask &= ext_mask
+        if path_filter:
+            mask &= paths.str.contains(path_filter, regex=False).to_numpy()
+        for ex in exclude_paths or []:
+            mask &= ~paths.str.contains(ex, regex=False).to_numpy()
+        return np.sort(self.docs_meta["doc_id"].to_numpy(dtype=np.int64)[mask])
+
+    def doc_info(self, doc_id: int) -> dict | None:
+        if self.docs_meta is None or doc_id not in self.docs_meta.index:
+            return None
+        row = self.docs_meta.loc[doc_id].to_dict()
+        # numpy scalars -> native python (JSON-serializable)
+        return {k: (v.item() if hasattr(v, "item") else v) for k, v in row.items()}
 
     @classmethod
     def from_store(cls, spark, path: str, stats) -> "LocalShard":

@@ -72,4 +72,4 @@ def test_every_query_has_entry_or_rows_only():
 def test_entry_runs(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0 and len(df.columns) >= 2
+    assert len(rows) > 0 and len(df.columns) >= 2
