@@ -40,15 +40,13 @@ REF_QUERIES = [
     "database query config",
 ]
 
-# ngram_jaccard is excluded: on the tiny-vocabulary synthetic documents
-# table the exact pairwise output is inherently quadratic (every doc is a
-# near-dup of every other); it stays in the sf0.01 correctness gate.
 SUITE_BENCH = [
     "bm25_topk",
     "bm25_long",
     "dictionary",
     "corpus_stats",
     "dedup_exact",
+    "ngram_jaccard",
     "minhash_lsh",
     "simhash",
     "ann_cosine_topk",

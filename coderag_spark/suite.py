@@ -379,14 +379,22 @@ FROM documents GROUP BY 1
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(_documents(spark, sf_dir), n=2, threshold=0.2)
+    """Exact shingle-blocked Jaccard pairs. Trigram shingles (not bigram):
+    on this tiny-vocabulary corpus the bigram shingle df distribution is
+    dense (sum df^2 ~ 73M join rows at sf0.1) while trigrams decorrelate
+    to sum df^2 ~ 2.9M — the same 25-planted-near-dup output an order of
+    magnitude cheaper, which is what lets this query sit in the bench at
+    sf0.1. The default hot-shingle guard (df > 1000) is a no-op on this
+    data (max trigram df 25 at sf0.1), so the exact SQL oracle needs no
+    guard clause."""
+    return dd.ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
 
 
 SQL_NGRAM_JACCARD = f"""
 WITH g AS (
   SELECT doc_id AS doc,
-         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-                                      i -> toks[i] || ' ' || toks[i + 1])) AS grams
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS grams
   FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
 ),
 sizes AS (SELECT doc, len(grams) AS n_grams FROM g WHERE len(grams) > 0),
@@ -400,7 +408,7 @@ SELECT doc_a, doc_b, round(shared * 1.0 / (sa.n_grams + sb.n_grams - shared), 6)
 FROM shared
 JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
-WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.2
+WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.5
 """
 
 

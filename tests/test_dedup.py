@@ -72,6 +72,47 @@ def test_simhash_pairs(docs):
     assert (1, 3) in pairs
 
 
+def test_hot_shingle_guard_bounds_pairs(spark):
+    """A planted ultra-hot shingle must not blow up the candidate pair
+    count: with the skew guard (default ON) the hot shingle is dropped
+    and only genuine near-dups pair up."""
+    import inspect
+
+    # the guard defaults to a finite value — the unguarded quadratic
+    # blow-up must be opt-in, never the default
+    default = inspect.signature(dd.ngram_jaccard_pairs).parameters["max_shingle_df"].default
+    assert default is not None and default > 0
+
+    hot = "alpha beta gamma"  # one shingle (n=3) shared by EVERY doc
+    rows = [(i, f"{hot} unique{i} token{i} filler{i} word{i}") for i in range(40)]
+    rows.append((100, rows[0][1]))  # one true near-dup pair (0, 100)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_df=None).count()
+    guarded = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_df=10).collect()
+    assert unguarded > 800  # hot shingle pairs every doc with every other
+    assert len(guarded) == 1  # only the true dup survives the guard
+    a, b = guarded[0]["doc_a"], guarded[0]["doc_b"]
+    assert (a, b) == (0, 100) and guarded[0]["jaccard"] == 1.0
+
+
+def test_minhash_exact_rescore_matches_exact_jaccard(docs):
+    """rescore='exact' must reproduce the exact-Jaccard pairs (LSH only
+    prunes candidates; scores come from the true shingle sets)."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3, max_shingle_df=None
+        ).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, shingle_n=3, threshold=0.3, rescore="exact"
+        ).collect()
+    }
+    assert lsh == exact
+
+
 def test_deterministic_across_partitioning(spark, docs):
     one = dd.minhash_signatures(docs.repartition(1), shingle_n=3).collect()
     many = dd.minhash_signatures(docs.repartition(7), shingle_n=3).collect()
