@@ -78,20 +78,33 @@ def verify_sha_invariant(corpus: DataFrame, docs: DataFrame) -> int:
     ).count()
 
 
+N_STORE_BUCKETS = 32
+
+
+def _term_bucket(n_buckets: int = N_STORE_BUCKETS) -> F.Column:
+    return F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+
+
+def _doc_bucket(n_buckets: int = N_STORE_BUCKETS) -> F.Column:
+    return F.pmod(F.xxhash64("repo", "path"), F.lit(n_buckets))
+
+
 def save_index(index: Index, path: str) -> None:
     """Checkpoint to a parquet directory (Iceberg-snapshot stand-in).
 
     postings are written partitioned by a term-hash bucket so query-time
-    ``term IN (...)`` prunes whole partitions; lineage/metrics rows land in
-    ``_lineage`` (per-bucket row counts — the resumability unit).
+    ``term IN (...)`` prunes whole partitions; docs are partitioned by a
+    file-key hash bucket so incremental maintenance can overwrite only
+    partitions holding changed files (save_index_delta); lineage/metrics
+    rows land in ``_lineage`` (per-bucket row counts — the resumability
+    unit).
     """
-    n_buckets = 32
-    postings = index.postings.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-    )
+    postings = index.postings.withColumn("bucket", _term_bucket())
     postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
     index.dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
-    index.docs.write.mode("overwrite").parquet(f"{path}/docs")
+    index.docs.withColumn("dbucket", _doc_bucket()).write.mode("overwrite").partitionBy(
+        "dbucket"
+    ).parquet(f"{path}/docs")
     lineage = postings.groupBy("bucket").agg(
         F.count("*").alias("n_postings"),
         F.countDistinct("term").alias("n_terms"),
@@ -108,9 +121,90 @@ def load_index(spark: SparkSession, path: str) -> Index:
     return Index(
         postings=spark.read.parquet(f"{path}/postings").drop("bucket"),
         dictionary=spark.read.parquet(f"{path}/dictionary"),
-        docs=spark.read.parquet(f"{path}/docs"),
+        docs=spark.read.parquet(f"{path}/docs").drop("dbucket"),
         stats=BuildStats(n_docs=s["n_docs"], avgdl=s["avgdl"]),
     )
+
+
+def save_index_delta(spark: SparkSession, index: Index, path: str, delta) -> dict:
+    """MERGE-style incremental checkpoint: overwrite ONLY the store
+    partitions an incremental batch touched (streaming.incremental's
+    module contract).
+
+    * postings: term-hash-bucketed — rewrite just the buckets containing
+      an affected term (a 3-file change touches a handful of buckets, not
+      the whole store; unaffected bucket files stay byte-identical, the
+      scale-critical property at 10^12 files);
+    * docs: file-key-bucketed — same, for changed file keys;
+    * dictionary / stats / _lineage: global by nature (any doc add/delete
+      moves n_docs and therefore EVERY term's idf), and tiny next to the
+      postings — always rewritten. _lineage keeps unaffected buckets' old
+      rows and re-aggregates only affected buckets.
+
+    All writes land in a staging dir while the live store is still
+    readable (the new index's plan reads the old files); the swap is
+    pure directory renames afterwards — the parquet stand-in for an
+    Iceberg snapshot commit. Returns the affected bucket lists.
+    """
+    import shutil
+
+    nb = N_STORE_BUCKETS
+    aff_pb = sorted(
+        r["b"]
+        for r in delta.affected_terms.select(_term_bucket(nb).alias("b")).distinct().collect()
+    )
+    aff_db = sorted(
+        r["b"]
+        for r in delta.affected_file_keys.select(_doc_bucket(nb).alias("b"))
+        .distinct()
+        .collect()
+    )
+    staging = f"{path}/.delta_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+
+    postings = index.postings.withColumn("bucket", _term_bucket(nb))
+    aff_postings = postings.filter(F.col("bucket").isin([int(b) for b in aff_pb]))
+    aff_postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{staging}/postings")
+    (
+        index.docs.withColumn("dbucket", _doc_bucket(nb))
+        .filter(F.col("dbucket").isin([int(b) for b in aff_db]))
+        .write.mode("overwrite")
+        .partitionBy("dbucket")
+        .parquet(f"{staging}/docs")
+    )
+    index.dictionary.write.mode("overwrite").parquet(f"{staging}/dictionary")
+    old_lineage = spark.read.parquet(f"{path}/_lineage")
+    new_lineage = old_lineage.filter(
+        ~F.col("bucket").isin([int(b) for b in aff_pb])
+    ).unionByName(
+        aff_postings.groupBy("bucket").agg(
+            F.count("*").alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("raw_freq").alias("n_tokens"),
+        )
+    )
+    new_lineage.write.mode("overwrite").parquet(f"{staging}/_lineage")
+
+    # ---- swap (everything above has materialized; old files now disposable)
+    for b in aff_pb:
+        live = f"{path}/postings/bucket={b}"
+        shutil.rmtree(live, ignore_errors=True)
+        staged = f"{staging}/postings/bucket={b}"
+        if os.path.exists(staged):  # absent == bucket emptied by the batch
+            os.rename(staged, live)
+    for b in aff_db:
+        live = f"{path}/docs/dbucket={b}"
+        shutil.rmtree(live, ignore_errors=True)
+        staged = f"{staging}/docs/dbucket={b}"
+        if os.path.exists(staged):
+            os.rename(staged, live)
+    for name in ("dictionary", "_lineage"):
+        shutil.rmtree(f"{path}/{name}")
+        os.rename(f"{staging}/{name}", f"{path}/{name}")
+    with open(f"{path}/stats.json", "w") as f:
+        json.dump({"n_docs": index.stats.n_docs, "avgdl": index.stats.avgdl}, f)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"postings_buckets": aff_pb, "docs_buckets": aff_db}
 
 
 def save_index_bucketed(index: Index, name: str, n_buckets: int = 32) -> None:
@@ -175,13 +269,18 @@ def resume_or_build(
         # reconstruct the indexed snapshot's (repo, path, sha256) view from
         # the docs table (chunk rows collapse to one row per file key)
         old_view = prev.docs.select("repo", "path", "commit", "sha256").distinct()
-        new_index, stats, rebuilt = maintain(prev, old_view, corpus, analyzer=analyzer)
-        # the new index's plan reads the old files: write to a staging dir,
-        # then swap (Spark refuses to overwrite a path it is reading from)
-        staging = f"{path}.staging"
-        save_index(new_index, staging)
-        shutil.rmtree(path)
-        os.rename(staging, path)
+        new_index, stats, rebuilt, delta = maintain(prev, old_view, corpus, analyzer=analyzer)
+        if rebuilt or delta is None:
+            # thresholds tripped: full rewrite. The new index's plan reads
+            # the old files, so write to a staging dir, then swap (Spark
+            # refuses to overwrite a path it is reading from)
+            staging = f"{path}.staging"
+            save_index(new_index, staging)
+            shutil.rmtree(path)
+            os.rename(staging, path)
+        else:
+            # incremental: overwrite only the affected store partitions
+            save_index_delta(spark, new_index, path, delta)
         return load_index(spark, path)
     idx = build_index(corpus, analyzer)
     save_index(idx, path)

@@ -57,6 +57,19 @@ def diff_corpus(
 
 
 @dataclass
+class IncrementalDelta:
+    """Lazy views identifying what an incremental batch touched — the
+    inputs to bucket-targeted persistence (engine.save_index_delta):
+    only postings buckets containing an affected term and docs partitions
+    containing an affected file key need rewriting; everything else on
+    disk stays byte-identical (the MERGE INTO pattern over the
+    partitioned parquet store)."""
+
+    affected_file_keys: DataFrame  # (repo, path) where op != unchanged
+    affected_terms: DataFrame  # distinct (term) whose posting list changed
+
+
+@dataclass
 class IncrementalStats:
     n_added: int
     n_changed: int
@@ -85,7 +98,8 @@ def apply_incremental(
     analyzer=None,
     max_chunk_size: int = MAX_CHUNK_SIZE,
     max_file_size: int = MAX_FILE_SIZE,
-) -> tuple[Index, IncrementalStats]:
+    return_delta: bool = False,
+) -> tuple[Index, IncrementalStats] | tuple[Index, IncrementalStats, IncrementalDelta]:
     """index(old) ⊕ (new − old) -> index equivalent to build_index(new).
 
     Only added/changed files are re-chunked and re-tokenized (the expensive
@@ -136,18 +150,34 @@ def apply_incremental(
         n_unchanged=ops.get("unchanged", 0),
         n_new_terms=new_terms,
     )
-    return Index(postings=postings, dictionary=dictionary, docs=docs, stats=stats), inc_stats
+    out = Index(postings=postings, dictionary=dictionary, docs=docs, stats=stats)
+    if not return_delta:
+        return out, inc_stats
+    # affected terms = terms of removed (deleted/changed) docs, whose old
+    # posting rows leave the store, plus terms of the re-tokenized slice,
+    # whose rows enter it — the union pins every bucket whose content moves
+    removed_docs = index.docs.join(gone, ["repo", "path"], "left_semi").select("doc_id")
+    removed_terms = index.postings.join(removed_docs, "doc_id", "left_semi").select("term")
+    affected_terms = removed_terms.unionByName(partial.postings.select("term")).distinct()
+    delta = IncrementalDelta(
+        affected_file_keys=diff.filter(F.col("op") != "unchanged").select("repo", "path"),
+        affected_terms=affected_terms,
+    )
+    return out, inc_stats, delta
 
 
 def maintain(
     index: Index, old_corpus: DataFrame, new_corpus: DataFrame, **kw
-) -> tuple[Index, IncrementalStats, bool]:
+) -> tuple[Index, IncrementalStats, bool, IncrementalDelta | None]:
     """Incremental update unless the full-rebuild thresholds trip
-    (ST4 from SURVEY §2.9)."""
-    new_index, stats = apply_incremental(index, old_corpus, new_corpus, **kw)
+    (ST4 from SURVEY §2.9). The 4th element is the bucket-targeting
+    delta (None on full rebuild — everything is affected)."""
+    new_index, stats, delta = apply_incremental(
+        index, old_corpus, new_corpus, return_delta=True, **kw
+    )
     if should_full_rebuild(stats, index.stats.n_docs):
-        return build_index(new_corpus), stats, True
-    return new_index, stats, False
+        return build_index(new_corpus), stats, True, None
+    return new_index, stats, False, delta
 
 
 class IncrementalIndexer:
@@ -167,7 +197,7 @@ class IncrementalIndexer:
 
     def apply(self, new_corpus: DataFrame) -> IncrementalStats:
         kw = {"analyzer": self.analyzer} if self.analyzer else {}
-        new_index, stats, rebuilt = maintain(self.index, self.corpus, new_corpus, **kw)
+        new_index, stats, rebuilt, _delta = maintain(self.index, self.corpus, new_corpus, **kw)
         # pin the new state (the old index's cached lineage stays valid —
         # union plans reference it — so materialize before dropping refs)
         new_index.postings = new_index.postings.persist()

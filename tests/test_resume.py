@@ -61,6 +61,99 @@ def test_resume_or_build_roundtrip(spark, tmp_path):
     assert hits and hits[0] == "src/new/resumed.py"
 
 
+def _store_file_hashes(root: str) -> dict[str, str]:
+    """{relative_path: sha256} for every data file under a store dir."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = hashlib.sha256(f.read()).hexdigest()
+    return out
+
+
+def _changed_buckets(before: dict, after: dict, prefix: str, part: str) -> set[int]:
+    """Bucket ids whose file set or bytes differ between two snapshots."""
+    import re
+
+    def per_bucket(h):
+        b: dict[int, dict] = {}
+        for rel, sha in h.items():
+            m = re.match(rf"{prefix}/{part}=(\d+)/", rel)
+            if m:
+                b.setdefault(int(m.group(1)), {})[rel] = sha
+        return b
+
+    bb, ba = per_bucket(before), per_bucket(after)
+    return {k for k in set(bb) | set(ba) if bb.get(k) != ba.get(k)}
+
+
+def test_incremental_save_targets_only_affected_buckets(spark, tmp_path):
+    """A 1-file change must rewrite ONLY the postings buckets containing
+    that file's terms and the single docs bucket holding its file key;
+    every other bucket's files stay byte-identical on disk (the MERGE
+    property that keeps a small change from becoming a full-store write
+    at scale)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "idx")
+    pdf = generate_corpus(n_files=40, seed=31, include_edge_rows=False)
+    corpus = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+    idx_before = resume_or_build(spark, corpus, path)
+    before = _store_file_hashes(path)
+
+    target = pdf["path"].iloc[0]
+    old_terms = {
+        r["term"]
+        for r in idx_before.postings.join(
+            idx_before.docs.filter(F.col("path") == target).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).select("term").distinct().collect()
+    }
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2["path"] == target, "content"] = (
+        "def patchedBucketFn(query_cache):\n    return query_cache\n"
+    )
+    pdf2 = _with_sha(pdf2)
+    corpus2 = spark.createDataFrame(pdf2, schema=CORPUS_SCHEMA)
+    idx_after = resume_or_build(spark, corpus2, path)
+    after = _store_file_hashes(path)
+
+    new_terms = {
+        r["term"]
+        for r in idx_after.postings.join(
+            idx_after.docs.filter(F.col("path") == target).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).select("term").distinct().collect()
+    }
+    # expected affected buckets, via the engine's own hash expression
+    terms_df = spark.createDataFrame(
+        [(t,) for t in sorted(old_terms | new_terms)], "term string"
+    )
+    allowed_pb = {
+        r["b"]
+        for r in terms_df.select(
+            F.pmod(F.xxhash64("term"), F.lit(32)).alias("b")
+        ).distinct().collect()
+    }
+    changed_pb = _changed_buckets(before, after, "postings", "bucket")
+    changed_db = _changed_buckets(before, after, "docs", "dbucket")
+    assert changed_pb <= allowed_pb, changed_pb - allowed_pb
+    assert len(changed_pb) < 32  # at least one bucket untouched on disk
+    assert len(changed_db) == 1  # exactly the changed file's key bucket
+
+    # and the persisted result is still exactly the full rebuild
+    full = build_index(corpus2)
+    got = {(r["doc_id"], r["term"]): r["raw_freq"] for r in idx_after.postings.collect()}
+    want = {(r["doc_id"], r["term"]): r["raw_freq"] for r in full.postings.collect()}
+    assert got == want
+
+
 def test_doc_store_write_read_wand(spark, index, tmp_path):
     path = str(tmp_path / "dstore")
     sharded = cp.build_doc_sharded(index.postings, index.stats.avgdl, n_shards=4)
