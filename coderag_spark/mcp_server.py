@@ -1,0 +1,370 @@
+"""MCP (Model Context Protocol) serving surface: a stdio JSON-RPC server
+exposing ``codebase_search`` + ``get_indexing_status`` with the reference's
+input schema and response formatting (packages/mcp-server/src/index.ts:
+38-442; tool schemas :154-186; status tool :363-372; progress-during-
+indexing responses :228-249; markdown result formatting :258-356).
+
+Architecture split (SURVEY §3 / serve.py): Spark builds the index; the MCP
+server is a *serving node* — it downloads the compressed shard once at
+startup (LocalShard, with the doc attribute table) and answers every
+tools/call in-process at millisecond latency, no Spark job per request.
+Snippets optionally re-chunk hit files from the corpus parquet, the same
+content-fetch the reference does against SQLite per query.
+
+Protocol: newline-delimited JSON-RPC 2.0 over stdio (the MCP stdio
+transport). ``initialize`` / ``tools/list`` / ``tools/call`` / ``ping``
+are served; notifications get no response.
+
+Usage:
+  python -m coderag_spark.mcp_server --index /path/index [--corpus pq] [--cores 8]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Any
+
+SERVER_NAME = "coderag-spark-mcp"
+SERVER_VERSION = "0.2.0"
+PROTOCOL_VERSION = "2024-11-05"
+
+# Input schema mirroring the reference's codebase_search tool
+# (mcp-server/src/index.ts:154-186)
+SEARCH_INPUT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "query": {
+            "type": "string",
+            "description": "Keyword search query - use specific terms, function names, or technical keywords",
+        },
+        "limit": {
+            "type": "number",
+            "description": "Maximum number of results to return (default: 10)",
+        },
+        "include_content": {
+            "type": "boolean",
+            "description": "Include file content snippets in results (default: true)",
+        },
+        "file_extensions": {
+            "type": "array",
+            "items": {"type": "string"},
+            "description": 'Filter by file extensions (e.g., [".ts", ".tsx", ".js"])',
+        },
+        "path_filter": {
+            "type": "string",
+            "description": 'Filter by path pattern (e.g., "src/components", "tests", "docs")',
+        },
+        "exclude_paths": {
+            "type": "array",
+            "items": {"type": "string"},
+            "description": 'Exclude paths containing these patterns (e.g., ["node_modules", ".git", "dist"])',
+        },
+        "context_lines": {
+            "type": "number",
+            "description": "Lines of context around each matched line (default: 3)",
+        },
+        "max_snippet_chars": {
+            "type": "number",
+            "description": "Maximum characters per file snippet (default: 2000)",
+        },
+        "max_snippet_blocks": {
+            "type": "number",
+            "description": "Maximum code blocks per file (default: 4)",
+        },
+    },
+    "required": ["query"],
+}
+
+SEARCH_DESCRIPTION = (
+    "Keyword search across the codebase using BM25 ranking. Use specific "
+    "terms, function names, or technical keywords.\n\n"
+    "**IMPORTANT: Use this tool PROACTIVELY before starting work, not "
+    "reactively when stuck.**\n\n"
+    "This tool finds files containing your exact search terms, ranked by "
+    "relevance."
+)
+
+STATUS_DESCRIPTION = (
+    "Returns current codebase indexing status for UI (e.g. status bar). "
+    "Poll periodically to show progress. Response is JSON: isIndexing, "
+    "progress, totalFiles, processedFiles, totalChunks, indexedChunks, "
+    "currentFile; when not indexing, includes indexedCount."
+)
+
+
+class CodebaseSearchBackend:
+    """Serving-node state behind the MCP tools: one in-memory shard (with
+    doc attributes) + optional corpus for snippet extraction + an indexing
+    status dict shaped like the reference's ``indexer.getStatus()``."""
+
+    def __init__(self, shard, corpus_df=None):
+        self.shard = shard
+        self.corpus_df = corpus_df
+        self.status: dict[str, Any] = {
+            "isIndexing": False,
+            "progress": 100,
+            "totalFiles": 0,
+            "processedFiles": 0,
+            "totalChunks": shard.n_docs,
+            "indexedChunks": shard.n_docs,
+            "currentFile": None,
+        }
+
+    @classmethod
+    def from_index_path(cls, spark, index_path: str, corpus_path: str | None = None):
+        from coderag_spark.engine import load_index
+        from coderag_spark.operators.serve import LocalShard
+
+        idx = load_index(spark, index_path)
+        shard = LocalShard.from_index(idx, with_docs=True)
+        corpus_df = spark.read.parquet(corpus_path) if corpus_path else None
+        return cls(shard, corpus_df)
+
+    # ----------------------------------------------------------- search
+
+    def _progress_text(self) -> str:
+        """Progress-during-indexing response (mcp-server index.ts:233-240)."""
+        pct = int(self.status.get("progress") or 0)
+        bar = "█" * (pct // 5) + "░" * (20 - pct // 5)
+        chunks = self.status.get("indexedChunks", 0)
+        total_chunks = self.status.get("totalChunks")
+        files = self.status.get("processedFiles", 0)
+        total_files = self.status.get("totalFiles", 0)
+        cur = self.status.get("currentFile")
+        out = (
+            f"⏳ **Indexing In Progress**\n\n**Progress:** {pct}%\n`{bar}`\n\n"
+            f"**Chunks:** {chunks}{f'/{total_chunks}' if total_chunks else ''}"
+            f" | **Files:** {files}/{total_files}\n"
+        )
+        if cur:
+            out += f"**Current:** `{cur}`\n"
+        out += "\n💡 Try again in a few seconds."
+        return out
+
+    def _snippets_for(self, rows: list[dict], terms: list[str], context_lines: int,
+                      max_snippet_chars: int, max_snippet_blocks: int) -> dict[int, str]:
+        """doc_id -> snippet, by re-chunking the hit files from the corpus
+        table (the index store does not duplicate content — same contract
+        as cli._print_snippets)."""
+        from pyspark.sql import functions as F
+
+        from coderag_spark.operators.chunking import chunk_file
+        from coderag_spark.operators.presentation import extract_snippet
+
+        if self.corpus_df is None or not rows:
+            return {}
+        paths = list({r["path"] for r in rows})
+        files = (
+            self.corpus_df.filter(F.col("path").isin(paths))
+            .select("repo", "path", "commit", "lang", "content")
+            .collect()
+        )
+        content_map = {
+            (f["repo"], f["path"], f["commit"]): (f["content"], f["lang"]) for f in files
+        }
+        out: dict[int, str] = {}
+        for r in rows:
+            key = (r["repo"], r["path"], r["commit"])
+            if key not in content_map:
+                continue
+            content, lang = content_map[key]
+            chunks = chunk_file(content, lang)
+            if r["chunk_index"] >= len(chunks):
+                continue
+            out[r["doc_id"]] = extract_snippet(
+                chunks[r["chunk_index"]].content,
+                terms,
+                context_lines=context_lines,
+                max_chars=max_snippet_chars,
+                max_blocks=max_snippet_blocks,
+            )
+        return out
+
+    def search_markdown(
+        self,
+        query: str,
+        limit: int = 10,
+        include_content: bool = True,
+        file_extensions: list[str] | None = None,
+        path_filter: str | None = None,
+        exclude_paths: list[str] | None = None,
+        context_lines: int = 3,
+        max_snippet_chars: int = 2000,
+        max_snippet_blocks: int = 4,
+    ) -> str:
+        """The codebase_search handler body: BM25 top-k over the shard,
+        formatted as the reference's LLM-oriented markdown
+        (mcp-server index.ts:252-356)."""
+        from coderag_spark.operators.bm25 import dedupe_query_tokens
+        from coderag_spark.operators.presentation import truncate_for_display
+
+        if self.status.get("isIndexing"):
+            return self._progress_text()
+        allowed = self.shard.allowed_docs(
+            file_extensions=file_extensions,
+            path_filter=path_filter,
+            exclude_paths=exclude_paths,
+        )
+        hits = self.shard.search(query, limit=limit, allowed_docs=allowed)
+        if not hits:
+            return (
+                f'# Search: "{query}" (0 results)\n\n'
+                "No matches found. Try different terms or check filters.\n"
+                f"Indexed files: {self.shard.n_docs}"
+            )
+        rows = [info for d, _ in hits if (info := self.shard.doc_info(d)) is not None]
+        terms = dedupe_query_tokens(query)
+        snippets = (
+            self._snippets_for(rows, terms, context_lines, max_snippet_chars, max_snippet_blocks)
+            if include_content
+            else {}
+        )
+        out = f'# Search: "{query}" ({len(hits)} results)\n\n'
+        for (doc_id, _score), r in zip(hits, rows):
+            header = r["path"]
+            if r.get("start_line") is not None and r.get("end_line") is not None:
+                header += f":{r['start_line']}-{r['end_line']}"
+            out += f"## {header}\n"
+            snippet = snippets.get(doc_id)
+            if snippet:
+                lang = (r.get("lang") or "").lower()
+                out += f"```{lang}\n{truncate_for_display(snippet, max_snippet_chars)}\n```\n\n"
+        return out
+
+    def status_json(self) -> dict:
+        """get_indexing_status payload (mcp-server index.ts:363-372):
+        the status dict, plus indexedCount when idle."""
+        payload = dict(self.status)
+        if not payload.get("isIndexing"):
+            payload["indexedCount"] = self.shard.n_docs
+        return payload
+
+
+class McpServer:
+    """Minimal MCP stdio server: JSON-RPC 2.0 dispatch over line-delimited
+    messages. ``handle_message`` is a pure dict->dict function so the
+    protocol is testable without a subprocess."""
+
+    def __init__(self, backend: CodebaseSearchBackend):
+        self.backend = backend
+
+    # ------------------------------------------------------- dispatch
+
+    def handle_message(self, msg: dict) -> dict | None:
+        if msg.get("jsonrpc") != "2.0":
+            return self._error(msg.get("id"), -32600, "invalid request: not jsonrpc 2.0")
+        method = msg.get("method")
+        msg_id = msg.get("id")
+        if method and msg_id is None:
+            return None  # notification (e.g. notifications/initialized)
+        try:
+            if method == "initialize":
+                return self._result(msg_id, {
+                    "protocolVersion": PROTOCOL_VERSION,
+                    "capabilities": {"tools": {}},
+                    "serverInfo": {"name": SERVER_NAME, "version": SERVER_VERSION},
+                })
+            if method == "ping":
+                return self._result(msg_id, {})
+            if method == "tools/list":
+                return self._result(msg_id, {"tools": [
+                    {
+                        "name": "codebase_search",
+                        "description": SEARCH_DESCRIPTION,
+                        "inputSchema": SEARCH_INPUT_SCHEMA,
+                    },
+                    {
+                        "name": "get_indexing_status",
+                        "description": STATUS_DESCRIPTION,
+                        "inputSchema": {"type": "object", "properties": {}},
+                    },
+                ]})
+            if method == "tools/call":
+                return self._tools_call(msg_id, msg.get("params") or {})
+            return self._error(msg_id, -32601, f"method not found: {method}")
+        except Exception as e:  # tool errors surface as isError content
+            return self._result(msg_id, {
+                "content": [{"type": "text", "text": f"✗ Codebase search error: {e}"}],
+                "isError": True,
+            })
+
+    def _tools_call(self, msg_id, params: dict) -> dict:
+        name = params.get("name")
+        args = params.get("arguments") or {}
+        if name == "codebase_search":
+            if "query" not in args:
+                return self._error(msg_id, -32602, "missing required argument: query")
+            text = self.backend.search_markdown(
+                query=args["query"],
+                limit=int(args.get("limit", 10)),
+                include_content=bool(args.get("include_content", True)),
+                file_extensions=args.get("file_extensions"),
+                path_filter=args.get("path_filter"),
+                exclude_paths=args.get("exclude_paths"),
+                context_lines=int(args.get("context_lines", 3)),
+                max_snippet_chars=int(args.get("max_snippet_chars", 2000)),
+                max_snippet_blocks=int(args.get("max_snippet_blocks", 4)),
+            )
+        elif name == "get_indexing_status":
+            text = json.dumps(self.backend.status_json())
+        else:
+            return self._error(msg_id, -32602, f"unknown tool: {name}")
+        return self._result(msg_id, {
+            "content": [{"type": "text", "text": text}],
+            "isError": False,
+        })
+
+    @staticmethod
+    def _result(msg_id, result: dict) -> dict:
+        return {"jsonrpc": "2.0", "id": msg_id, "result": result}
+
+    @staticmethod
+    def _error(msg_id, code: int, message: str) -> dict:
+        return {"jsonrpc": "2.0", "id": msg_id, "error": {"code": code, "message": message}}
+
+    # ------------------------------------------------------ stdio loop
+
+    def serve(self, stdin=None, stdout=None) -> None:
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError:
+                resp = self._error(None, -32700, "parse error")
+            else:
+                resp = self.handle_message(msg)
+            if resp is not None:
+                stdout.write(json.dumps(resp) + "\n")
+                stdout.flush()
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="coderag-spark-mcp")
+    p.add_argument("--index", required=True)
+    p.add_argument("--corpus", default=None, help="corpus parquet (for snippets)")
+    p.add_argument("--cores", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from coderag_spark import get_spark
+
+    spark = get_spark("coderag-mcp", cores=args.cores)
+    backend = CodebaseSearchBackend.from_index_path(spark, args.index, args.corpus)
+    server = McpServer(backend)
+    print(
+        f"✓ {SERVER_NAME}: shard loaded ({backend.shard.n_docs} docs), "
+        "serving codebase_search + get_indexing_status on stdio",
+        file=sys.stderr,
+    )
+    server.serve()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

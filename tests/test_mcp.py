@@ -1,0 +1,155 @@
+"""MCP serving surface: JSON-RPC protocol goldens + tool behavior parity
+with the library search paths (reference: packages/mcp-server/src/index.ts
+tool schemas :154-186, status tool :363-372, progress responses :233-240)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from coderag_spark.engine import build_index
+from coderag_spark.mcp_server import CodebaseSearchBackend, McpServer
+from coderag_spark.operators.bm25 import search
+from coderag_spark.operators.serve import LocalShard
+from coderag_spark.sources.corpus import generate_corpus_df
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    corpus = generate_corpus_df(spark, n_files=120, seed=13, include_edge_rows=False)
+    idx = build_index(corpus)
+    shard = LocalShard.from_index(idx, with_docs=True)
+    backend = CodebaseSearchBackend(shard, corpus_df=corpus)
+    return McpServer(backend), idx
+
+
+def _call(srv, method, params=None, msg_id=1):
+    return srv.handle_message(
+        {"jsonrpc": "2.0", "id": msg_id, "method": method,
+         **({"params": params} if params is not None else {})}
+    )
+
+
+def test_initialize_golden(server):
+    srv, _ = server
+    resp = _call(srv, "initialize", {"protocolVersion": "2024-11-05", "capabilities": {}})
+    assert resp["jsonrpc"] == "2.0" and resp["id"] == 1
+    r = resp["result"]
+    assert r["protocolVersion"] == "2024-11-05"
+    assert "tools" in r["capabilities"]
+    assert r["serverInfo"]["name"] == "coderag-spark-mcp"
+
+
+def test_notification_gets_no_response(server):
+    srv, _ = server
+    assert srv.handle_message(
+        {"jsonrpc": "2.0", "method": "notifications/initialized"}
+    ) is None
+
+
+def test_tools_list_schema(server):
+    srv, _ = server
+    tools = {t["name"]: t for t in _call(srv, "tools/list")["result"]["tools"]}
+    assert set(tools) == {"codebase_search", "get_indexing_status"}
+    schema = tools["codebase_search"]["inputSchema"]
+    assert schema["required"] == ["query"]
+    # the reference's full option surface (mcp-server index.ts:154-186)
+    assert set(schema["properties"]) == {
+        "query", "limit", "include_content", "file_extensions", "path_filter",
+        "exclude_paths", "context_lines", "max_snippet_chars", "max_snippet_blocks",
+    }
+
+
+def test_codebase_search_rank_parity(server):
+    """MCP results must be the library's BM25 top-k, same order."""
+    srv, idx = server
+    resp = _call(srv, "tools/call", {
+        "name": "codebase_search",
+        "arguments": {"query": "authenticate user", "limit": 5, "include_content": False},
+    })
+    text = resp["result"]["content"][0]["type"] == "text" and resp["result"]["content"][0]["text"]
+    assert text.startswith('# Search: "authenticate user" (5 results)')
+    got_paths = [ln[3:].rsplit(":", 1)[0] for ln in text.splitlines() if ln.startswith("## ")]
+    want = [r["path"] for r in search(idx, "authenticate user", limit=5).collect()]
+    assert got_paths == want
+    assert resp["result"]["isError"] is False
+
+
+def test_codebase_search_snippets_and_filters(server):
+    srv, _ = server
+    resp = _call(srv, "tools/call", {
+        "name": "codebase_search",
+        "arguments": {"query": "authenticate user", "limit": 3,
+                      "file_extensions": [".py"], "context_lines": 2},
+    })
+    text = resp["result"]["content"][0]["text"]
+    headers = [ln for ln in text.splitlines() if ln.startswith("## ")]
+    assert headers and all(".py:" in h for h in headers)
+    assert "```python" in text  # fenced, language-tagged snippet blocks
+
+
+def test_search_no_results(server):
+    srv, _ = server
+    resp = _call(srv, "tools/call", {
+        "name": "codebase_search", "arguments": {"query": "zzzqqqxxyy"},
+    })
+    text = resp["result"]["content"][0]["text"]
+    assert "(0 results)" in text and "Indexed files:" in text
+
+
+def test_status_idle_and_indexing(server):
+    srv, _ = server
+    payload = json.loads(
+        _call(srv, "tools/call", {"name": "get_indexing_status"})["result"]["content"][0]["text"]
+    )
+    assert payload["isIndexing"] is False and payload["indexedCount"] > 0
+    # flip to mid-indexing: search answers with the progress text
+    srv.backend.status.update(
+        {"isIndexing": True, "progress": 40, "processedFiles": 4, "totalFiles": 10,
+         "indexedChunks": 123, "totalChunks": 300, "currentFile": "src/a.py"}
+    )
+    try:
+        resp = _call(srv, "tools/call", {
+            "name": "codebase_search", "arguments": {"query": "authenticate"},
+        })
+        text = resp["result"]["content"][0]["text"]
+        assert "Indexing In Progress" in text and "40%" in text and "123/300" in text
+        payload = json.loads(
+            _call(srv, "tools/call", {"name": "get_indexing_status"})["result"]["content"][0]["text"]
+        )
+        assert payload["isIndexing"] is True and "indexedCount" not in payload
+    finally:
+        srv.backend.status.update({"isIndexing": False, "progress": 100})
+
+
+def test_errors(server):
+    srv, _ = server
+    assert _call(srv, "nope/method")["error"]["code"] == -32601
+    assert _call(srv, "tools/call", {"name": "bad_tool"})["error"]["code"] == -32602
+    assert _call(srv, "tools/call", {"name": "codebase_search", "arguments": {}})[
+        "error"
+    ]["code"] == -32602
+
+
+def test_stdio_loop(server):
+    """End-to-end over the line-delimited transport."""
+    import io
+
+    srv, _ = server
+    lines = [
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}),
+        json.dumps({"jsonrpc": "2.0", "method": "notifications/initialized"}),
+        "not json at all",
+        json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/call", "params": {
+            "name": "codebase_search",
+            "arguments": {"query": "database connection", "include_content": False},
+        }}),
+    ]
+    out = io.StringIO()
+    srv.serve(stdin=io.StringIO("\n".join(lines) + "\n"), stdout=out)
+    resps = [json.loads(ln) for ln in out.getvalue().splitlines()]
+    assert len(resps) == 3  # init + parse error + search (no notification resp)
+    assert resps[0]["id"] == 1 and "result" in resps[0]
+    assert resps[1]["error"]["code"] == -32700
+    assert resps[2]["id"] == 2 and "# Search:" in resps[2]["result"]["content"][0]["text"]
