@@ -33,14 +33,17 @@ def _cmd_build(args) -> int:
     bad = verify_sha_invariant(corpus, idx.docs)
     save_index(idx, args.index)
     if args.with_vectors:
-        # optional vector build (indexer.ts:681-684): deterministic mock
-        # provider embeds every chunk; real providers slot into the same
-        # mapInPandas shape
+        # optional vector build (indexer.ts:681-684) through the provider
+        # registry: mock by default, openai/openai-compatible when
+        # OPENAI_API_KEY is set (providers.default_config) — all providers
+        # run as the same Arrow-batched UDF over the chunk projection
         from coderag_spark.operators.chunking import chunk_corpus
-        from coderag_spark.operators.hybrid import embed_chunks
+        from coderag_spark.operators.providers import get_default_provider
 
         chunks = chunk_corpus(corpus).select("doc_id", "content")
-        embed_chunks(chunks).write.mode("overwrite").parquet(f"{args.index}/embeddings")
+        get_default_provider().embed_chunks(chunks).write.mode("overwrite").parquet(
+            f"{args.index}/embeddings"
+        )
     print(
         json.dumps(
             {

@@ -1,0 +1,191 @@
+"""Embedding provider registry — the modular provider seam of the
+reference (packages/core/src/embeddings.ts:18-25 EmbeddingConfig,
+:86-110 createDefaultConfig, :196-245 registry + built-ins), Spark-first:
+a provider's unit of work is an Arrow-batched pandas UDF (never per-row
+Python), so swapping providers swaps the UDF while the surrounding
+``embed_chunks`` plan (projection, batching, vector sink) stays fixed.
+
+Built-ins:
+  * ``mock`` — the deterministic JS-hash provider (hybrid.mock_embedding,
+    an exact port of generateMockEmbedding) — the default, and the
+    fallback for every failure path, exactly like the reference;
+  * ``openai`` / ``openai-compatible`` — construction REQUIRES an API key
+    (clean error otherwise); the network call itself is stubbed in this
+    offline build and falls back to the mock with a warning, mirroring
+    the reference's catch-and-fallback (embeddings.ts:129-158). The UDF
+    shape (batched texts -> list[vector]) is the real integration point:
+    a production build replaces ``_network_embed_batch`` only.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from coderag_spark.operators.hybrid import mock_embedding
+
+log = logging.getLogger(__name__)
+
+# model -> native dimensions (embeddings.ts getModelDimensions shape)
+MODEL_DIMENSIONS = {
+    "text-embedding-3-small": 1536,
+    "text-embedding-3-large": 3072,
+    "text-embedding-ada-002": 1536,
+    "mock": 64,
+}
+
+
+class EmbeddingProviderError(RuntimeError):
+    pass
+
+
+@dataclass
+class EmbeddingConfig:
+    """embeddings.ts:18-25."""
+
+    provider: str = "mock"
+    model: str = "mock"
+    dimensions: int = 64
+    api_key: str | None = None
+    base_url: str | None = None
+    batch_size: int = 100
+
+
+@dataclass
+class EmbeddingProvider:
+    """A named embedding function family. ``embed_batch`` is the seam:
+    list[str] -> list[list[float]] over one Arrow batch."""
+
+    name: str
+    model: str
+    dimensions: int
+    embed_batch: Callable[[list[str]], list[list[float]]] = field(repr=False)
+
+    def embed(self, text: str) -> list[float]:
+        return self.embed_batch([text])[0]
+
+    def embed_udf(self):
+        """Arrow-batched pandas UDF over a text column — the distributed
+        execution form of this provider."""
+        fn = self.embed_batch
+
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def _udf(text: pd.Series) -> pd.Series:
+            vecs = fn([(s if isinstance(s, str) else "") for s in text])
+            return pd.Series(vecs)
+
+        return _udf
+
+    def embed_chunks(self, docs_with_content: DataFrame, text_col: str = "content") -> DataFrame:
+        """(doc_id, embedding) — the S12 vector-sink input."""
+        return docs_with_content.select(
+            "doc_id", self.embed_udf()(F.col(text_col)).alias("embedding")
+        )
+
+
+# ------------------------------------------------------------- registry
+
+_REGISTRY: dict[str, Callable[[EmbeddingConfig], EmbeddingProvider]] = {}
+
+
+def register_provider(name: str, factory: Callable[[EmbeddingConfig], EmbeddingProvider]) -> None:
+    """embeddings.ts:201-203."""
+    _REGISTRY[name] = factory
+
+
+def get_registered_providers() -> list[str]:
+    return list(_REGISTRY)
+
+
+def create_embedding_provider(config: EmbeddingConfig) -> EmbeddingProvider:
+    """Registry lookup; unknown provider warns and falls back to mock
+    (embeddings.ts:233-245)."""
+    factory = _REGISTRY.get(config.provider)
+    if factory is None:
+        log.warning("Unknown provider '%s', using mock", config.provider)
+        factory = _REGISTRY["mock"]
+    return factory(config)
+
+
+def default_config() -> EmbeddingConfig:
+    """createDefaultConfig (embeddings.ts:86-110): provider inferred from
+    OPENAI_API_KEY / OPENAI_BASE_URL; model + dimensions from env."""
+    api_key = os.environ.get("OPENAI_API_KEY")
+    base_url = os.environ.get("OPENAI_BASE_URL")
+    model = os.environ.get("EMBEDDING_MODEL", "text-embedding-3-small")
+    provider = "mock"
+    if api_key:
+        provider = "openai-compatible" if base_url else "openai"
+    if provider == "mock":
+        model = "mock"
+    dims_env = os.environ.get("EMBEDDING_DIMENSIONS")
+    dimensions = int(dims_env) if dims_env else MODEL_DIMENSIONS.get(model, 1536)
+    return EmbeddingConfig(
+        provider=provider, model=model, dimensions=dimensions,
+        api_key=api_key, base_url=base_url,
+    )
+
+
+def get_default_provider() -> EmbeddingProvider:
+    return create_embedding_provider(default_config())
+
+
+# ------------------------------------------------------------ built-ins
+
+
+def _mock_factory(config: EmbeddingConfig) -> EmbeddingProvider:
+    dims = config.dimensions
+
+    def batch(texts: list[str]) -> list[list[float]]:
+        return [mock_embedding(t, dims) for t in texts]
+
+    return EmbeddingProvider(name="mock", model="mock", dimensions=dims, embed_batch=batch)
+
+
+def _network_embed_batch(config: EmbeddingConfig, texts: list[str]) -> list[list[float]]:
+    """The production integration point. This offline build has no HTTP
+    client wired, so the call always raises — and the caller falls back to
+    the mock, mirroring the reference's catch path (embeddings.ts:150-158)."""
+    raise EmbeddingProviderError(
+        f"network embedding call not available in this build "
+        f"(provider={config.provider}, model={config.model})"
+    )
+
+
+def _openai_factory(config: EmbeddingConfig) -> EmbeddingProvider:
+    api_key = config.api_key or os.environ.get("OPENAI_API_KEY")
+    if not api_key:
+        raise EmbeddingProviderError(
+            f"provider '{config.provider}' requires an API key: pass "
+            "EmbeddingConfig(api_key=...) or set OPENAI_API_KEY"
+        )
+    if config.provider == "openai-compatible" and not (
+        config.base_url or os.environ.get("OPENAI_BASE_URL")
+    ):
+        raise EmbeddingProviderError(
+            "provider 'openai-compatible' requires base_url (or OPENAI_BASE_URL)"
+        )
+    dims = config.dimensions
+
+    def batch(texts: list[str]) -> list[list[float]]:
+        try:
+            return _network_embed_batch(config, texts)
+        except Exception as e:  # catch-and-fallback, embeddings.ts:150-158
+            log.warning("%s embeddings failed, falling back to mock: %s", config.provider, e)
+            return [mock_embedding(t, dims) for t in texts]
+
+    return EmbeddingProvider(
+        name=config.provider, model=config.model, dimensions=dims, embed_batch=batch
+    )
+
+
+register_provider("mock", _mock_factory)
+register_provider("openai", _openai_factory)
+register_provider("openai-compatible", _openai_factory)

@@ -1,0 +1,90 @@
+"""Embedding provider registry (embeddings.ts:86-110, 196-245 parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.operators import providers as pv
+from coderag_spark.operators.hybrid import mock_embedding
+
+
+def test_registry_contents():
+    assert {"mock", "openai", "openai-compatible"} <= set(pv.get_registered_providers())
+
+
+def test_mock_provider_matches_reference_port():
+    p = pv.create_embedding_provider(pv.EmbeddingConfig(provider="mock", dimensions=64))
+    assert p.name == "mock" and p.dimensions == 64
+    assert p.embed("hello world") == mock_embedding("hello world", 64)
+
+
+def test_unknown_provider_falls_back_to_mock():
+    p = pv.create_embedding_provider(pv.EmbeddingConfig(provider="nope", dimensions=32))
+    assert p.name == "mock" and p.dimensions == 32
+
+
+def test_openai_requires_key(monkeypatch):
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(pv.EmbeddingProviderError, match="API key"):
+        pv.create_embedding_provider(pv.EmbeddingConfig(provider="openai"))
+
+
+def test_openai_compatible_requires_base_url(monkeypatch):
+    monkeypatch.delenv("OPENAI_BASE_URL", raising=False)
+    with pytest.raises(pv.EmbeddingProviderError, match="base_url"):
+        pv.create_embedding_provider(
+            pv.EmbeddingConfig(provider="openai-compatible", api_key="sk-x")
+        )
+
+
+def test_openai_stub_falls_back_to_mock_on_call():
+    """Reference parity: a failed network embed falls back to the mock
+    (embeddings.ts:150-158) instead of erroring the pipeline."""
+    p = pv.create_embedding_provider(
+        pv.EmbeddingConfig(provider="openai", model="text-embedding-3-small",
+                           dimensions=64, api_key="sk-test")
+    )
+    assert p.name == "openai"
+    assert p.embed("query text") == mock_embedding("query text", 64)
+
+
+def test_default_config_from_env(monkeypatch):
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    monkeypatch.delenv("OPENAI_BASE_URL", raising=False)
+    cfg = pv.default_config()
+    assert cfg.provider == "mock"
+    monkeypatch.setenv("OPENAI_API_KEY", "sk-x")
+    assert pv.default_config().provider == "openai"
+    monkeypatch.setenv("OPENAI_BASE_URL", "http://localhost:1")
+    cfg = pv.default_config()
+    assert cfg.provider == "openai-compatible"
+    assert cfg.dimensions == 1536  # model-default dims
+
+
+def test_embed_chunks_udf(spark):
+    df = spark.createDataFrame(
+        [(1, "def foo(): pass"), (2, "class Bar: ...")], "doc_id long, content string"
+    )
+    p = pv.get_default_provider()
+    out = {r["doc_id"]: r["embedding"] for r in p.embed_chunks(df).collect()}
+    assert out[1] == mock_embedding("def foo(): pass", p.dimensions)
+    # unit-normalized
+    assert abs(sum(x * x for x in out[2]) - 1.0) < 1e-9
+
+
+def test_custom_provider_registration(spark):
+    def factory(cfg):
+        def batch(texts):
+            return [[float(len(t)), 0.0] for t in texts]
+
+        return pv.EmbeddingProvider("toy", "toy-1", 2, batch)
+
+    pv.register_provider("toy", factory)
+    try:
+        p = pv.create_embedding_provider(pv.EmbeddingConfig(provider="toy"))
+        df = spark.createDataFrame([(1, "abcd")], "doc_id long, content string")
+        [r] = p.embed_chunks(df).collect()
+        assert r["embedding"] == [4.0, 0.0]
+    finally:
+        pv._REGISTRY.pop("toy", None)
