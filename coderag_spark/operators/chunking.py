@@ -10,12 +10,22 @@ Reference behavior (packages/core/src/ast-chunking.ts:183-225):
     packages/core/src/embeddings.ts:259-297);
   * empty input -> zero chunks (ast-chunking.test.ts:168-172).
 
-tree-sitter is not available here, so the code path uses a deterministic
-line/boundary splitter with the same *contract*: split at top-level
-definition boundaries (regex for `function`/`def`/`class`/`fn`/`func`/
-`impl`/`struct`/method headers), greedily packing blocks up to
-``max_chunk_size`` characters, 1-based inclusive line ranges, falling back
-to char chunks exactly as above when no boundary matches.
+tree-sitter is not installable here, so the code path uses a deterministic
+STRUCTURAL parser with the same contract as the reference's code-chunk
+pass (ast-chunking.ts:44-54, 70-87; ast-chunking.test.ts:66-146):
+  * definition detection (function/def/class/fn/func/impl/struct/
+    interface/method headers AND arrow-function bindings), with decorator/
+    annotation lines attached to the definition they precede;
+  * body extents — brace-matched for the C-family languages (string/
+    comment stripped before counting), indentation-scoped for Python —
+    so a definition carries its whole body regardless of blank lines,
+    and nested definitions stay inside their parent;
+  * greedy packing of top-level units up to ``max_chunk_size`` chars;
+    an oversize unit (e.g. a big class) is split along its CHILD
+    definitions (methods) recursively, then line-grouped as a last
+    resort, keeping every chunk bounded (ast-chunking.test.ts:129-146);
+  * 1-based inclusive line ranges; char-chunk fallback exactly as above
+    when no structure is found.
 
 The splitter is pure Python, shared with the oracle; Spark runs it inside an
 Arrow-batched pandas UDF returning ``array<struct<...>>`` which is then
@@ -39,17 +49,30 @@ MAX_FILE_SIZE = 1024 * 1024  # indexer.ts:100 (1 MiB default skip)
 # Languages the reference AST-chunks (ast-chunking.ts:47-54), by our lang tags.
 CODE_LANGS = {"TypeScript", "TSX", "JavaScript", "JSX", "Python", "Rust", "Go", "Java"}
 
-_BOUNDARY_RE = re.compile(
-    r"^(?:export\s+)?(?:default\s+)?(?:async\s+)?"
+# definition header, at any indentation (indent is checked separately so
+# nested definitions are recognized when recursing into an oversize unit)
+_DEF_LINE_RE = re.compile(
+    r"^\s*(?:export\s+)?(?:default\s+)?(?:public\s+|private\s+|protected\s+|"
+    r"static\s+|abstract\s+|final\s+)*(?:async\s+)?"
     r"(?:function\b|def\s|class\b|fn\s|func\s|impl\b|struct\b|interface\b|"
-    r"(?:public|private|protected|static)\s)"
+    r"trait\b|enum\s)"
 )
+
+# arrow-function binding: `const foo = (a, b) => ...` / `export let f = x =>`
+_ARROW_RE = re.compile(
+    r"^\s*(?:export\s+)?(?:default\s+)?(?:const|let|var)\s+"
+    r"([A-Za-z_$][\w$]*)\s*(?::[^=]*)?=\s*(?:async\s+)?"
+    r"(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*=>"
+)
+
+# decorator (Python) / annotation (Java/TS) line — attaches to the next def
+_DECORATOR_RE = re.compile(r"^\s*@[\w.]+")
 
 # entity extraction from a boundary line: (kind, name) — the analogue of
 # the reference's AST entities (ast-chunking.ts:71-87: chunk type is the
 # first entity's type, metadata carries {name, type} pairs)
 _ENTITY_RE = re.compile(
-    r"\b(function|def|class|fn|func|impl|struct|interface)\s+"
+    r"\b(function|def|class|fn|func|impl|struct|interface|trait|enum)\s+"
     r"(?:\([^)]*\)\s+)?"  # go method receiver
     r"([A-Za-z_][A-Za-z0-9_]*)"
 )
@@ -94,39 +117,193 @@ def _fallback_chunks(text: str, max_chunk_size: int) -> list[Chunk]:
     ]
 
 
-def _code_chunks(text: str, max_chunk_size: int) -> list[Chunk]:
-    """Boundary-packed code chunking with 1-based inclusive line ranges."""
-    lines = text.split("\n")
-    # block start indices: line 0 plus every top-level boundary line
-    starts = [i for i, ln in enumerate(lines) if _BOUNDARY_RE.match(ln)]
-    if not starts:
+_STRING_RE = re.compile(r'"(?:\\.|[^"\\])*"|\'(?:\\.|[^\'\\])*\'|`[^`]*`')
+
+
+def _code_text(line: str) -> str:
+    """Line with string literals and // line comments removed — what brace
+    counting and definition detection should look at."""
+    return _STRING_RE.sub("", line).split("//")[0]
+
+
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" \t"))
+
+
+def _is_def_line(line: str) -> bool:
+    code = _code_text(line)
+    return bool(_DEF_LINE_RE.match(code) or _ARROW_RE.match(code))
+
+
+def _body_end_brace(lines: list[str], i: int) -> int:
+    """Exclusive end of a brace-delimited body starting at def line ``i``:
+    scan until the brace depth opened on/after the header returns to 0.
+    A brace-less declaration (`fn foo();`, `const f = x => expr;`) ends at
+    its terminating `;`; a header whose `{` never appears within a few
+    lines is treated as a one-line unit (resilience on invalid syntax)."""
+    depth = 0
+    opened = False
+    for j in range(i, len(lines)):
+        code = _code_text(lines[j])
+        for ch in code:
+            if ch == "{":
+                depth += 1
+                opened = True
+            elif ch == "}":
+                depth -= 1
+        if opened and depth <= 0:
+            return j + 1
+        if not opened:
+            if code.rstrip().endswith(";"):
+                return j + 1
+            if j - i >= 8:  # multi-line signature grace window
+                return i + 1
+    return len(lines)
+
+
+def _body_end_indent(lines: list[str], i: int) -> int:
+    """Exclusive end of an indentation-scoped body (Python): every
+    following line more indented than the header (blank lines included
+    while inside; trailing blanks excluded)."""
+    base = _indent(lines[i])
+    end = i + 1
+    j = i + 1
+    while j < len(lines):
+        ln = lines[j]
+        if ln.strip() == "":
+            j += 1
+            continue
+        if _indent(ln) <= base:
+            break
+        j += 1
+        end = j
+    return end
+
+
+def _find_units(
+    lines: list[str], lo: int, hi: int, lang: str
+) -> list[tuple[int, int]]:
+    """[start, end) spans of the SHALLOWEST definitions in lines[lo:hi],
+    decorator/annotation runs attached. Lines between definitions are not
+    covered (the caller turns them into plain segments)."""
+    braces = lang != "Python"
+    cand = [
+        i for i in range(lo, hi) if _is_def_line(lines[i])
+    ]
+    if not cand:
         return []
-    if starts[0] != 0:
-        starts = [0] + starts
-    blocks: list[tuple[int, int]] = []  # [start, end) line spans
-    for j, s in enumerate(starts):
-        e = starts[j + 1] if j + 1 < len(starts) else len(lines)
-        blocks.append((s, e))
+    min_ind = min(_indent(lines[i]) for i in cand)
+    units: list[tuple[int, int]] = []
+    pos = lo
+    for i in cand:
+        if i < pos or _indent(lines[i]) != min_ind:
+            continue  # nested inside a previous unit, or deeper level
+        end = _body_end_brace(lines, i) if braces else _body_end_indent(lines, i)
+        end = min(end, hi)
+        # attach the contiguous decorator run above (python @deco / java @Anno)
+        start = i
+        while start - 1 >= pos and _DECORATOR_RE.match(_code_text(lines[start - 1])):
+            start -= 1
+        units.append((start, end))
+        pos = end
+    return units
+
+
+def _segments(lines: list[str], lo: int, hi: int, lang: str) -> list[tuple[int, int]]:
+    """Cover lines[lo:hi] with definition units + gap segments, in order."""
+    units = _find_units(lines, lo, hi, lang)
+    segs: list[tuple[int, int]] = []
+    pos = lo
+    for s, e in units:
+        if s > pos:
+            segs.append((pos, s))
+        segs.append((s, e))
+        pos = e
+    if pos < hi:
+        segs.append((pos, hi))
+    return segs
+
+
+def _seg_len(lines: list[str], s: int, e: int) -> int:
+    return sum(len(lines[i]) + 1 for i in range(s, e))
+
+
+# a unit may exceed max_chunk_size by this factor before being split —
+# the reference's own tolerance (ast-chunking.test.ts:129-146 accepts
+# chunks up to 800 chars at maxChunkSize 500: "code-chunk may exceed
+# slightly")
+OVERSIZE_TOLERANCE = 1.6
+
+
+def _split_oversize(
+    lines: list[str], s: int, e: int, lang: str, max_chunk_size: int, depth: int = 0
+) -> list[tuple[int, int]]:
+    """Split an oversize unit along its child definitions (a big class
+    splits into header + methods + trailer, recursively); line-group as
+    the last resort so every span stays bounded."""
+    limit = max_chunk_size * OVERSIZE_TOLERANCE
+    if depth < 4:
+        inner = _segments(lines, s + 1, e, lang)
+        # meaningful child structure == at least one definition inside
+        if any(_is_def_line(lines[cs]) for cs, _ce in inner):
+            spans: list[tuple[int, int]] = []
+            header = (s, inner[0][0]) if inner[0][0] > s + 1 else (s, s + 1)
+            pending = [header] + inner
+            for cs, ce in pending:
+                if _seg_len(lines, cs, ce) > limit:
+                    spans.extend(
+                        _split_oversize(lines, cs, ce, lang, max_chunk_size, depth + 1)
+                    )
+                else:
+                    spans.append((cs, ce))
+            return spans
+    # flat line grouping
+    spans = []
+    cur = s
+    cur_len = 0
+    for i in range(s, e):
+        ll = len(lines[i]) + 1
+        if cur_len > 0 and cur_len + ll > max_chunk_size:
+            spans.append((cur, i))
+            cur = i
+            cur_len = 0
+        cur_len += ll
+    if cur < e:
+        spans.append((cur, e))
+    return spans
+
+
+def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
+    """Structural chunking: definition units (bodies attached) greedily
+    packed to ``max_chunk_size``, 1-based inclusive line ranges."""
+    lines = text.split("\n")
+    segs = _segments(lines, 0, len(lines), lang)
+    if not any(_is_def_line(lines[s]) for s, _e in segs):
+        return []  # no structure found -> caller falls back to char chunks
+
+    # expand oversize segments before packing (1.6x grace, matching the
+    # reference's tolerance for slightly-over units)
+    spans: list[tuple[int, int]] = []
+    for s, e in segs:
+        if _seg_len(lines, s, e) > max_chunk_size * OVERSIZE_TOLERANCE:
+            spans.extend(_split_oversize(lines, s, e, lang, max_chunk_size))
+        else:
+            spans.append((s, e))
 
     chunks: list[Chunk] = []
     cur_start: int | None = None
     cur_end = 0
     cur_len = 0
-    for s, e in blocks:
-        block_text_len = sum(len(lines[i]) + 1 for i in range(s, e))
-        if cur_start is not None and cur_len + block_text_len > max_chunk_size:
+    for s, e in spans:
+        ll = _seg_len(lines, s, e)
+        if cur_start is not None and cur_len + ll > max_chunk_size:
             chunks.append(_mk_chunk(lines, cur_start, cur_end, len(chunks)))
             cur_start = None
             cur_len = 0
         if cur_start is None:
             cur_start = s
         cur_end = e
-        cur_len += block_text_len
-        # single oversize block: flush immediately (keeps chunks bounded)
-        if cur_len > max_chunk_size:
-            chunks.append(_mk_chunk(lines, cur_start, cur_end, len(chunks)))
-            cur_start = None
-            cur_len = 0
+        cur_len += ll
     if cur_start is not None:
         chunks.append(_mk_chunk(lines, cur_start, cur_end, len(chunks)))
     return [c for c in chunks if c.content.strip()]
@@ -135,16 +312,22 @@ def _code_chunks(text: str, max_chunk_size: int) -> list[Chunk]:
 _KIND_MAP = {
     "function": "function", "def": "function", "fn": "function",
     "func": "function", "class": "class", "impl": "class",
-    "struct": "class", "interface": "class",
+    "struct": "class", "interface": "class", "trait": "class",
+    "enum": "class",
 }
 
 
 def _mk_chunk(lines: list[str], s: int, e: int, idx: int) -> Chunk:
     entities: list[str] = []
     for ln in lines[s:e]:
-        m = _ENTITY_RE.search(ln)
+        code = _code_text(ln)
+        m = _ENTITY_RE.search(code)
         if m:
             entities.append(f"{_KIND_MAP[m.group(1)]}:{m.group(2)}")
+            continue
+        am = _ARROW_RE.match(code)
+        if am:
+            entities.append(f"function:{am.group(1)}")
     # chunk type = first entity's type, else 'chunk' (ast-chunking.ts:71-73)
     chunk_type = entities[0].split(":", 1)[0] if entities else "chunk"
     return Chunk(
@@ -165,7 +348,7 @@ def chunk_file(content: str, lang: str | None, max_chunk_size: int = MAX_CHUNK_S
     chunks: list[Chunk] = []
     if lang in CODE_LANGS:
         try:
-            chunks = _code_chunks(content, max_chunk_size)
+            chunks = _code_chunks(content, max_chunk_size, lang)
         except Exception:
             chunks = []
     if not chunks and content.strip():

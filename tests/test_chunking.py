@@ -66,6 +66,113 @@ def test_whitespace_only_zero_chunks():
     assert chunk_file("   \n\t  \n", "Python") == []
 
 
+def test_js_split_by_functions_reference_semantics():
+    """ast-chunking.test.ts:66-127: three JS functions split apart, every
+    chunk with 1-based ranges, endLine >= startLine, non-fallback type."""
+    code = (
+        "function foo() {\n  return 1;\n}\n\n"
+        "function bar() {\n  return 2;\n}\n\n"
+        "function baz() {\n  return 3;\n}\n"
+    )
+    chunks = chunk_file(code, "JavaScript", max_chunk_size=40)
+    contents = [c.content for c in chunks]
+    assert any("function foo" in c for c in contents)
+    assert any("function bar" in c for c in contents)
+    assert any("function baz" in c for c in contents)
+    assert len(chunks) == 3
+    for c in chunks:
+        assert c.start_line >= 1 and c.end_line >= c.start_line
+        assert c.chunk_type == "function"
+
+
+def test_max_chunk_size_splits_large_function():
+    """ast-chunking.test.ts:129-146: a huge function body must split into
+    multiple chunks, none above maxChunkSize * 1.6."""
+    code = "function veryLargeFunction() {\n" + "  return 1;\n" * 100 + "}\n"
+    chunks = chunk_file(code, "JavaScript", max_chunk_size=500)
+    assert len(chunks) > 1
+    assert all(len(c.content) <= 800 for c in chunks)
+
+
+def test_body_spans_blank_lines():
+    """A definition's body (brace-matched) stays with the definition even
+    across blank lines; the next function starts its own chunk."""
+    code = (
+        "function withGaps() {\n  const a = 1;\n\n  const b = 2;\n\n  return a + b;\n}\n"
+        "function next() {\n  return 0;\n}\n"
+    )
+    chunks = chunk_file(code, "JavaScript", max_chunk_size=60)
+    assert chunks[0].entities == ["function:withGaps"]
+    assert "return a + b;\n}" in chunks[0].content
+    assert chunks[0].end_line == 7
+    assert chunks[1].entities == ["function:next"]
+    assert chunks[1].start_line == 8
+
+
+def test_nested_function_stays_with_parent():
+    code = (
+        "function outer() {\n  function inner() {\n    return 1;\n  }\n"
+        "  return inner();\n}\n"
+        "function other() {\n  return 2;\n}\n"
+    )
+    chunks = chunk_file(code, "JavaScript", max_chunk_size=80)
+    assert "function inner" in chunks[0].content
+    assert chunks[0].entities == ["function:outer", "function:inner"]
+    assert chunks[1].entities == ["function:other"]
+
+
+def test_arrow_function_boundaries():
+    code = (
+        "export const add = (a, b) => {\n  return a + b;\n};\n"
+        "const mul = (a, b) => a * b;\n"
+        "function plain() {\n  return 0;\n}\n"
+    )
+    chunks = chunk_file(code, "TypeScript", max_chunk_size=35)
+    assert chunks[0].entities == ["function:add"]
+    assert chunks[0].end_line == 3  # brace+semicolon body attached
+    assert any(c.entities == ["function:mul"] for c in chunks)
+    assert any(c.entities == ["function:plain"] for c in chunks)
+
+
+def test_python_decorators_attach_and_indent_scoping():
+    code = (
+        "import os\n\n"
+        "@retry(times=3)\n@trace\ndef fetch(url):\n    data = get(url)\n\n"
+        "    return data\n\n"
+        "class Client:\n    @property\n    def base(self):\n        return self._b\n"
+    )
+    chunks = chunk_file(code, "Python", max_chunk_size=70)
+    fetch = next(c for c in chunks if "def fetch" in c.content)
+    # decorators ride with their definition; body crosses the blank line
+    assert fetch.content.startswith("@retry(times=3)\n@trace\ndef fetch")
+    assert "return data" in fetch.content
+    cls = next(c for c in chunks if "class Client" in c.content)
+    assert "@property" in cls.content and "def base" in cls.content
+    assert cls.entities == ["class:Client", "function:base"]
+
+
+def test_oversize_class_splits_along_methods():
+    body = "".join(
+        f"  method{i}() {{\n" + "    this.x += 1;\n" * 12 + "  }\n" for i in range(6)
+    )
+    code = "class Big {\n" + body + "}\n"
+    chunks = chunk_file(code, "JavaScript", max_chunk_size=300)
+    assert len(chunks) > 1
+    assert all(len(c.content) <= 480 for c in chunks)
+    assert chunks[0].start_line == 1 and "class Big" in chunks[0].content
+
+
+def test_string_literal_braces_do_not_break_bodies():
+    code = (
+        'function s() {\n  const t = "ignore } this {";\n  return t;\n}\n'
+        "function after() {\n  return 1;\n}\n"
+    )
+    chunks = chunk_file(code, "JavaScript", max_chunk_size=70)
+    assert chunks[0].entities == ["function:s"]
+    assert chunks[0].end_line == 4
+    assert chunks[1].entities == ["function:after"]
+
+
 def test_chunk_corpus_size_filter_and_ids(spark, corpus_df):
     chunks = chunk_corpus(corpus_df)
     # oversized file skipped (indexer.ts:899-902)
