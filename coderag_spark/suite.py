@@ -39,6 +39,20 @@ TOKS_SQL = (
 )
 
 
+def _session_cached(cache: dict, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Per-(session, sf_dir) persisted-DataFrame cache. Entries from other
+    applicationIds are evicted on insert — their sessions are gone (or
+    going), so the references would otherwise pin dead plans for the life
+    of a multi-tenant driver process."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in cache:
+        for k in [k for k in cache if k[0] != app]:
+            del cache[k]
+        cache[key] = build()
+    return cache[key]
+
+
 _DOC_CACHE: dict = {}
 
 
@@ -46,10 +60,10 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table, persisted once per (session, sf_dir): the suite's
     queries are run back-to-back in one session, and every one of them
     starts from this scan."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _DOC_CACHE:
-        _DOC_CACHE[key] = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
-    return _DOC_CACHE[key]
+    return _session_cached(
+        _DOC_CACHE, spark, sf_dir,
+        lambda: spark.read.parquet(f"{sf_dir}/documents.parquet").persist(),
+    )
 
 
 _EMB_CACHE: dict = {}
@@ -59,10 +73,10 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings table, persisted once per (session, sf_dir) — three suite
     queries (ann_cosine_topk, hybrid_fusion, emb_knn) start from this scan,
     and emb_knn reads it twice (self-join)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _EMB_CACHE:
-        _EMB_CACHE[key] = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
-    return _EMB_CACHE[key]
+    return _session_cached(
+        _EMB_CACHE, spark, sf_dir,
+        lambda: spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist(),
+    )
 
 
 _EVENTS_CACHE: dict = {}
@@ -71,10 +85,10 @@ _EVENTS_CACHE: dict = {}
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table, persisted once per (session, sf_dir) — four suite
     queries (hourly, rollup, quantiles, sessions) start from this scan."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _EVENTS_CACHE:
-        _EVENTS_CACHE[key] = spark.read.parquet(f"{sf_dir}/events.parquet").persist()
-    return _EVENTS_CACHE[key]
+    return _session_cached(
+        _EVENTS_CACHE, spark, sf_dir,
+        lambda: spark.read.parquet(f"{sf_dir}/events.parquet").persist(),
+    )
 
 
 _TOK_CACHE: dict = {}
@@ -82,8 +96,8 @@ _TOK_CACHE: dict = {}
 
 def _tokdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, toks), tokenized once and persisted per (session, sf_dir)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _TOK_CACHE:
+
+    def build() -> DataFrame:
         df = (
             _documents(spark, sf_dir)
             .select("doc_id", simple_tokens_col(F.col("text")).alias("toks"))
@@ -93,8 +107,9 @@ def _tokdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # postings, dl join) would otherwise race to compute the uncached
         # plan concurrently inside one job, tokenizing repeatedly
         df.count()
-        _TOK_CACHE[key] = df
-    return _TOK_CACHE[key]
+        return df
+
+    return _session_cached(_TOK_CACHE, spark, sf_dir, build)
 
 
 def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
