@@ -67,3 +67,22 @@ def test_hybrid_weight_extremes(spark, index, chunk_embeddings):
     bm = search(index, "authenticate user", limit=5).collect()
     kw_docs = [r["doc_id"] for r in kw_only if r["method"] in ("tfidf", "hybrid")]
     assert kw_docs[: len(bm)] == [r["doc_id"] for r in bm][: len(kw_docs)]
+
+
+def test_hybrid_plan_is_one_job(spark, index, chunk_embeddings):
+    """Constructing the fused plan must run ZERO Spark jobs (the max-
+    normalization scalars are broadcast subplans, not driver collects);
+    the filtered variant likewise; one action then yields the results."""
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    plan = hybrid_search(index, chunk_embeddings, "authenticate user", limit=5)
+    filtered = hybrid_search(
+        index, chunk_embeddings, "authenticate user", limit=5, file_extensions=[".py"]
+    )
+    after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+    assert after == before, "hybrid_search construction triggered Spark jobs"
+    # broadcast scalars visible in the physical plan
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in phys
+    rows = filtered.collect()
+    assert all(r["path"].endswith(".py") for r in rows)
