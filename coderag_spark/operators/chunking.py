@@ -122,8 +122,14 @@ _STRING_RE = re.compile(r'"(?:\\.|[^"\\])*"|\'(?:\\.|[^\'\\])*\'|`[^`]*`')
 
 def _code_text(line: str) -> str:
     """Line with string literals and // line comments removed — what brace
-    counting and definition detection should look at."""
-    return _STRING_RE.sub("", line).split("//")[0]
+    counting and definition detection should look at. Fast-pathed: most
+    lines contain neither quotes nor comments, and this runs per line in
+    the build pipeline's hottest UDF."""
+    if '"' in line or "'" in line or "`" in line:
+        line = _STRING_RE.sub("", line)
+    if "//" in line:
+        line = line.split("//")[0]
+    return line
 
 
 def _indent(line: str) -> int:
@@ -135,7 +141,29 @@ def _is_def_line(line: str) -> bool:
     return bool(_DEF_LINE_RE.match(code) or _ARROW_RE.match(code))
 
 
-def _body_end_brace(lines: list[str], i: int) -> int:
+# cheap gate before the expensive def/arrow regexes: a definition line's
+# first word is always one of these (body lines — returns, calls,
+# assignments, control flow — fail the set lookup and skip both regexes)
+_FIRST_WORD_RE = re.compile(r"[ \t]*([A-Za-z_$@][\w$]*)")
+_DEF_FIRST_WORDS = frozenset(
+    "export default async function def class fn func impl struct interface "
+    "trait enum public private protected static abstract final const let var".split()
+)
+
+
+def _may_be_def(code_line: str) -> bool:
+    m = _FIRST_WORD_RE.match(code_line)
+    return bool(m) and m.group(1) in _DEF_FIRST_WORDS
+
+
+def _is_def_code(code_line: str) -> bool:
+    """_is_def_line over an already-stripped line (per-file memo path)."""
+    return _may_be_def(code_line) and bool(
+        _DEF_LINE_RE.match(code_line) or _ARROW_RE.match(code_line)
+    )
+
+
+def _body_end_brace(code: list[str], i: int) -> int:
     """Exclusive end of a brace-delimited body starting at def line ``i``:
     scan until the brace depth opened on/after the header returns to 0.
     A brace-less declaration (`fn foo();`, `const f = x => expr;`) ends at
@@ -143,22 +171,18 @@ def _body_end_brace(lines: list[str], i: int) -> int:
     lines is treated as a one-line unit (resilience on invalid syntax)."""
     depth = 0
     opened = False
-    for j in range(i, len(lines)):
-        code = _code_text(lines[j])
-        for ch in code:
-            if ch == "{":
-                depth += 1
-                opened = True
-            elif ch == "}":
-                depth -= 1
+    for j in range(i, len(code)):
+        cl = code[j]
+        depth += cl.count("{") - cl.count("}")
+        opened = opened or "{" in cl
         if opened and depth <= 0:
             return j + 1
         if not opened:
-            if code.rstrip().endswith(";"):
+            if cl.rstrip().endswith(";"):
                 return j + 1
             if j - i >= 8:  # multi-line signature grace window
                 return i + 1
-    return len(lines)
+    return len(code)
 
 
 def _body_end_indent(lines: list[str], i: int) -> int:
@@ -181,15 +205,14 @@ def _body_end_indent(lines: list[str], i: int) -> int:
 
 
 def _find_units(
-    lines: list[str], lo: int, hi: int, lang: str
+    lines: list[str], code: list[str], flags: list[bool], lo: int, hi: int, lang: str
 ) -> list[tuple[int, int]]:
     """[start, end) spans of the SHALLOWEST definitions in lines[lo:hi],
     decorator/annotation runs attached. Lines between definitions are not
-    covered (the caller turns them into plain segments)."""
+    covered (the caller turns them into plain segments). ``flags[i]`` is
+    the per-file precomputed ``_is_def_code(code[i])``."""
     braces = lang != "Python"
-    cand = [
-        i for i in range(lo, hi) if _is_def_line(lines[i])
-    ]
+    cand = [i for i in range(lo, hi) if flags[i]]
     if not cand:
         return []
     min_ind = min(_indent(lines[i]) for i in cand)
@@ -198,20 +221,22 @@ def _find_units(
     for i in cand:
         if i < pos or _indent(lines[i]) != min_ind:
             continue  # nested inside a previous unit, or deeper level
-        end = _body_end_brace(lines, i) if braces else _body_end_indent(lines, i)
+        end = _body_end_brace(code, i) if braces else _body_end_indent(lines, i)
         end = min(end, hi)
         # attach the contiguous decorator run above (python @deco / java @Anno)
         start = i
-        while start - 1 >= pos and _DECORATOR_RE.match(_code_text(lines[start - 1])):
+        while start - 1 >= pos and _DECORATOR_RE.match(code[start - 1]):
             start -= 1
         units.append((start, end))
         pos = end
     return units
 
 
-def _segments(lines: list[str], lo: int, hi: int, lang: str) -> list[tuple[int, int]]:
+def _segments(
+    lines: list[str], code: list[str], flags: list[bool], lo: int, hi: int, lang: str
+) -> list[tuple[int, int]]:
     """Cover lines[lo:hi] with definition units + gap segments, in order."""
-    units = _find_units(lines, lo, hi, lang)
+    units = _find_units(lines, code, flags, lo, hi, lang)
     segs: list[tuple[int, int]] = []
     pos = lo
     for s, e in units:
@@ -224,8 +249,9 @@ def _segments(lines: list[str], lo: int, hi: int, lang: str) -> list[tuple[int, 
     return segs
 
 
-def _seg_len(lines: list[str], s: int, e: int) -> int:
-    return sum(len(lines[i]) + 1 for i in range(s, e))
+def _seg_len(prefix: list[int], s: int, e: int) -> int:
+    """Chars (incl. newlines) in lines[s:e], via the per-file prefix sums."""
+    return prefix[e] - prefix[s]
 
 
 # a unit may exceed max_chunk_size by this factor before being split —
@@ -236,23 +262,25 @@ OVERSIZE_TOLERANCE = 1.6
 
 
 def _split_oversize(
-    lines: list[str], s: int, e: int, lang: str, max_chunk_size: int, depth: int = 0
+    lines: list[str], code: list[str], flags: list[bool], prefix: list[int],
+    s: int, e: int, lang: str, max_chunk_size: int, depth: int = 0
 ) -> list[tuple[int, int]]:
     """Split an oversize unit along its child definitions (a big class
     splits into header + methods + trailer, recursively); line-group as
     the last resort so every span stays bounded."""
     limit = max_chunk_size * OVERSIZE_TOLERANCE
     if depth < 4:
-        inner = _segments(lines, s + 1, e, lang)
+        inner = _segments(lines, code, flags, s + 1, e, lang)
         # meaningful child structure == at least one definition inside
-        if any(_is_def_line(lines[cs]) for cs, _ce in inner):
+        if any(flags[cs] for cs, _ce in inner):
             spans: list[tuple[int, int]] = []
             header = (s, inner[0][0]) if inner[0][0] > s + 1 else (s, s + 1)
             pending = [header] + inner
             for cs, ce in pending:
-                if _seg_len(lines, cs, ce) > limit:
+                if _seg_len(prefix, cs, ce) > limit:
                     spans.extend(
-                        _split_oversize(lines, cs, ce, lang, max_chunk_size, depth + 1)
+                        _split_oversize(lines, code, flags, prefix, cs, ce, lang,
+                                        max_chunk_size, depth + 1)
                     )
                 else:
                     spans.append((cs, ce))
@@ -277,16 +305,23 @@ def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
     """Structural chunking: definition units (bodies attached) greedily
     packed to ``max_chunk_size``, 1-based inclusive line ranges."""
     lines = text.split("\n")
-    segs = _segments(lines, 0, len(lines), lang)
-    if not any(_is_def_line(lines[s]) for s, _e in segs):
+    # per-file memos of everything the recursive passes would recompute:
+    # stripped lines, def flags (one regex pass per line), length prefix sums
+    code = [_code_text(ln) for ln in lines]
+    flags = [_is_def_code(cl) for cl in code]
+    if not any(flags):
         return []  # no structure found -> caller falls back to char chunks
+    prefix = [0]
+    for ln in lines:
+        prefix.append(prefix[-1] + len(ln) + 1)
+    segs = _segments(lines, code, flags, 0, len(lines), lang)
 
     # expand oversize segments before packing (1.6x grace, matching the
     # reference's tolerance for slightly-over units)
     spans: list[tuple[int, int]] = []
     for s, e in segs:
-        if _seg_len(lines, s, e) > max_chunk_size * OVERSIZE_TOLERANCE:
-            spans.extend(_split_oversize(lines, s, e, lang, max_chunk_size))
+        if _seg_len(prefix, s, e) > max_chunk_size * OVERSIZE_TOLERANCE:
+            spans.extend(_split_oversize(lines, code, flags, prefix, s, e, lang, max_chunk_size))
         else:
             spans.append((s, e))
 
@@ -295,9 +330,9 @@ def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
     cur_end = 0
     cur_len = 0
     for s, e in spans:
-        ll = _seg_len(lines, s, e)
+        ll = _seg_len(prefix, s, e)
         if cur_start is not None and cur_len + ll > max_chunk_size:
-            chunks.append(_mk_chunk(lines, cur_start, cur_end, len(chunks)))
+            chunks.append(_mk_chunk(lines, code, flags, cur_start, cur_end, len(chunks)))
             cur_start = None
             cur_len = 0
         if cur_start is None:
@@ -305,7 +340,7 @@ def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
         cur_end = e
         cur_len += ll
     if cur_start is not None:
-        chunks.append(_mk_chunk(lines, cur_start, cur_end, len(chunks)))
+        chunks.append(_mk_chunk(lines, code, flags, cur_start, cur_end, len(chunks)))
     return [c for c in chunks if c.content.strip()]
 
 
@@ -317,15 +352,19 @@ _KIND_MAP = {
 }
 
 
-def _mk_chunk(lines: list[str], s: int, e: int, idx: int) -> Chunk:
+def _mk_chunk(
+    lines: list[str], code: list[str], flags: list[bool], s: int, e: int, idx: int
+) -> Chunk:
     entities: list[str] = []
-    for ln in lines[s:e]:
-        code = _code_text(ln)
-        m = _ENTITY_RE.search(code)
+    for i in range(s, e):
+        cl = code[i]
+        if not (flags[i] or "function" in cl):
+            continue  # entity lines are def lines (or mid-line `function`)
+        m = _ENTITY_RE.search(cl)
         if m:
             entities.append(f"{_KIND_MAP[m.group(1)]}:{m.group(2)}")
             continue
-        am = _ARROW_RE.match(code)
+        am = _ARROW_RE.match(cl)
         if am:
             entities.append(f"function:{am.group(1)}")
     # chunk type = first entity's type, else 'chunk' (ast-chunking.ts:71-73)
