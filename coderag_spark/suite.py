@@ -21,8 +21,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from coderag_spark import BM25_B, BM25_K1
 from coderag_spark.functions.tokenize import simple_tokens_col, simple_word_tokenize
@@ -1157,6 +1159,49 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: deterministic BMP / WAV payloads
+    synthesized per doc (format alternating by doc_id parity), decoded by
+    the stdlib+numpy codecs inside mapInPandas, format sniffed from magic
+    bytes. Rows-only (codec byte-layout math is not SQL-expressible)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            if d % 2 == 0:
+                rng = np.random.RandomState(d % (2**31))
+                out.append(mm.encode_bmp(rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)))
+            else:
+                t = np.arange(160) / 8000.0
+                out.append(mm.encode_wav(0.3 * np.sin(2 * np.pi * (100 + d % 50) * t), rate=8000))
+        return pd.Series(out)
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    media = docs.select(
+        "doc_id",
+        F.lit("synth").alias("modality"),
+        synth(F.col("doc_id")).alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(0).cast("long").alias("n_bytes"),
+            F.lit("synth").alias("source"),
+        ).alias("meta"),
+    )
+    feats = mm.decode_media_features(media)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "width",
+        "height",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+    )
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -1199,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
     }
 
 

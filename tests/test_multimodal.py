@@ -1,0 +1,113 @@
+"""Real media decode (BMP / PPM / WAV — stdlib+numpy codecs) over the
+multimodal binary-column plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from coderag_spark.operators import multimodal as mm
+
+
+def _pixels(h, w, seed=3):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_roundtrip_exact():
+    px = _pixels(13, 17)  # width forces row padding (17*3 % 4 != 0)
+    w, h, mr, mg, mb = mm.decode_bmp(mm.encode_bmp(px))
+    assert (w, h) == (17, 13)
+    means = px.reshape(-1, 3).mean(axis=0)
+    assert (mr, mg, mb) == pytest.approx((means[0], means[1], means[2]))
+
+
+def test_ppm_roundtrip_exact():
+    px = _pixels(8, 5, seed=9)
+    w, h, mr, mg, mb = mm.decode_ppm(mm.encode_ppm(px))
+    assert (w, h) == (5, 8)
+    means = px.reshape(-1, 3).mean(axis=0)
+    assert (mr, mg, mb) == pytest.approx((means[0], means[1], means[2]))
+
+
+def test_ppm_header_comments():
+    px = _pixels(2, 3)
+    raw = b"P6\n# a comment\n3 2\n# another\n255\n" + px.tobytes()
+    w, h, *_ = mm.decode_ppm(raw)
+    assert (w, h) == (3, 2)
+
+
+def test_wav_roundtrip_known_signal():
+    # a 440 Hz sine at amplitude 0.5: rms ~ 0.3536, peak ~ 0.5
+    t = np.arange(16000) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rate, nch, nfr, rms, peak = mm.decode_wav(mm.encode_wav(sig, rate=16000))
+    assert (rate, nch, nfr) == (16000, 1, 16000)
+    assert rms == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert peak == pytest.approx(0.5, rel=1e-3)
+
+
+def test_wav_stereo_and_8bit():
+    sig = np.stack([np.linspace(-0.9, 0.9, 100), np.zeros(100)], axis=1)
+    rate, nch, nfr, _rms, peak = mm.decode_wav(mm.encode_wav(sig, rate=8000))
+    assert (rate, nch, nfr) == (8000, 2, 100)
+    assert peak == pytest.approx(0.9, rel=1e-2)
+    r8 = mm.decode_wav(mm.encode_wav(np.linspace(-0.5, 0.5, 64), sampwidth=1))
+    assert r8[2] == 64 and r8[4] == pytest.approx(0.5, abs=0.02)
+
+
+def test_sniff_modality():
+    assert mm.sniff_modality(mm.encode_bmp(_pixels(2, 2))) == "image/bmp"
+    assert mm.sniff_modality(mm.encode_ppm(_pixels(2, 2))) == "image/ppm"
+    assert mm.sniff_modality(mm.encode_wav(np.zeros(4))) == "audio/wav"
+    assert mm.sniff_modality(b"\x89PNG\r\n") is None
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    px = _pixels(4, 6, seed=1)
+    sig = 0.25 * np.sin(2 * np.pi * 100 * np.arange(800) / 8000.0)
+    rows = [
+        (1, "image", bytearray(mm.encode_bmp(px))),
+        (2, "image", bytearray(mm.encode_ppm(px))),
+        (3, "audio", bytearray(mm.encode_wav(sig, rate=8000))),
+        (4, "unknown", bytearray(b"\x89PNG fake payload")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, modality string, payload binary")
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.lit("synth").alias("source"),
+        ),
+    )
+
+
+def test_decode_media_features_distributed(spark, media_df):
+    """The real decoders running inside mapInPandas, mixed formats."""
+    out = {
+        r["doc_id"]: r
+        for r in mm.decode_media_features(
+            media_df.filter("doc_id < 4").repartition(3), batch_rows=2
+        ).collect()
+    }
+    assert out[1]["modality"] == "image/bmp"
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (6, 4, 1)
+    assert out[2]["modality"] == "image/ppm"
+    # BMP and PPM of the SAME pixels must decode to the same features
+    assert out[1]["feat"] == pytest.approx(out[2]["feat"])
+    assert out[3]["modality"] == "audio/wav"
+    assert out[3]["n_frames"] == 800
+    rms, peak, dur, rate = out[3]["feat"]
+    assert rate == 8000.0 and dur == pytest.approx(0.1)
+    assert rms == pytest.approx(0.25 / np.sqrt(2), rel=1e-2)
+
+
+def test_decode_media_unsupported_modes(spark, media_df):
+    with pytest.raises(Exception, match="NotImplementedError|BMP/PPM/WAV"):
+        mm.decode_media_features(media_df).collect()
+    kept = mm.decode_media_features(media_df, on_unsupported="skip").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2, 3]
