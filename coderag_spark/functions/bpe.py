@@ -1,0 +1,210 @@
+"""BPE tokenizer path — the analyzer family of the reference's PRIMARY
+tokenizer (StarCoder2 BPE, packages/core/src/code-tokenizer.ts:37-118),
+rebuilt as a generic byte-pair-encoding engine: the pretrained 4.7 MB
+tokenizer asset cannot be downloaded here, so the engine trains its own
+merge table on the corpus being indexed and applies it with the exact
+same output contract the reference uses for indexing terms — decode each
+subword piece, ``trim().toLowerCase()``, keep ``len > 1``, and fall back
+to the simple word splitter when BPE yields nothing
+(code-tokenizer.ts:100-117).
+
+Spark-first split:
+  * the expensive corpus pass — pre-tokenize + word frequency count —
+    runs DISTRIBUTED (``word_counts``: map-side tokenize into a groupBy,
+    same shape as the postings build);
+  * the merge loop runs driver-side over the bounded word-frequency
+    table (BPE merges are inherently sequential — every merge changes
+    the pair statistics — so this is the standard
+    sample-train / distributed-apply split production BPE uses);
+  * application is an analyzer closure fit for
+    ``build_index(corpus, analyzer=bpe.analyzer())`` — per-worker
+    memoized word->pieces encoding (Zipfian reuse), Arrow-batched by
+    term_freqs_udf, tokens never shuffled raw.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark.functions.tokenize import simple_word_tokenize
+
+# pre-tokenization: identifier/number words and punctuation runs
+PRETOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]+")
+
+
+def word_counts(corpus: DataFrame, text_col: str = "content", max_words: int = 50_000) -> list[tuple[str, int]]:
+    """Distributed (word, count) over the corpus — the only full-corpus
+    pass BPE training needs. Map-side tokenize + partial aggregation;
+    returns the top ``max_words`` by (count desc, word asc) so the
+    driver-side merge loop is bounded regardless of corpus size."""
+    words = corpus.select(
+        F.explode(
+            F.expr(
+                f"filter(split(coalesce({text_col}, ''),"
+                " '[^A-Za-z0-9_]+'), w -> length(w) > 0)"
+            )
+        ).alias("word")
+    )
+    rows = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(max_words)
+        .collect()
+    )
+    return [(r["word"], r["n"]) for r in rows]
+
+
+def train_bpe_from_counts(
+    counts: list[tuple[str, int]], num_merges: int = 500, min_pair_count: int = 2
+) -> "BpeTokenizer":
+    """Classic BPE merge training over a word-frequency table.
+
+    Deterministic: the best pair is the highest-count one, ties broken by
+    lexicographically smallest pair. Incremental pair-count maintenance —
+    each merge only re-processes the words containing the merged pair."""
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for w, c in counts:
+        if len(w) < 2:
+            continue
+        words.append(list(w))
+        freqs.append(int(c))
+
+    pair_counts: Counter = Counter()
+    pair_wids: dict[tuple[str, str], set[int]] = {}
+    for wid, syms in enumerate(words):
+        c = freqs[wid]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += c
+            pair_wids.setdefault((a, b), set()).add(wid)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        best_count = max(pair_counts.values())
+        if best_count < min_pair_count:
+            break
+        best = min(p for p, c in pair_counts.items() if c == best_count)
+        merges.append(best)
+        merged = best[0] + best[1]
+        for wid in list(pair_wids.get(best, ())):
+            syms = words[wid]
+            c = freqs[wid]
+            # retract this word's current pair stats
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= c
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                s = pair_wids.get((a, b))
+                if s is not None:
+                    s.discard(wid)
+            # apply the merge within the word
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wid] = out
+            # re-add the updated stats
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += c
+                pair_wids.setdefault((a, b), set()).add(wid)
+    return BpeTokenizer(merges=merges)
+
+
+def train_bpe(
+    corpus: DataFrame,
+    text_col: str = "content",
+    num_merges: int = 500,
+    max_words: int = 50_000,
+    min_pair_count: int = 2,
+) -> "BpeTokenizer":
+    """Distributed-count + driver-merge BPE training (see module doc)."""
+    return train_bpe_from_counts(
+        word_counts(corpus, text_col, max_words), num_merges, min_pair_count
+    )
+
+
+@dataclass
+class BpeTokenizer:
+    """A trained merge table + the reference's term-cleaning contract."""
+
+    merges: list[tuple[str, str]]
+    _ranks: dict[tuple[str, str], int] = field(default_factory=dict, repr=False)
+    _cache: dict[str, list[str]] = field(default_factory=dict, repr=False)
+
+    def __post_init__(self):
+        self._ranks = {tuple(p): i for i, p in enumerate(self.merges)}
+        self.merges = [tuple(p) for p in self.merges]
+
+    # ------------------------------------------------------------ encode
+
+    def encode_word(self, word: str) -> list[str]:
+        """Greedy lowest-rank merge application (the standard BPE encode).
+        Memoized per distinct word — source identifiers are Zipfian."""
+        r = self._cache.get(word)
+        if r is not None:
+            return r
+        syms = list(word)
+        ranks = self._ranks
+        while len(syms) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank = rk
+                    best_i = i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        if len(self._cache) >= 1_000_000:
+            self._cache.clear()
+        self._cache[word] = syms
+        return syms
+
+    def tokenize(self, text: str) -> list[str]:
+        """Text -> index terms, with the reference's cleaning + fallback
+        (code-tokenizer.ts:100-117): per piece trim+lower, keep len>1;
+        if nothing survives, fall back to simple_word_tokenize."""
+        if not text or not text.strip():
+            return []
+        out: list[str] = []
+        for m in PRETOKEN_RE.finditer(text):
+            for piece in self.encode_word(m.group(0)):
+                cleaned = piece.strip().lower()
+                if len(cleaned) > 1:
+                    out.append(cleaned)
+        if not out:
+            return simple_word_tokenize(text)
+        return out
+
+    def analyzer(self):
+        """Analyzer closure for build_index / term_freqs_udf. The merge
+        table ships to executors inside the closure (a few KB)."""
+        return self.tokenize
+
+    # --------------------------------------------------------- persist
+
+    def to_json(self) -> str:
+        return json.dumps({"merges": [list(p) for p in self.merges]})
+
+    @classmethod
+    def from_json(cls, s: str) -> "BpeTokenizer":
+        return cls(merges=[tuple(p) for p in json.loads(s)["merges"]])
+
+    @property
+    def vocab(self) -> list[str]:
+        return [a + b for a, b in self.merges]

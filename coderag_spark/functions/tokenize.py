@@ -10,9 +10,11 @@ oracle in tests/oracle.py (the oracle imports these same functions):
   JVM-side inside whole-stage codegen — no Python at all on this path.
 
 * ``code_analyze`` — our canonical *code-aware analyzer* (the reference's
-  primary path is a StarCoder2 BPE vocabulary, out of scope for a pure
-  rebuild; the reference itself falls back to the word splitter whenever
-  BPE yields nothing, code-tokenizer.ts:113-117). On top of the word split
+  primary path is a StarCoder2 BPE vocabulary; its pretrained asset is
+  not downloadable here, so the BPE family lives in ``functions/bpe.py``
+  as a corpus-trained engine with the same cleaning/fallback contract —
+  the reference itself falls back to the word splitter whenever BPE
+  yields nothing, code-tokenizer.ts:113-117). On top of the word split
   it emits camelCase / snake_case / digit-boundary subtokens so
   ``getUserData`` also matches ``user`` and ``data`` — the behavior the
   reference's tokenizer tests demand (code-tokenizer.test.ts:55-65).

@@ -1141,6 +1141,20 @@ SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.8
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the documents table: the word-frequency
+    pass runs distributed (map-side tokenize + groupBy), the sequential
+    merge loop runs driver-side over the bounded frequency table, and the
+    learned merge table comes back as rows. Rows-only: the iterative
+    merge algorithm is not expressible as one SQL query."""
+    from coderag_spark.functions import bpe as B
+
+    counts = B.word_counts(_documents(spark, sf_dir), text_col="text", max_words=20_000)
+    tok = B.train_bpe_from_counts(counts, num_merges=200)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(tok.merges)]
+    return spark.createDataFrame(rows, "rank long, left string, right string, merged string")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_documents(spark, sf_dir))
 
@@ -1240,7 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
         "minhash_lsh": q_minhash_lsh,
-        # rows-only (no SQL oracle): hash-based / stubbed-decode operators
+        # rows-only (no SQL oracle): hash/iterative/codec-based operators
+        "bpe_merges": q_bpe_merges,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "media_features": q_media_features,

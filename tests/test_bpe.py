@@ -1,0 +1,87 @@
+"""BPE tokenizer engine: training determinism, encode semantics, the
+reference's cleaning/fallback contract, and end-to-end index integration."""
+
+from __future__ import annotations
+
+import pytest
+
+from coderag_spark.functions import bpe as B
+
+
+def test_trainer_learns_classic_merges():
+    # "low lower lowest": 'lo' then 'low' dominate
+    counts = [("low", 10), ("lower", 6), ("lowest", 4), ("new", 3)]
+    tok = B.train_bpe_from_counts(counts, num_merges=3, min_pair_count=2)
+    assert tok.merges[0] == ("l", "o")
+    assert tok.merges[1] == ("lo", "w")
+    assert "low" in tok.vocab
+
+
+def test_trainer_deterministic_tiebreak():
+    # equal-count pairs -> lexicographically smallest wins
+    counts = [("ab", 5), ("cd", 5)]
+    tok = B.train_bpe_from_counts(counts, num_merges=1, min_pair_count=2)
+    assert tok.merges == [("a", "b")]
+
+
+def test_encode_word_respects_merge_order_and_roundtrips():
+    tok = B.BpeTokenizer(merges=[("l", "o"), ("lo", "w"), ("e", "r")])
+    assert tok.encode_word("lower") == ["low", "er"]
+    assert tok.encode_word("slow") == ["s", "low"]  # both merges chain
+    # a word with no applicable merges stays as characters
+    assert tok.encode_word("xyz") == ["x", "y", "z"]
+    for w in ("lower", "slow", "xyz", "low"):
+        assert "".join(tok.encode_word(w)) == w
+
+
+def test_tokenize_cleaning_and_fallback():
+    tok = B.BpeTokenizer(merges=[("A", "B")])
+    # pieces are trimmed+lowered, len>1 kept (code-tokenizer.ts:104-107)
+    assert tok.tokenize("AB AB") == ["ab", "ab"]
+    # nothing survives cleaning -> simple word-split fallback
+    # (code-tokenizer.ts:113-117)
+    assert tok.tokenize("go is ok") == ["go", "is", "ok"]
+    assert tok.tokenize("   ") == []
+    assert tok.tokenize("") == []
+
+
+def test_json_roundtrip():
+    tok = B.BpeTokenizer(merges=[("a", "b"), ("ab", "c")])
+    back = B.BpeTokenizer.from_json(tok.to_json())
+    assert back.merges == tok.merges
+    assert back.encode_word("abcd") == tok.encode_word("abcd")
+
+
+def test_distributed_word_counts_match_local(spark, corpus_df, corpus_pdf):
+    got = dict(B.word_counts(corpus_df, max_words=100_000))
+    want: dict[str, int] = {}
+    for row in corpus_pdf.to_dict("records"):
+        for m in __import__("re").finditer(r"[A-Za-z0-9_]+", row["content"] or ""):
+            want[m.group(0)] = want.get(m.group(0), 0) + 1
+    assert got == want
+
+
+def test_bpe_analyzer_end_to_end_index(spark, corpus_df):
+    """Train on the corpus, build the index with the BPE analyzer, search
+    with identical tokenization on the query side."""
+    from coderag_spark.engine import build_index
+    from coderag_spark.operators.bm25 import search
+
+    tok = B.train_bpe(corpus_df, num_merges=300, max_words=20_000)
+    assert len(tok.merges) > 50
+    idx = build_index(corpus_df, analyzer=tok.analyzer())
+    hits = search(idx, "authenticate user", limit=5, analyzer=tok.analyzer()).collect()
+    assert len(hits) == 5
+    scores = [r["score"] for r in hits]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+    # subword effect: a term absent as a whole word still retrieves via
+    # its learned pieces when those pieces index real content
+    q_terms = tok.tokenize("authenticate")
+    assert q_terms  # learned segmentation is non-empty and cleaned
+    assert all(len(t) > 1 and t == t.lower() for t in q_terms)
+
+
+def test_bpe_deterministic_across_partitioning(spark, corpus_df):
+    a = B.train_bpe(corpus_df.repartition(1), num_merges=100)
+    b = B.train_bpe(corpus_df.repartition(7), num_merges=100)
+    assert a.merges == b.merges
