@@ -185,6 +185,73 @@ def _build_and_search(cores: int, n_files: int, do_search: bool = True) -> dict:
     return out
 
 
+def _incremental_metric(cores: int = 8, n_files: int = 10000) -> dict:
+    """Measure the MERGE-style incremental persistence: full build+save
+    vs a 3-file change maintained through resume_or_build (which uses
+    save_index_delta — only affected buckets rewritten)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from coderag_spark import get_spark
+    from coderag_spark.engine import resume_or_build
+    from coderag_spark.sources.corpus import CORPUS_SCHEMA, generate_corpus
+
+    def snapshot(root: str) -> dict[str, tuple[int, float]]:
+        out = {}
+        for dirpath, _d, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime)
+        return out
+
+    spark = get_spark("bench-incremental", cores=cores, shuffle_partitions=cores)
+    path = tempfile.mkdtemp(prefix="bench_inc_") + "/idx"
+    pdf = generate_corpus(n_files=n_files, seed=77, include_edge_rows=False)
+    corpus = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+    t0 = time.time()
+    resume_or_build(spark, corpus, path)
+    full_sec = round(time.time() - t0, 3)
+    before = snapshot(path)
+    total_bytes = sum(sz for sz, _ in before.values())
+
+    pdf2 = pdf.copy()
+    for i in range(3):  # 3 changed files out of n_files
+        pdf2.loc[pdf2.index[i], "content"] = (
+            f"def incrementalBenchPatched{i}(arg):\n    return arg\n"
+        )
+    pdf2["sha256"] = pdf2["content"].map(
+        lambda c: hashlib.sha256(c.encode()).hexdigest()
+    )
+    corpus2 = spark.createDataFrame(pdf2, schema=CORPUS_SCHEMA)
+    t0 = time.time()
+    resume_or_build(spark, corpus2, path)
+    inc_sec = round(time.time() - t0, 3)
+    after = snapshot(path)
+    changed = {
+        p for p in set(before) | set(after) if before.get(p) != after.get(p)
+    }
+    rewritten_bytes = sum(after[p][0] for p in changed if p in after)
+    spark.stop()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return {
+        "n_files": n_files,
+        "changed_files": 3,
+        "full_build_save_sec": full_sec,
+        "incremental_sec": inc_sec,
+        "store_bytes": total_bytes,
+        "rewritten_bytes": rewritten_bytes,
+        "rewritten_fraction": round(rewritten_bytes / max(total_bytes, 1), 4),
+        "note": "log-structured incremental commit: the batch appends a "
+        "merge-on-read segment (added rows + tombstones) and rewrites only "
+        "the small global dictionary/stats; the base store is untouched "
+        "until compact_index folds segments in with bucket targeting. "
+        "incremental_sec is dominated by the diff+partial-tokenize compute "
+        "at this scale, not the write.",
+    }
+
+
 def _scale_probe(cores: int, n_files: int) -> None:
     """Single-action probe: one job runs the whole heavy pipeline
     (generate-cached corpus -> chunk UDF -> tokenize UDF -> explode ->
@@ -259,6 +326,7 @@ def main() -> None:
     # driver-specified local[cpus].
     n_files = int(os.environ.get("SPARK_GRAFT_BUILD_FILES", "50000"))
     build = _build_and_search(min(8, cpus), n_files, do_search=True)
+    build["incremental"] = _incremental_metric(min(8, cpus))
 
     # --- driver suite queries at sf_dir
     spark = get_spark("bench-suite", cores=cpus, shuffle_partitions=cpus)

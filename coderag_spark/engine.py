@@ -79,6 +79,8 @@ def verify_sha_invariant(corpus: DataFrame, docs: DataFrame) -> int:
 
 
 N_STORE_BUCKETS = 32
+# fold merge-on-read segments into the base store once this many accumulate
+COMPACT_AFTER_SEGMENTS = 4
 
 
 def _term_bucket(n_buckets: int = N_STORE_BUCKETS) -> F.Column:
@@ -115,15 +117,119 @@ def save_index(index: Index, path: str) -> None:
         json.dump({"n_docs": index.stats.n_docs, "avgdl": index.stats.avgdl}, f)
 
 
+def _segment_dirs(path: str) -> list[str]:
+    root = f"{path}/_segments"
+    if not os.path.isdir(root):
+        return []
+    segs = [d for d in os.listdir(root) if d.startswith("seg-")]
+    return [f"{root}/{d}" for d in sorted(segs, key=lambda d: int(d.split("-")[1]))]
+
+
 def load_index(spark: SparkSession, path: str) -> Index:
+    """Merge-on-read: the base store plus any incremental segments, each
+    applied in order (tombstones first, then that segment's added rows —
+    so a doc_id re-added by a later segment survives)."""
     with open(f"{path}/stats.json") as f:
         s = json.load(f)
+    postings = spark.read.parquet(f"{path}/postings").drop("bucket")
+    docs = spark.read.parquet(f"{path}/docs").drop("dbucket")
+    for seg in _segment_dirs(path):
+        tomb = spark.read.parquet(f"{seg}/tombstones").select("doc_id")
+        postings = postings.join(tomb, "doc_id", "left_anti").unionByName(
+            spark.read.parquet(f"{seg}/postings")
+        )
+        docs = docs.join(tomb, "doc_id", "left_anti").unionByName(
+            spark.read.parquet(f"{seg}/docs")
+        )
     return Index(
-        postings=spark.read.parquet(f"{path}/postings").drop("bucket"),
+        postings=postings,
         dictionary=spark.read.parquet(f"{path}/dictionary"),
-        docs=spark.read.parquet(f"{path}/docs").drop("dbucket"),
+        docs=docs,
         stats=BuildStats(n_docs=s["n_docs"], avgdl=s["avgdl"]),
     )
+
+
+def append_index_segment(spark: SparkSession, index: Index, path: str, delta) -> str:
+    """Log-structured incremental commit (the Lucene-segment / Iceberg
+    merge-on-read pattern): persist ONLY the batch's change — added
+    postings/docs rows plus a doc_id tombstone list — as a new segment
+    under ``_segments/``; the base store is untouched. Write cost is
+    proportional to the CHANGE, not to the vocabulary it touches (a
+    3-file edit of boilerplate code touches nearly every common term's
+    posting list, which made in-place bucket rewriting degenerate to a
+    near-full-store write). The global dictionary + stats are small and
+    rewritten atomically each batch (any doc change moves every idf).
+    Readers merge base+segments (load_index); compact_index folds
+    segments back into the bucketed base once they accumulate.
+
+    Segments are written single-file (repartition(1)) — they are small by
+    construction here; a real deployment would keep natural partitioning
+    for rare near-threshold batches."""
+    seg = f"{path}/_segments/seg-{len(_segment_dirs(path))}"
+    delta.added_postings.repartition(1).write.mode("errorifexists").parquet(f"{seg}/postings")
+    delta.added_docs.repartition(1).write.mode("errorifexists").parquet(f"{seg}/docs")
+    (
+        delta.removed_doc_ids.select("doc_id").distinct().repartition(1)
+        .write.mode("errorifexists").parquet(f"{seg}/tombstones")
+    )
+    # global refresh: dictionary (staging + rename — the plan may read the
+    # live store) and stats
+    import shutil
+
+    staging = f"{path}/dictionary.staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    index.dictionary.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(f"{path}/dictionary")
+    os.rename(staging, f"{path}/dictionary")
+    with open(f"{path}/stats.json", "w") as f:
+        json.dump({"n_docs": index.stats.n_docs, "avgdl": index.stats.avgdl}, f)
+    return seg
+
+
+def compact_index(spark: SparkSession, path: str) -> dict:
+    """Fold accumulated segments back into the bucketed base store via the
+    bucket-targeted overwrite (save_index_delta): affected terms = every
+    segment term plus the terms of tombstoned base docs; buckets holding
+    none of them stay byte-identical on disk. Segments are removed after
+    the swap. The amortized heavyweight of the log-structured store."""
+    import shutil
+
+    segs = _segment_dirs(path)
+    if not segs:
+        return {"segments": 0}
+    merged = load_index(spark, path)
+    seg_post = None
+    seg_docs = None
+    tombs = None
+    for seg in segs:
+        sp = spark.read.parquet(f"{seg}/postings")
+        sd = spark.read.parquet(f"{seg}/docs")
+        tb = spark.read.parquet(f"{seg}/tombstones")
+        seg_post = sp if seg_post is None else seg_post.unionByName(sp)
+        seg_docs = sd if seg_docs is None else seg_docs.unionByName(sd)
+        tombs = tb if tombs is None else tombs.unionByName(tb)
+    base_post = spark.read.parquet(f"{path}/postings").drop("bucket")
+    base_docs = spark.read.parquet(f"{path}/docs").drop("dbucket")
+    removed_terms = base_post.join(tombs, "doc_id", "left_semi").select("term")
+    affected_terms = seg_post.select("term").unionByName(removed_terms).distinct()
+    affected_keys = (
+        seg_docs.select("repo", "path")
+        .unionByName(base_docs.join(tombs, "doc_id", "left_semi").select("repo", "path"))
+        .distinct()
+    )
+    from coderag_spark.streaming.incremental import IncrementalDelta
+
+    delta = IncrementalDelta(
+        affected_file_keys=affected_keys,
+        affected_terms=affected_terms,
+        added_postings=seg_post,
+        added_docs=seg_docs,
+        removed_doc_ids=tombs.select("doc_id"),
+    )
+    out = save_index_delta(spark, merged, path, delta)
+    shutil.rmtree(f"{path}/_segments", ignore_errors=True)
+    out["segments"] = len(segs)
+    return out
 
 
 def save_index_delta(spark: SparkSession, index: Index, path: str, delta) -> dict:
@@ -279,8 +385,12 @@ def resume_or_build(
             shutil.rmtree(path)
             os.rename(staging, path)
         else:
-            # incremental: overwrite only the affected store partitions
-            save_index_delta(spark, new_index, path, delta)
+            # incremental: append a merge-on-read segment (write cost
+            # proportional to the change); fold segments into the bucketed
+            # base once enough accumulate
+            append_index_segment(spark, new_index, path, delta)
+            if len(_segment_dirs(path)) >= COMPACT_AFTER_SEGMENTS:
+                compact_index(spark, path)
         return load_index(spark, path)
     idx = build_index(corpus, analyzer)
     save_index(idx, path)

@@ -172,6 +172,57 @@ class LocalShard:
         # numpy scalars -> native python (JSON-serializable)
         return {k: (v.item() if hasattr(v, "item") else v) for k, v in row.items()}
 
+    def apply_delta(self, index: Index, delta, hot_threshold: int = 100_000) -> int:
+        """Refresh this serving shard after an incremental index batch
+        WITHOUT re-downloading the whole store: recompact and fetch only
+        the posting lists of ``delta.affected_terms``
+        (streaming.incremental.IncrementalDelta), drop lists whose terms
+        disappeared, and swap in the new global dictionary/stats.
+
+        Global stats (idf, avgdl, n_docs) move on EVERY batch — any doc
+        add/delete changes them — so the precomputed per-posting score
+        arrays are invalidated wholesale; they decode lazily again on
+        first use from the (mostly retained) compressed payloads. The
+        download cost is proportional to the CHANGE, not the store: the
+        serving analogue of save_index_delta. Returns the number of
+        term lists replaced. Requires docs_meta refresh only when
+        attribute filtering is in use (refreshed when present)."""
+        aff = {r["term"] for r in delta.affected_terms.collect()}
+        if aff:
+            plists = build_term_postings(
+                index.postings.filter(F.col("term").isin(list(aff))),
+                index.dictionary,
+                index.stats.avgdl,
+                hot_threshold=hot_threshold,
+            )
+            fresh = {
+                r["term"]: _StoredList(
+                    payload=bytes(r["payload"]),
+                    block_last=list(r["block_last_doc"]),
+                    block_maxq=list(r["block_max_quota"]),
+                )
+                for r in plists.collect()
+            }
+            for term in aff:
+                if term in fresh:
+                    self.lists[term] = fresh[term]
+                else:
+                    self.lists.pop(term, None)  # term vanished from corpus
+        # global refresh: dictionary + stats + decoded-score invalidation
+        self.idf = {r["term"]: float(r["idf"]) for r in index.dictionary.collect()}
+        self.avgdl = index.stats.avgdl
+        self.n_docs = index.stats.n_docs
+        for sl in self.lists.values():
+            sl.docs = None
+            sl.scores = None
+            sl.raw = None
+        if self.docs_meta is not None:
+            meta_cols = [c for c in self.docs_meta.columns if c in index.docs.columns]
+            self.docs_meta = (
+                index.docs.select(*meta_cols).toPandas().set_index("doc_id", drop=False)
+            )
+        return len(aff)
+
     @classmethod
     def from_store(cls, spark, path: str, stats) -> "LocalShard":
         """Load a shard from a checkpointed term store (write_term_store)."""

@@ -59,14 +59,21 @@ def diff_corpus(
 @dataclass
 class IncrementalDelta:
     """Lazy views identifying what an incremental batch touched — the
-    inputs to bucket-targeted persistence (engine.save_index_delta):
-    only postings buckets containing an affected term and docs partitions
-    containing an affected file key need rewriting; everything else on
-    disk stays byte-identical (the MERGE INTO pattern over the
-    partitioned parquet store)."""
+    inputs to delta persistence:
+      * ``added_postings`` / ``added_docs`` — rows of the re-tokenized
+        (added/changed) slice, and ``removed_doc_ids`` — doc ids leaving
+        the index: together the content of a merge-on-read SEGMENT
+        (engine.append_index_segment), whose write cost is proportional
+        to the change;
+      * ``affected_terms`` / ``affected_file_keys`` — the bucket-pruning
+        keys for targeted base-store COMPACTION (engine.save_index_delta):
+        only buckets containing them need rewriting."""
 
     affected_file_keys: DataFrame  # (repo, path) where op != unchanged
     affected_terms: DataFrame  # distinct (term) whose posting list changed
+    added_postings: DataFrame  # postings of the re-tokenized slice
+    added_docs: DataFrame  # docs rows of the re-tokenized slice
+    removed_doc_ids: DataFrame  # (doc_id) rows leaving the index
 
 
 @dataclass
@@ -162,6 +169,9 @@ def apply_incremental(
     delta = IncrementalDelta(
         affected_file_keys=diff.filter(F.col("op") != "unchanged").select("repo", "path"),
         affected_terms=affected_terms,
+        added_postings=partial.postings,
+        added_docs=partial.docs,
+        removed_doc_ids=removed_docs,
     )
     return out, inc_stats, delta
 

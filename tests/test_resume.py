@@ -91,13 +91,22 @@ def _changed_buckets(before: dict, after: dict, prefix: str, part: str) -> set[i
     return {k for k in set(bb) | set(ba) if bb.get(k) != ba.get(k)}
 
 
-def test_incremental_save_targets_only_affected_buckets(spark, tmp_path):
-    """A 1-file change must rewrite ONLY the postings buckets containing
-    that file's terms and the single docs bucket holding its file key;
-    every other bucket's files stay byte-identical on disk (the MERGE
-    property that keeps a small change from becoming a full-store write
-    at scale)."""
+def test_incremental_segment_then_targeted_compaction(spark, tmp_path):
+    """The log-structured write path, both phases:
+
+    1. a 1-file change APPENDS a merge-on-read segment — every base
+       postings/docs bucket file stays byte-identical on disk (write cost
+       proportional to the change, never to the vocabulary it touches);
+    2. compact_index folds segments into the base with bucket targeting —
+       rewritten postings buckets ⊆ buckets hashing the change's terms,
+       exactly one docs bucket moves, and the segments are gone.
+
+    Both phases must reload to exactly the full rebuild."""
+    import os
+
     from pyspark.sql import functions as F
+
+    from coderag_spark.engine import compact_index, load_index
 
     path = str(tmp_path / "idx")
     pdf = generate_corpus(n_files=40, seed=31, include_edge_rows=False)
@@ -123,6 +132,15 @@ def test_incremental_save_targets_only_affected_buckets(spark, tmp_path):
     idx_after = resume_or_build(spark, corpus2, path)
     after = _store_file_hashes(path)
 
+    # ---- phase 1: base untouched, one segment appended
+    assert _changed_buckets(before, after, "postings", "bucket") == set()
+    assert _changed_buckets(before, after, "docs", "dbucket") == set()
+    assert os.path.isdir(f"{path}/_segments/seg-0")
+    full = build_index(corpus2)
+    want = {(r["doc_id"], r["term"]): r["raw_freq"] for r in full.postings.collect()}
+    got = {(r["doc_id"], r["term"]): r["raw_freq"] for r in idx_after.postings.collect()}
+    assert got == want
+
     new_terms = {
         r["term"]
         for r in idx_after.postings.join(
@@ -131,7 +149,12 @@ def test_incremental_save_targets_only_affected_buckets(spark, tmp_path):
             "left_semi",
         ).select("term").distinct().collect()
     }
-    # expected affected buckets, via the engine's own hash expression
+
+    # ---- phase 2: targeted compaction
+    info = compact_index(spark, path)
+    assert info["segments"] == 1
+    assert not os.path.isdir(f"{path}/_segments")
+    compacted = _store_file_hashes(path)
     terms_df = spark.createDataFrame(
         [(t,) for t in sorted(old_terms | new_terms)], "term string"
     )
@@ -141,17 +164,14 @@ def test_incremental_save_targets_only_affected_buckets(spark, tmp_path):
             F.pmod(F.xxhash64("term"), F.lit(32)).alias("b")
         ).distinct().collect()
     }
-    changed_pb = _changed_buckets(before, after, "postings", "bucket")
-    changed_db = _changed_buckets(before, after, "docs", "dbucket")
+    changed_pb = _changed_buckets(after, compacted, "postings", "bucket")
+    changed_db = _changed_buckets(after, compacted, "docs", "dbucket")
     assert changed_pb <= allowed_pb, changed_pb - allowed_pb
-    assert len(changed_pb) < 32  # at least one bucket untouched on disk
+    assert set(info["postings_buckets"]) >= changed_pb
     assert len(changed_db) == 1  # exactly the changed file's key bucket
-
-    # and the persisted result is still exactly the full rebuild
-    full = build_index(corpus2)
-    got = {(r["doc_id"], r["term"]): r["raw_freq"] for r in idx_after.postings.collect()}
-    want = {(r["doc_id"], r["term"]): r["raw_freq"] for r in full.postings.collect()}
-    assert got == want
+    reloaded = load_index(spark, path)
+    got2 = {(r["doc_id"], r["term"]): r["raw_freq"] for r in reloaded.postings.collect()}
+    assert got2 == want
 
 
 def test_doc_store_write_read_wand(spark, index, tmp_path):

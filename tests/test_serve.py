@@ -97,3 +97,48 @@ def test_search_many_batch(shard):
     assert len(outs) == len(QUERIES)
     for q, out in zip(QUERIES, outs):
         assert out == shard.search(q, limit=5)
+
+
+def test_shard_apply_delta_rank_identical(spark):
+    """A serving shard refreshed via apply_delta (affected-terms-only
+    download) must be rank-identical to a shard freshly built from the
+    updated index — across adds, changes, and deletes."""
+    import pandas as pd
+
+    from coderag_spark.engine import build_index
+    from coderag_spark.operators.serve import LocalShard
+    from coderag_spark.sources.corpus import CORPUS_SCHEMA, generate_corpus
+    from coderag_spark.streaming.incremental import apply_incremental
+
+    pdf = generate_corpus(n_files=25, seed=41, include_edge_rows=False)
+    corpus = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+    idx = build_index(corpus)
+    shard = LocalShard.from_index(idx, with_docs=True)
+
+    import hashlib
+
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[0], "content"] = "def deltaRefreshed(query):\n    return query\n"
+    pdf2 = pdf2[pdf2["path"] != pdf2["path"].iloc[1]]
+    pdf2 = pd.concat(
+        [pdf2, pd.DataFrame([{
+            "repo": "repo000", "path": "src/new/delta_added.py",
+            "commit": pdf["commit"].iloc[0], "lang": "Python",
+            "content": "def freshDeltaFn(session_pool):\n    return session_pool\n",
+        }])],
+        ignore_index=True,
+    )
+    pdf2["sha256"] = pdf2["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    corpus2 = spark.createDataFrame(pdf2, schema=CORPUS_SCHEMA)
+    new_idx, _stats, delta = apply_incremental(idx, corpus, corpus2, return_delta=True)
+
+    n_replaced = shard.apply_delta(new_idx, delta)
+    assert 0 < n_replaced < len(shard.lists) + 10  # targeted, not full
+
+    fresh = LocalShard.from_index(new_idx, with_docs=True)
+    for q in ("authenticate user", "freshDeltaFn", "deltaRefreshed", "database query"):
+        assert shard.search(q, 10) == fresh.search(q, 10), q
+    # attribute filter still consistent after the docs_meta refresh
+    al_a = shard.allowed_docs(path_filter="src/new")
+    al_b = fresh.allowed_docs(path_filter="src/new")
+    assert list(al_a) == list(al_b)
