@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator: running per-user session stats via
+``applyInPandasWithState`` — arbitrary per-key state the built-in
+``session_window`` aggregation cannot express (cumulative totals + the
+in-flight session carried across micro-batches and emitted every batch).
+
+Scale shape: state lives in the state store partitioned by user_id (the
+groupBy key), each micro-batch shuffles only that batch's events to their
+key's partition, and per-key work is an Arrow-batched pandas walk. The
+session semantics match the batch operator (events.sessionize: a new
+session opens when the gap to the previous event EXCEEDS ``gap_seconds``),
+so a stream replay converges to exactly the batch rollup — pinned by
+tests/test_stateful.py.
+
+Ordering contract: events are sorted within each (key, batch); cross-batch
+disorder beyond that is the usual streaming caveat and is handled the way
+production pipelines do — partition the source by time so batches arrive
+in order (the test does), or bound disorder with a watermark upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+SESSION_GAP_SECONDS = 1800
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, n_sessions long, "
+    "max_session_events long, cur_session_events long"
+)
+STATE_SCHEMA = "n_events long, n_sessions long, max_sess long, cur_sess long, last_us long"
+
+
+def _ts_us(series: pd.Series) -> pd.Series:
+    return series.astype("datetime64[us]").astype("int64")
+
+
+def running_session_stats(events, gap_seconds: int = SESSION_GAP_SECONDS):
+    """Streaming DataFrame (user_id, event_id, ts, ...) -> per-batch
+    updated running stats per user. State: lifetime event/session counts,
+    the largest finished-or-running session, and the open session's
+    (length, last timestamp)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            n_events, n_sessions, max_sess, cur, last_us = state.get
+        else:
+            n_events, n_sessions, max_sess, cur, last_us = 0, 0, 0, 0, -1
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for us in _ts_us(batch["ts"]):
+                us = int(us)
+                if last_us < 0 or us - last_us > gap_us:
+                    max_sess = max(max_sess, cur)
+                    n_sessions += 1
+                    cur = 0
+                cur += 1
+                n_events += 1
+                last_us = us
+        state.update((n_events, n_sessions, max_sess, cur, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [n_events],
+                "n_sessions": [n_sessions],
+                "max_session_events": [max(max_sess, cur)],
+                "cur_session_events": [cur],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_running_session_stats(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    query_name: str = "running_sessions",
+    max_files_per_trigger: int | None = None,
+    on_batch=None,
+    schema: str = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ),
+):
+    """Wire the stateful operator over an append-only events directory
+    (update mode: one row per user per batch it appears in; the LAST row
+    per user is the current state). ``max_files_per_trigger`` splits the
+    backlog into multiple micro-batches so state genuinely carries across
+    batches (used by the tests to prove it).
+
+    Sink: the in-memory table ``query_name`` by default (inspection);
+    pass ``on_batch(rows, batch_id)`` to use a foreachBatch sink instead —
+    foreachBatch (unlike the memory sink) supports CHECKPOINT RECOVERY,
+    so a restarted query resumes the state store instead of replaying."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    out = running_session_stats(stream, gap_seconds)
+    if on_batch is not None:
+        writer = out.writeStream.foreachBatch(
+            lambda df, bid: on_batch(df.collect(), bid)
+        ).outputMode("update")
+    else:
+        writer = out.writeStream.format("memory").queryName(query_name).outputMode("update")
+    return (
+        writer.option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
