@@ -65,6 +65,8 @@ SUITE_BENCH = [
     "events_quantiles",
     "pricing_summary",
     "nation_revenue",
+    "media_decode",
+    "bpe_merges",
 ]
 
 

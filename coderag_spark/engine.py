@@ -125,15 +125,28 @@ def _segment_dirs(path: str) -> list[str]:
     return [f"{root}/{d}" for d in sorted(segs, key=lambda d: int(d.split("-")[1]))]
 
 
-def load_index(spark: SparkSession, path: str) -> Index:
+def load_index(spark: SparkSession, path: str, as_of_segment: int | None = None) -> Index:
     """Merge-on-read: the base store plus any incremental segments, each
     applied in order (tombstones first, then that segment's added rows —
-    so a doc_id re-added by a later segment survives)."""
+    so a doc_id re-added by a later segment survives).
+
+    ``as_of_segment`` is snapshot time travel over the un-compacted log
+    (the Iceberg ``VERSION AS OF`` analogue): K applies only the first K
+    segments — 0 reads the base store as of the last compaction. The
+    dictionary and n_docs/avgdl are stored only for the LATEST snapshot,
+    so a time-travel read re-derives both from the time-traveled postings
+    and docs (one extra aggregation — time travel is a diagnostic read
+    path, not the hot path)."""
     with open(f"{path}/stats.json") as f:
         s = json.load(f)
     postings = spark.read.parquet(f"{path}/postings").drop("bucket")
     docs = spark.read.parquet(f"{path}/docs").drop("dbucket")
-    for seg in _segment_dirs(path):
+    segs = _segment_dirs(path)
+    if as_of_segment is not None:
+        if as_of_segment > len(segs):
+            raise ValueError(f"as_of_segment={as_of_segment}, only {len(segs)} segments")
+        segs = segs[:as_of_segment]
+    for seg in segs:
         tomb = spark.read.parquet(f"{seg}/tombstones").select("doc_id")
         postings = postings.join(tomb, "doc_id", "left_anti").unionByName(
             spark.read.parquet(f"{seg}/postings")
@@ -141,12 +154,17 @@ def load_index(spark: SparkSession, path: str) -> Index:
         docs = docs.join(tomb, "doc_id", "left_anti").unionByName(
             spark.read.parquet(f"{seg}/docs")
         )
-    return Index(
-        postings=postings,
-        dictionary=spark.read.parquet(f"{path}/dictionary"),
-        docs=docs,
-        stats=BuildStats(n_docs=s["n_docs"], avgdl=s["avgdl"]),
-    )
+    if as_of_segment is not None and as_of_segment < len(_segment_dirs(path)):
+        srow = docs.agg(
+            F.count("*").alias("n"),
+            F.greatest(F.avg(F.coalesce("token_count", F.lit(0))), F.lit(1.0)).alias("avgdl"),
+        ).collect()[0]
+        stats = BuildStats(n_docs=srow["n"], avgdl=float(srow["avgdl"]))
+        dictionary = build_dictionary(postings, stats.n_docs)
+    else:
+        stats = BuildStats(n_docs=s["n_docs"], avgdl=s["avgdl"])
+        dictionary = spark.read.parquet(f"{path}/dictionary")
+    return Index(postings=postings, dictionary=dictionary, docs=docs, stats=stats)
 
 
 def append_index_segment(spark: SparkSession, index: Index, path: str, delta) -> str:

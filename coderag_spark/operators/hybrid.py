@@ -70,6 +70,7 @@ def hybrid_search(
     file_extensions: list[str] | None = None,
     path_filter: str | None = None,
     exclude_paths: list[str] | None = None,
+    provider=None,
 ) -> DataFrame:
     """Weighted fusion of vector knn and BM25 top-k (hybrid-search.ts:169-263).
 
@@ -94,7 +95,9 @@ def hybrid_search(
     analyzer = analyzer or code_analyze
     k = knn_k or limit * 3
 
-    qv = mock_embedding(query, dimensions)
+    # the query vector comes from the same provider that embedded the
+    # corpus (operators.providers registry); default = the mock provider
+    qv = provider.embed(query) if provider is not None else mock_embedding(query, dimensions)
     qcol = F.array(*[F.lit(float(x)) for x in qv])
     vec = (
         embeddings.select("doc_id", cosine(F.col("embedding"), qcol).alias("similarity"))

@@ -1183,18 +1183,27 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(doc_id: pd.Series) -> pd.Series:
         import numpy as np
 
+        base = np.arange(6 * 5 * 3, dtype=np.uint64)
+        t = np.arange(160) / 8000.0
         out = []
         for d in doc_id:
             d = int(d)
             if d % 2 == 0:
-                rng = np.random.RandomState(d % (2**31))
-                out.append(mm.encode_bmp(rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)))
+                # cheap deterministic pixels (multiplicative hash per cell)
+                px = (((base + np.uint64(d)) * np.uint64(2654435761)) >> np.uint64(24)).astype(
+                    np.uint8
+                ).reshape(6, 5, 3)
+                out.append(mm.encode_bmp(px))
             else:
-                t = np.arange(160) / 8000.0
-                out.append(mm.encode_wav(0.3 * np.sin(2 * np.pi * (100 + d % 50) * t), rate=8000))
+                out.append(
+                    mm.encode_wav(0.3 * np.sin(2 * np.pi * (100 + d % 50) * t), rate=8000)
+                )
         return pd.Series(out)
 
-    docs = _documents(spark, sf_dir).select("doc_id")
+    # the documents parquet is a single file -> one partition; spread the
+    # per-payload codec work across cores (same move a real media pipeline
+    # makes before its decode stage)
+    docs = _documents(spark, sf_dir).select("doc_id").repartition(32)
     media = docs.select(
         "doc_id",
         F.lit("synth").alias("modality"),

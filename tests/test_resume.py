@@ -228,3 +228,51 @@ def test_incremental_indexer_batches(spark):
     got = {(r["doc_id"], r["term"]) for r in indexer.index.postings.collect()}
     want = {(r["doc_id"], r["term"]) for r in full.postings.collect()}
     assert got == want
+
+
+def test_time_travel_reads_prior_snapshot(spark, tmp_path):
+    """load_index(as_of_segment=K) must reproduce the index exactly as it
+    was after the K-th incremental batch (Iceberg VERSION AS OF analogue
+    over the merge-on-read segment log)."""
+    from coderag_spark.engine import load_index
+    from coderag_spark.operators.bm25 import search
+
+    path = str(tmp_path / "idx")
+    pdf = generate_corpus(n_files=15, seed=51, include_edge_rows=False)
+    corpus0 = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+    resume_or_build(spark, corpus0, path)
+    want0 = {(r["doc_id"], r["term"]) for r in build_index(corpus0).postings.collect()}
+
+    pdf1 = pd.concat(
+        [pdf, pd.DataFrame([{
+            "repo": "repo000", "path": "src/new/ttravel.py",
+            "commit": pdf["commit"].iloc[0], "lang": "Python",
+            "content": "def timeTraveledFn(snapshot_id):\n    return snapshot_id\n",
+        }])],
+        ignore_index=True,
+    )
+    pdf1 = _with_sha(pdf1)
+    corpus1 = spark.createDataFrame(pdf1, schema=CORPUS_SCHEMA)
+    resume_or_build(spark, corpus1, path)
+
+    # snapshot 0 == the original build (no segments applied)
+    snap0 = load_index(spark, path, as_of_segment=0)
+    got0 = {(r["doc_id"], r["term"]) for r in snap0.postings.collect()}
+    assert got0 == want0
+    assert search(snap0, "timeTraveledFn", limit=1).collect() == []
+    assert snap0.stats.n_docs < load_index(spark, path).stats.n_docs
+
+    # snapshot 1 == latest
+    snap1 = load_index(spark, path, as_of_segment=1)
+    latest = load_index(spark, path)
+    got1 = {(r["doc_id"], r["term"]) for r in snap1.postings.collect()}
+    want1 = {(r["doc_id"], r["term"]) for r in latest.postings.collect()}
+    assert got1 == want1
+    assert [r["path"] for r in search(latest, "timeTraveledFn", limit=1).collect()] == [
+        "src/new/ttravel.py"
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="as_of_segment"):
+        load_index(spark, path, as_of_segment=5)
