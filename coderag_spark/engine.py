@@ -121,7 +121,11 @@ def _segment_dirs(path: str) -> list[str]:
     root = f"{path}/_segments"
     if not os.path.isdir(root):
         return []
-    segs = [d for d in os.listdir(root) if d.startswith("seg-")]
+    # exclude in-flight .tmp dirs (append_index_segment's atomic-commit
+    # staging): an interrupted write must stay invisible to readers
+    segs = [
+        d for d in os.listdir(root) if d.startswith("seg-") and not d.endswith(".tmp")
+    ]
     return [f"{root}/{d}" for d in sorted(segs, key=lambda d: int(d.split("-")[1]))]
 
 
@@ -183,17 +187,23 @@ def append_index_segment(spark: SparkSession, index: Index, path: str, delta) ->
     Segments are written single-file (repartition(1)) — they are small by
     construction here; a real deployment would keep natural partitioning
     for rare near-threshold batches."""
-    seg = f"{path}/_segments/seg-{len(_segment_dirs(path))}"
-    delta.added_postings.repartition(1).write.mode("errorifexists").parquet(f"{seg}/postings")
-    delta.added_docs.repartition(1).write.mode("errorifexists").parquet(f"{seg}/docs")
-    (
-        delta.removed_doc_ids.select("doc_id").distinct().repartition(1)
-        .write.mode("errorifexists").parquet(f"{seg}/tombstones")
-    )
-    # global refresh: dictionary (staging + rename — the plan may read the
-    # live store) and stats
     import shutil
 
+    seg = f"{path}/_segments/seg-{len(_segment_dirs(path))}"
+    # atomic commit: write under a tmp name, rename once complete — a
+    # crashed batch can never leave a half-written segment that readers
+    # (or the next append) would pick up
+    tmp = f"{seg}.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    delta.added_postings.repartition(1).write.mode("overwrite").parquet(f"{tmp}/postings")
+    delta.added_docs.repartition(1).write.mode("overwrite").parquet(f"{tmp}/docs")
+    (
+        delta.removed_doc_ids.select("doc_id").distinct().repartition(1)
+        .write.mode("overwrite").parquet(f"{tmp}/tombstones")
+    )
+    os.rename(tmp, seg)
+    # global refresh: dictionary (staging + rename — the plan may read the
+    # live store) and stats
     staging = f"{path}/dictionary.staging"
     shutil.rmtree(staging, ignore_errors=True)
     index.dictionary.write.mode("overwrite").parquet(staging)

@@ -189,8 +189,12 @@ class LocalShard:
         attribute filtering is in use (refreshed when present)."""
         aff = {r["term"] for r in delta.affected_terms.collect()}
         if aff:
+            # semi-join (not a literal isin list): affected-term sets can be
+            # the whole common vocabulary on boilerplate-heavy change sets
             plists = build_term_postings(
-                index.postings.filter(F.col("term").isin(list(aff))),
+                index.postings.join(
+                    F.broadcast(delta.affected_terms.distinct()), "term", "left_semi"
+                ),
                 index.dictionary,
                 index.stats.avgdl,
                 hot_threshold=hot_threshold,
