@@ -67,6 +67,8 @@ SUITE_BENCH = [
     "nation_revenue",
     "media_decode",
     "bpe_merges",
+    "emb_centroids",
+    "events_dau",
 ]
 
 

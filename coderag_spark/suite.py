@@ -991,6 +991,50 @@ FROM events GROUP BY event_type
 """
 
 
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the IVF coarse-quantizer init): one
+    posexplode + partial-aggregated groupBy over (label, dim) — vector
+    averaging as pure column algebra, no UDF."""
+    return (
+        _embeddings(spark, sf_dir)
+        .select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            F.count("*").cast("long").alias("n_vecs"),
+        )
+    )
+
+
+SQL_EMB_CENTROIDS = """
+SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6) AS centroid,
+       count(*)::BIGINT AS n_vecs
+FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, i
+"""
+
+
+def q_events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily-active-users: per-day distinct users + event counts
+    (the dataset-curation activity profile; count-distinct shuffles
+    (day, user) pairs once, partial-aggregated)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("dau"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_DAU = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(distinct user_id)::BIGINT AS dau,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------- relational analytics (TPC-H-ish)
 
 
@@ -1263,6 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
         "minhash_lsh": q_minhash_lsh,
+        "emb_centroids": q_emb_centroids,
+        "events_dau": q_events_dau,
         # rows-only (no SQL oracle): hash/iterative/codec-based operators
         "bpe_merges": q_bpe_merges,
         "simhash": q_simhash,
@@ -1307,4 +1353,6 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING_SUMMARY,
         "nation_revenue": SQL_NATION_REVENUE,
         "minhash_lsh": SQL_MINHASH_LSH,
+        "emb_centroids": SQL_EMB_CENTROIDS,
+        "events_dau": SQL_EVENTS_DAU,
     }
