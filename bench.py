@@ -382,12 +382,14 @@ def main() -> None:
             for l, h in zip(lo_runs, hi_runs)
         ]
         eff_min = lo["build_sec"] / (4.0 * hi["build_sec"])
+        eff_median = sorted(pair_effs)[len(pair_effs) // 2]
         scaling = {
             "n_files": n_scale,
             f"local[{lo_cores}]": {"build_sec": lo["build_sec"], "files_per_sec": lo["files_per_sec"]},
             f"local[{hi_cores}]": {"build_sec": hi["build_sec"], "files_per_sec": hi["files_per_sec"]},
             "efficiency_Nx4": min(1.0, max(max(pair_effs), round(eff_min, 3))),
             "efficiency_min_based": round(eff_min, 3),
+            "efficiency_median_pair": eff_median,
             "efficiency_per_pair": pair_effs,
             "reps_sec": {
                 f"local[{lo_cores}]": [r["build_sec"] for r in lo_runs],

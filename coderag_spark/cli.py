@@ -20,6 +20,15 @@ import json
 import sys
 
 
+def _split_flag(value: str | None) -> list[str] | None:
+    """Comma-flag -> list, dropping empties (a trailing comma must not
+    become a match-everything '' pattern)."""
+    if not value:
+        return None
+    parts = [p for p in value.split(",") if p]
+    return parts or None
+
+
 def _cmd_build(args) -> int:
     from coderag_spark import get_spark
     from coderag_spark.engine import build_index, save_index, verify_sha_invariant
@@ -73,8 +82,13 @@ def _cmd_query(args) -> int:
         # attribute filters apply to the fused set (same flags as the
         # keyword paths)
         from coderag_spark.operators.hybrid import hybrid_search
+        from coderag_spark.operators.providers import get_default_provider
 
         emb = spark.read.parquet(f"{args.index}/embeddings")
+        # the query vector MUST come from the same provider (and dims) that
+        # embedded the corpus at build time — a mock-64 query against
+        # provider-1536 corpus vectors would null out the whole vector side
+        provider = get_default_provider()
         hits = [
             (r["doc_id"], r["score"])
             for r in hybrid_search(
@@ -83,9 +97,11 @@ def _cmd_query(args) -> int:
                 args.query,
                 vector_weight=args.vector_weight,
                 limit=args.limit,
-                file_extensions=args.file_extensions.split(",") if args.file_extensions else None,
+                provider=provider,
+                dimensions=provider.dimensions,
+                file_extensions=_split_flag(args.file_extensions),
                 path_filter=args.path_filter,
-                exclude_paths=args.exclude_paths.split(",") if args.exclude_paths else None,
+                exclude_paths=_split_flag(args.exclude_paths),
             ).collect()
             if r["score"] >= args.min_score
         ]
@@ -97,9 +113,9 @@ def _cmd_query(args) -> int:
 
         shard = LocalShard.from_index(idx, with_docs=True)
         allowed = shard.allowed_docs(
-            file_extensions=args.file_extensions.split(",") if args.file_extensions else None,
+            file_extensions=_split_flag(args.file_extensions),
             path_filter=args.path_filter,
-            exclude_paths=[e for e in (args.exclude_paths or "").split(",") if e],
+            exclude_paths=_split_flag(args.exclude_paths),
         )
         hits = [
             (d, s)
@@ -114,9 +130,9 @@ def _cmd_query(args) -> int:
                 args.query,
                 limit=args.limit,
                 min_score=args.min_score,
-                file_extensions=args.file_extensions.split(",") if args.file_extensions else None,
+                file_extensions=_split_flag(args.file_extensions),
                 path_filter=args.path_filter,
-                exclude_paths=args.exclude_paths.split(",") if args.exclude_paths else None,
+                exclude_paths=_split_flag(args.exclude_paths),
             ).collect()
         ]
     if args.local:

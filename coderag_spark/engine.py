@@ -147,8 +147,8 @@ def load_index(spark: SparkSession, path: str, as_of_segment: int | None = None)
     docs = spark.read.parquet(f"{path}/docs").drop("dbucket")
     segs = _segment_dirs(path)
     if as_of_segment is not None:
-        if as_of_segment > len(segs):
-            raise ValueError(f"as_of_segment={as_of_segment}, only {len(segs)} segments")
+        if not 0 <= as_of_segment <= len(segs):
+            raise ValueError(f"as_of_segment={as_of_segment}, store has {len(segs)} segments")
         segs = segs[:as_of_segment]
     for seg in segs:
         tomb = spark.read.parquet(f"{seg}/tombstones").select("doc_id")
@@ -207,11 +207,24 @@ def append_index_segment(spark: SparkSession, index: Index, path: str, delta) ->
     staging = f"{path}/dictionary.staging"
     shutil.rmtree(staging, ignore_errors=True)
     index.dictionary.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(f"{path}/dictionary")
-    os.rename(staging, f"{path}/dictionary")
+    _swap_dir(staging, f"{path}/dictionary")
     with open(f"{path}/stats.json", "w") as f:
         json.dump({"n_docs": index.stats.n_docs, "avgdl": index.stats.avgdl}, f)
     return seg
+
+
+def _swap_dir(staging: str, live: str) -> None:
+    """Rename-based swap: live -> .old, staging -> live, drop .old. The
+    only crash window leaves ``live`` missing with ``.old`` intact on
+    disk — recoverable by hand, never silently corrupt. (A real
+    deployment commits via an Iceberg catalog pointer swap instead.)"""
+    import shutil
+
+    old = f"{live}.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live, old)
+    os.rename(staging, live)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def compact_index(spark: SparkSession, path: str) -> dict:
@@ -333,8 +346,7 @@ def save_index_delta(spark: SparkSession, index: Index, path: str, delta) -> dic
         if os.path.exists(staged):
             os.rename(staged, live)
     for name in ("dictionary", "_lineage"):
-        shutil.rmtree(f"{path}/{name}")
-        os.rename(f"{staging}/{name}", f"{path}/{name}")
+        _swap_dir(f"{staging}/{name}", f"{path}/{name}")
     with open(f"{path}/stats.json", "w") as f:
         json.dump({"n_docs": index.stats.n_docs, "avgdl": index.stats.avgdl}, f)
     shutil.rmtree(staging, ignore_errors=True)

@@ -213,15 +213,20 @@ class CodebaseSearchBackend:
                 "No matches found. Try different terms or check filters.\n"
                 f"Indexed files: {self.shard.n_docs}"
             )
-        rows = [info for d, _ in hits if (info := self.shard.doc_info(d)) is not None]
+        # keep (hit, metadata) aligned: drop hits whose doc metadata is
+        # missing TOGETHER with their score, and report the surviving count
+        paired = [
+            (d, info) for d, _s in hits if (info := self.shard.doc_info(d)) is not None
+        ]
         terms = dedupe_query_tokens(query)
+        rows = [info for _d, info in paired]
         snippets = (
             self._snippets_for(rows, terms, context_lines, max_snippet_chars, max_snippet_blocks)
             if include_content
             else {}
         )
-        out = f'# Search: "{query}" ({len(hits)} results)\n\n'
-        for (doc_id, _score), r in zip(hits, rows):
+        out = f'# Search: "{query}" ({len(paired)} results)\n\n'
+        for doc_id, r in paired:
             header = r["path"]
             if r.get("start_line") is not None and r.get("end_line") is not None:
                 header += f":{r['start_line']}-{r['end_line']}"

@@ -65,6 +65,17 @@ _ARROW_RE = re.compile(
     r"(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*=>"
 )
 
+# modifier-led method header without a def keyword — `public void foo(`,
+# `private foo() {`, `static async handle(` (Java/C#/TS class members)
+_MODIFIER_DEF_RE = re.compile(
+    r"^\s*(?:(?:public|private|protected|static|abstract|final|synchronized|"
+    r"override|readonly|async)\s+)+[A-Za-z_$][\w$<>\[\], .]*?\s*\("
+)
+
+# the method name in a modifier-led header: first identifier directly
+# preceding a '('
+_METHOD_NAME_RE = re.compile(r"([A-Za-z_$][\w$]*)\s*\(")
+
 # decorator (Python) / annotation (Java/TS) line — attaches to the next def
 _DECORATOR_RE = re.compile(r"^\s*@[\w.]+")
 
@@ -138,7 +149,11 @@ def _indent(line: str) -> int:
 
 def _is_def_line(line: str) -> bool:
     code = _code_text(line)
-    return bool(_DEF_LINE_RE.match(code) or _ARROW_RE.match(code))
+    return bool(
+        _DEF_LINE_RE.match(code)
+        or _ARROW_RE.match(code)
+        or _MODIFIER_DEF_RE.match(code)
+    )
 
 
 # cheap gate before the expensive def/arrow regexes: a definition line's
@@ -147,7 +162,8 @@ def _is_def_line(line: str) -> bool:
 _FIRST_WORD_RE = re.compile(r"[ \t]*([A-Za-z_$@][\w$]*)")
 _DEF_FIRST_WORDS = frozenset(
     "export default async function def class fn func impl struct interface "
-    "trait enum public private protected static abstract final const let var".split()
+    "trait enum public private protected static abstract final const let var "
+    "synchronized override readonly".split()
 )
 
 
@@ -159,7 +175,9 @@ def _may_be_def(code_line: str) -> bool:
 def _is_def_code(code_line: str) -> bool:
     """_is_def_line over an already-stripped line (per-file memo path)."""
     return _may_be_def(code_line) and bool(
-        _DEF_LINE_RE.match(code_line) or _ARROW_RE.match(code_line)
+        _DEF_LINE_RE.match(code_line)
+        or _ARROW_RE.match(code_line)
+        or _MODIFIER_DEF_RE.match(code_line)
     )
 
 
@@ -367,6 +385,11 @@ def _mk_chunk(
         am = _ARROW_RE.match(cl)
         if am:
             entities.append(f"function:{am.group(1)}")
+            continue
+        if flags[i] and _MODIFIER_DEF_RE.match(cl):
+            nm = _METHOD_NAME_RE.search(cl)
+            if nm:
+                entities.append(f"function:{nm.group(1)}")
     # chunk type = first entity's type, else 'chunk' (ast-chunking.ts:71-73)
     chunk_type = entities[0].split(":", 1)[0] if entities else "chunk"
     return Chunk(

@@ -89,6 +89,11 @@ def ngram_jaccard_pairs(
     gram count (consistent jaccard over the surviving shingle space).
     ``log_dropped=True`` eagerly counts and logs the dropped shingles
     (one extra aggregation job).
+
+    NOTE: intermediate frames are persisted for the duration of the query
+    (multiple consumers); a long-lived driver issuing many dedup calls
+    should clear them between rounds (``spark.catalog.clearCache()`` or
+    unpersist after materializing the result).
     """
     # two-step select: see minhash_signatures — the grams transform must
     # consume a materialized column, not the raw split expression.

@@ -59,6 +59,10 @@ class _StoredList:
     docs: np.ndarray | None = None
     scores: np.ndarray | None = None
     raw: tuple[list[int], list[int], list[int]] | None = None
+    # set when global stats (avgdl) moved after an apply_delta: the stored
+    # block_maxq was computed with the OLD avgdl and could UNDERSTATE
+    # scores (unsafe WAND pruning) — _term_list recomputes it lazily
+    blocks_stale: bool = False
 
 
 class LocalShard:
@@ -220,6 +224,7 @@ class LocalShard:
             sl.docs = None
             sl.scores = None
             sl.raw = None
+            sl.blocks_stale = True  # avgdl moved: WAND bounds recompute lazily
         if self.docs_meta is not None:
             meta_cols = [c for c in self.docs_meta.columns if c in index.docs.columns]
             self.docs_meta = (
@@ -269,6 +274,16 @@ class LocalShard:
         if stored is None:
             return None
         docs, tfs, dls = stored.raw  # type: ignore[misc]
+        if stored.blocks_stale:
+            # rebuild block upper bounds under the CURRENT avgdl — stale
+            # bounds from before an apply_delta could understate scores and
+            # make WAND prune blocks containing true top-k docs
+            from coderag_spark.operators.compact import _block_meta
+
+            stored.block_last, stored.block_maxq = _block_meta(
+                docs, tfs, dls, self.avgdl
+            )
+            stored.blocks_stale = False
         return _TermList(
             idf=self.idf.get(term, 1.0),
             docs=docs,

@@ -402,9 +402,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     to sum df^2 ~ 2.9M — the same 25-planted-near-dup output an order of
     magnitude cheaper, which is what lets this query sit in the bench at
     sf0.1. The default hot-shingle guard (df > 1000) is a no-op on this
-    data (max trigram df 25 at sf0.1), so the exact SQL oracle needs no
-    guard clause."""
-    return dd.ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.5)
+    data (max trigram df 25 at sf0.1) — the guard is still passed as None
+    EXPLICITLY so the match with the guard-free SQL oracle is structural,
+    not a property of the current data."""
+    return dd.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), n=3, threshold=0.5, max_shingle_df=None
+    )
 
 
 SQL_NGRAM_JACCARD = f"""

@@ -202,3 +202,29 @@ def test_chunk_corpus_matches_pure_python(spark, corpus_df, corpus_pdf):
                 c.chunk_type, c.start_line, c.end_line, c.content,
             )
     assert got == want
+
+
+def test_modifier_led_methods_are_boundaries():
+    """Java/TS class members without a def keyword (`public void foo(`,
+    `private bar() {`) must count as definitions: an oversize class
+    splits along them and their names become entities."""
+    body = "".join(
+        f"  public void method{i}(int x) {{\n" + "    this.x += x;\n" * 12 + "  }\n"
+        for i in range(6)
+    )
+    code = "class BigJava {\n" + body + "}\n"
+    chunks = chunk_file(code, "Java", max_chunk_size=300)
+    assert len(chunks) > 1
+    assert all(len(c.content) <= 480 for c in chunks)
+    ents = [e for c in chunks for e in c.entities]
+    assert "class:BigJava" in ents
+    assert any(e.startswith("function:method") for e in ents)
+
+    ts = (
+        "class Svc {\n"
+        "  private handle(req) {\n    return req;\n  }\n"
+        "  static async fetchAll() {\n    return [];\n  }\n"
+        "}\n"
+    )
+    [one] = chunk_file(ts, "TypeScript", max_chunk_size=400)
+    assert one.entities == ["class:Svc", "function:handle", "function:fetchAll"]

@@ -138,6 +138,11 @@ def test_shard_apply_delta_rank_identical(spark):
     fresh = LocalShard.from_index(new_idx, with_docs=True)
     for q in ("authenticate user", "freshDeltaFn", "deltaRefreshed", "database query"):
         assert shard.search(q, 10) == fresh.search(q, 10), q
+        # the WAND kernel must stay safe too: its block upper bounds were
+        # computed under the OLD avgdl and are rebuilt lazily post-delta
+        got_w = [(d, round(sc, 9)) for d, sc in shard.search(q, 10, kernel="wand")]
+        want_v = [(d, round(sc, 9)) for d, sc in fresh.search(q, 10)]
+        assert got_w == want_v, q
     # attribute filter still consistent after the docs_meta refresh
     al_a = shard.allowed_docs(path_filter="src/new")
     al_b = fresh.allowed_docs(path_filter="src/new")
