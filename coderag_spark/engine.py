@@ -79,8 +79,36 @@ def verify_sha_invariant(corpus: DataFrame, docs: DataFrame) -> int:
 
 
 N_STORE_BUCKETS = 32
-# fold merge-on-read segments into the base store once this many accumulate
+# fold merge-on-read segments into the base store once EITHER trigger
+# trips: segment count (read-amplification bound — each segment adds an
+# anti-join + union to every reader plan) or accumulated segment bytes
+# relative to the base (space-amplification bound)
 COMPACT_AFTER_SEGMENTS = 4
+COMPACT_SEGMENT_BYTES_FRACTION = 0.2
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _d, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+            except OSError:
+                pass
+    return total
+
+
+def should_compact(path: str) -> bool:
+    """Compaction policy: too many segments OR segments grew past a
+    fraction of the base postings store."""
+    segs = _segment_dirs(path)
+    if not segs:
+        return False
+    if len(segs) >= COMPACT_AFTER_SEGMENTS:
+        return True
+    seg_bytes = sum(_dir_bytes(s) for s in segs)
+    base_bytes = _dir_bytes(f"{path}/postings") + _dir_bytes(f"{path}/docs")
+    return seg_bytes > COMPACT_SEGMENT_BYTES_FRACTION * max(base_bytes, 1)
 
 
 def _term_bucket(n_buckets: int = N_STORE_BUCKETS) -> F.Column:
@@ -429,7 +457,7 @@ def resume_or_build(
             # proportional to the change); fold segments into the bucketed
             # base once enough accumulate
             append_index_segment(spark, new_index, path, delta)
-            if len(_segment_dirs(path)) >= COMPACT_AFTER_SEGMENTS:
+            if should_compact(path):
                 compact_index(spark, path)
         return load_index(spark, path)
     idx = build_index(corpus, analyzer)

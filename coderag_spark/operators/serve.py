@@ -414,3 +414,24 @@ class LocalCluster:
             merged.extend(sh.search(query, limit, analyzer))
         merged.sort(key=lambda e: (-e[1], e[0]))
         return merged[:limit]
+
+    def apply_delta(self, index: Index, delta, **kw) -> int:
+        """Cluster-wide incremental refresh: every doc-shard recompacts
+        only ITS slice of the affected terms' postings (same doc-hash
+        predicate as from_index), so the per-node download stays 1/N of
+        the already-change-proportional delta. Returns total lists
+        replaced across shards."""
+        total = 0
+        n = len(self.shards)
+        for i, sh in enumerate(self.shards):
+            part = index.postings.filter(
+                F.pmod(F.xxhash64("doc_id"), F.lit(n)) == i
+            )
+            sub = Index(
+                postings=part,
+                dictionary=index.dictionary,
+                docs=index.docs,
+                stats=index.stats,
+            )
+            total += sh.apply_delta(sub, delta, **kw)
+        return total

@@ -276,3 +276,39 @@ def test_time_travel_reads_prior_snapshot(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="as_of_segment"):
         load_index(spark, path, as_of_segment=5)
+
+
+def test_size_based_compaction_policy(spark, tmp_path):
+    """should_compact trips on accumulated segment bytes even below the
+    segment-count threshold."""
+    from coderag_spark.engine import (
+        COMPACT_AFTER_SEGMENTS,
+        should_compact,
+        _segment_dirs,
+    )
+
+    path = str(tmp_path / "idx")
+    pdf = generate_corpus(n_files=12, seed=71, include_edge_rows=False)
+    corpus = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+    resume_or_build(spark, corpus, path)
+    assert not should_compact(path)  # no segments yet
+
+    # one segment with ~17% of the corpus changed (below the 20% rebuild
+    # threshold, above nothing) -> count trigger not hit
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[0], "content"] = "def sizePolicyFn(a):\n    return a\n"
+    pdf2 = _with_sha(pdf2)
+    resume_or_build(spark, spark.createDataFrame(pdf2, schema=CORPUS_SCHEMA), path)
+    n_segs = len(_segment_dirs(path))
+    assert 0 < n_segs < COMPACT_AFTER_SEGMENTS
+    # artificially inflate the segment to trip the byte-fraction trigger
+    seg = _segment_dirs(path)[-1]
+    with open(f"{seg}/postings/_ballast.bin", "wb") as f:
+        f.write(b"\0" * (20 << 20))
+    try:
+        assert should_compact(path)
+    finally:
+        import os
+
+        os.remove(f"{seg}/postings/_ballast.bin")
+    assert not should_compact(path)

@@ -147,3 +147,38 @@ def test_shard_apply_delta_rank_identical(spark):
     al_a = shard.allowed_docs(path_filter="src/new")
     al_b = fresh.allowed_docs(path_filter="src/new")
     assert list(al_a) == list(al_b)
+
+
+def test_cluster_apply_delta_rank_identical(spark):
+    """LocalCluster delta refresh: every shard updates its doc-slice; the
+    fan-in stays rank-identical to a freshly built cluster."""
+    import hashlib
+
+    import pandas as pd
+
+    from coderag_spark.engine import build_index
+    from coderag_spark.operators.serve import LocalCluster
+    from coderag_spark.sources.corpus import CORPUS_SCHEMA, generate_corpus
+    from coderag_spark.streaming.incremental import apply_incremental
+
+    pdf = generate_corpus(n_files=20, seed=61, include_edge_rows=False)
+    corpus = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+    idx = build_index(corpus)
+    cluster = LocalCluster.from_index(idx, n_shards=3)
+
+    pdf2 = pd.concat(
+        [pdf, pd.DataFrame([{
+            "repo": "repo000", "path": "src/new/cluster_delta.py",
+            "commit": pdf["commit"].iloc[0], "lang": "Python",
+            "content": "def clusterDeltaFn(shard_map):\n    return shard_map\n",
+        }])],
+        ignore_index=True,
+    )
+    pdf2["sha256"] = pdf2["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    corpus2 = spark.createDataFrame(pdf2, schema=CORPUS_SCHEMA)
+    new_idx, _s, delta = apply_incremental(idx, corpus, corpus2, return_delta=True)
+
+    assert cluster.apply_delta(new_idx, delta) > 0
+    fresh = LocalCluster.from_index(new_idx, n_shards=3)
+    for q in ("clusterDeltaFn", "authenticate user", "database query"):
+        assert cluster.search(q, 10) == fresh.search(q, 10), q
