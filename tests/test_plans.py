@@ -138,3 +138,56 @@ def test_bucketed_index_scoring_is_shuffle_free(spark, index):
     finally:
         for t in ["covtest_postings", "covtest_docs", "covtest_dictionary"]:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_minhash_exact_rescore_no_cartesian(spark):
+    """The exact-rescore LSH path must stay blocked by band buckets —
+    never a CartesianProduct, and the candidate join keyed on (band,
+    bucket)."""
+    from coderag_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i} word{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    plan = physical_plan(
+        dd.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, shingle_n=2, threshold=0.5, rescore="exact"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_emb_centroids_partial_aggregation(spark):
+    """Centroid averaging must partial-aggregate before the exchange
+    (two HashAggregate stages around one shuffle)."""
+    from coderag_spark.suite import q_emb_centroids
+
+    plan = physical_plan(q_emb_centroids(spark, "/root/testdata/sf0.001"))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_merge_read_shape(spark, index, tmp_path):
+    """A merge-on-read load (base + segment + tombstones) must keep the
+    final search plan's top-k and broadcast properties — segments change
+    the scan, not the query strategy."""
+    import hashlib
+
+    import pandas as pd
+
+    from coderag_spark.engine import resume_or_build
+    from coderag_spark.sources.corpus import CORPUS_SCHEMA, generate_corpus
+
+    path = str(tmp_path / "moridx")
+    pdf = generate_corpus(n_files=12, seed=81, include_edge_rows=False)
+    resume_or_build(spark, spark.createDataFrame(pdf, schema=CORPUS_SCHEMA), path)
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[0], "content"] = "def morPlanFn(x):\n    return x\n"
+    pdf2["sha256"] = pdf2["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    idx = resume_or_build(spark, spark.createDataFrame(pdf2, schema=CORPUS_SCHEMA), path)
+    plan = physical_plan(search(idx, "authenticate user", limit=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
