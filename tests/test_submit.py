@@ -1,0 +1,57 @@
+"""The spark-submit --py-files shipping contract (BASELINE north rule):
+the packaged zip alone — no repo on PYTHONPATH — must run the build +
+search pipeline in a fresh spark-submit process."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+JOB = """
+import json
+from pyspark.sql import SparkSession
+from coderag_spark.engine import build_index, verify_sha_invariant
+from coderag_spark.operators.bm25 import search
+from coderag_spark.sources.corpus import generate_corpus_df
+
+spark = SparkSession.builder.getOrCreate()
+corpus = generate_corpus_df(spark, n_files=80, seed=3)
+idx = build_index(corpus)
+bad = verify_sha_invariant(corpus, idx.docs)
+top = search(idx, "authenticate user", limit=3).collect()
+print("SUBMIT_RESULT " + json.dumps({
+    "n_docs": idx.stats.n_docs,
+    "sha_violations": bad,
+    "n_hits": len(top),
+}))
+spark.stop()
+"""
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_with_pyfiles(tmp_path):
+    from tools.make_pyfiles import make_zip
+
+    zip_path = str(tmp_path / "coderag_spark.zip")
+    make_zip(zip_path)
+    job = tmp_path / "job.py"
+    job.write_text(JOB)
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--py-files", zip_path, str(job),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # no repo dir on the path — the zip is the ship
+        timeout=300,
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("SUBMIT_RESULT ")]
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert lines, proc.stdout[-2000:]
+    out = json.loads(lines[0][len("SUBMIT_RESULT "):])
+    assert out["n_docs"] > 0 and out["sha_violations"] == 0 and out["n_hits"] == 3
