@@ -69,6 +69,8 @@ SUITE_BENCH = [
     "bpe_merges",
     "emb_centroids",
     "events_dau",
+    "emb_neardup",
+    "dedup_groups",
 ]
 
 

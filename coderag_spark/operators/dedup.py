@@ -327,8 +327,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     Shape: ONE map-side Arrow pass, zero shuffle (same rationale as
     minhash_signatures — the previous two-groupBy form ended in 64
     conditional-sum aggregates, past the whole-stage-codegen method limit,
-    interpreted). Per batch: one memoized blake2b hash per DISTINCT term,
-    a vectorized (n_terms x 64) ±weight bit matrix, sign -> bits.
+    interpreted). Per batch: one memoized hash per DISTINCT term, a
+    vectorized (n_terms x 64) ±weight bit matrix, sign -> bits.
+
+    The per-term 64-bit hash is the big-endian first 8 bytes of md5 —
+    chosen so an exact SQL oracle exists
+    (``('0x' || substr(md5(t), 1, 16))::UBIGINT`` in DuckDB).
     """
 
     @F.pandas_udf(T.LongType())
@@ -338,7 +342,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         def bits(t: str) -> np.ndarray:
             b = bit_cache.get(t)
             if b is None:
-                h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
                 b = ((np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
                     np.int64
                 ) * 2 - 1  # bit -> +1 / -1
@@ -412,3 +416,67 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list: every doc is
+    labeled with the MIN doc id reachable through dup edges — the
+    canonical keeper a training pipeline collapses a near-dup cluster
+    onto (docs in no pair keep their own id when ``all_ids`` is given).
+
+    Iterative min-label propagation — the DataFrame form of Pregel /
+    GraphX connectedComponents. Labels start as self; each round every
+    node takes the min of its own and its neighbors' labels; stop when a
+    round changes nothing. Converges in O(component diameter) rounds, and
+    dup clusters (near-cliques from sha/Jaccard edges) have diameter 2-3
+    regardless of corpus size, so the round count does not grow with
+    data. Each round is one shuffle on node id; every frontier is
+    localCheckpoint()ed so the plan stays constant-size instead of
+    growing a join per iteration (the classic iterative-lineage blowup).
+    """
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col(b_col).cast("long").alias("src"), F.col(a_col).cast("long").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    if all_ids is not None:
+        nodes = all_ids.select(F.col(all_ids.columns[0]).cast("long").alias("v")).distinct()
+    else:
+        nodes = edges.select(F.col("src").alias("v")).distinct()
+    labels = nodes.select("v", F.col("v").alias("lbl")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "v", "left")
+            .select("v", F.least(F.col("lbl"), F.coalesce("nb_lbl", F.col("lbl"))).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "v")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))

@@ -65,17 +65,31 @@ def cosine_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    block_col: str | None = None,
 ) -> DataFrame:
-    """Exact pairs with cosine >= threshold (doc_a < doc_b). Brute-force
-    cross-block join — only for corpus slices that fit a quadratic plan;
-    the LSH variant is the scale path."""
-    a = embeddings.select(
+    """Exact near-dup pairs with cosine >= threshold (id_a < id_b).
+
+    With ``block_col`` (a cluster / IVF-centroid / LSH-bucket assignment)
+    the pair space is an equi-join on the block key — linear-per-block and
+    shuffle-partitioned by block, never globally quadratic; this is the
+    100 TB shape (assign coarse centroids first via ``ivf_assign``, then
+    pair within cells). Without it the join is a brute-force cross
+    product — only for corpus slices that fit a quadratic plan."""
+    a_cols = [
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
-    )
-    b = embeddings.select(
+    ]
+    b_cols = [
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    ]
+    if block_col:
+        a_cols.append(F.col(block_col).alias("blk_a"))
+        b_cols.append(F.col(block_col).alias("blk_b"))
+    a = embeddings.select(*a_cols)
+    b = embeddings.select(*b_cols)
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = (F.col("blk_a") == F.col("blk_b")) & cond
+    pairs = a.join(b, cond)
     return (
         pairs.withColumn(
             "cos", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)

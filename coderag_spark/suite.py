@@ -1203,7 +1203,124 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash(_documents(spark, sf_dir))
+    """64-bit SimHash per document, emitted as a 16-char hex string so the
+    exact DuckDB oracle (UBIGINT bit math) and Spark (two's-complement
+    LongType) compare on the same representation."""
+    out = dd.simhash(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id", F.lpad(F.hex(F.col("simhash")), 16, "0").alias("simhash_hex")
+    )
+
+
+SQL_SIMHASH = f"""
+WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+toks AS (SELECT doc_id, unnest(toks) AS t FROM d WHERE len(toks) > 0),
+tw AS (
+  SELECT doc_id, t, count(*)::BIGINT AS w,
+         ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+  FROM toks GROUP BY doc_id, t
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN w ELSE -w END) AS acc
+  FROM tw, (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       lpad(to_hex(coalesce(bit_or(CASE WHEN acc > 0 THEN (1::UBIGINT << bit) END),
+                            0::UBIGINT)), 16, '0') AS simhash_hex
+FROM bits GROUP BY doc_id
+""".replace("{toks}", TOKS_SQL)
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key (the label /
+    coarse-centroid assignment): cosine >= threshold, id_a < id_b. The
+    equi-join on the block column keeps the pair space linear-per-block —
+    the 100 TB shape is identical, with IVF cell ids as the block. The
+    0.35 threshold is calibrated to this synthetic cloud (uniform mixture,
+    no planted dups; within-label cosine tops out ~0.47)."""
+    return sim.cosine_pairs(
+        _embeddings(spark, sf_dir), threshold=0.35, block_col="label"
+    )
+
+
+SQL_EMB_NEARDUP = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+  FROM embeddings a JOIN embeddings b
+       ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35
+"""
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components over the union of exact-dup
+    edges (same sha256 -> star edges to the min doc) and near-dup edges
+    (trigram Jaccard >= 0.5). Every doc is labeled with the min doc_id
+    reachable through dup edges — the canonical keeper. Iterative
+    min-label propagation on Spark; DuckDB oracle is a recursive CTE."""
+    from pyspark.sql import Window as W
+
+    docs = _documents(spark, sf_dir)
+    sha = docs.select(
+        "doc_id", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha")
+    )
+    sha_edges = (
+        sha.select("doc_id", F.min("doc_id").over(W.partitionBy("sha")).alias("keeper"))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    jac = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None).select(
+        "doc_a", "doc_b"
+    )
+    return dd.dedup_components(
+        sha_edges.union(jac), all_ids=docs.select("doc_id")
+    )
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE
+sha AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(coalesce(text, ''))) AS keeper
+  FROM documents
+),
+g AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS grams
+  FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
+),
+sizes AS (SELECT doc, len(grams) AS n_grams FROM g WHERE len(grams) > 0),
+sh AS (SELECT doc, unnest(grams) AS gram FROM g),
+shared AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b
+  FROM shared JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+  WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.5
+),
+edges AS (
+  SELECT keeper AS a, doc_id AS b FROM sha WHERE doc_id <> keeper
+  UNION SELECT doc_a, doc_b FROM jac
+),
+bidir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN bidir e ON e.a = r.v
+)
+SELECT v::BIGINT AS doc_id, min(lbl)::BIGINT AS component FROM reach GROUP BY v
+""".replace("{toks}", TOKS_SQL)
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,9 +1429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "emb_centroids": q_emb_centroids,
         "events_dau": q_events_dau,
+        "simhash": q_simhash,
+        "emb_neardup": q_emb_neardup,
+        "dedup_groups": q_dedup_groups,
         # rows-only (no SQL oracle): hash/iterative/codec-based operators
         "bpe_merges": q_bpe_merges,
-        "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
@@ -1358,4 +1477,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": SQL_MINHASH_LSH,
         "emb_centroids": SQL_EMB_CENTROIDS,
         "events_dau": SQL_EVENTS_DAU,
+        "simhash": SQL_SIMHASH,
+        "emb_neardup": SQL_EMB_NEARDUP,
+        "dedup_groups": SQL_DEDUP_GROUPS,
     }

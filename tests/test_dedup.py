@@ -117,3 +117,66 @@ def test_deterministic_across_partitioning(spark, docs):
     one = dd.minhash_signatures(docs.repartition(1), shingle_n=3).collect()
     many = dd.minhash_signatures(docs.repartition(7), shingle_n=3).collect()
     assert {r["doc_id"]: r["sig"] for r in one} == {r["doc_id"]: r["sig"] for r in many}
+
+
+def test_simhash_matches_pure_python(docs):
+    """The md5-based per-term hash + sign-of-weighted-bits definition is
+    pinned against an independent pure-Python mirror (the same definition
+    the DuckDB oracle SQL_SIMHASH expresses in SQL)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    def py_simhash(text: str) -> int:
+        toks = [t for t in re.split("[^a-z0-9_]+", text.lower()) if len(t) > 1]
+        terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        acc = np.zeros(64, dtype=np.int64)
+        for t, w in zip(terms, counts):
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            bits = (
+                (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64) * 2 - 1
+            acc += bits * int(w)
+        u = int(np.bitwise_or.reduce((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)))
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    for doc_id, text in [(1, BASE), (3, NEAR), (4, FAR)]:
+        assert got[doc_id] == py_simhash(text)
+
+
+def test_cosine_pairs_blocked(spark):
+    from coderag_spark.operators import similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.01], 0),   # near-dup of 1, same block
+        (3, [0.0, 1.0], 0),    # same block, orthogonal
+        (4, [1.0, 0.005], 1),  # near-dup of 1 but DIFFERENT block -> unpaired
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        (r["id_a"], r["id_b"]) for r in sim.cosine_pairs(emb, threshold=0.9, block_col="label").collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_dedup_components_chain_and_singletons(spark):
+    """A chain 1-2, 2-3 plus an isolated pair 10-11 must yield two
+    components labeled by their min ids; docs with no edges keep their
+    own id when all_ids is provided."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    all_ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    got = {r["doc_id"]: r["component"] for r in dd.dedup_components(pairs, all_ids=all_ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_components_long_chain_converges(spark):
+    """Min-label propagation must reach the far end of a diameter-8 chain
+    (iteration count is bounded by diameter, tested well inside max_iter)."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"] for r in dd.dedup_components(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 10)}
