@@ -71,6 +71,9 @@ SUITE_BENCH = [
     "events_dau",
     "emb_neardup",
     "dedup_groups",
+    "decontam",
+    "train_split",
+    "line_stats",
 ]
 
 

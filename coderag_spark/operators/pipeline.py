@@ -1,0 +1,140 @@
+"""Training-data pipeline operators: decontamination, splits, boilerplate.
+
+The three ops every LLM data pipeline runs between "crawl" and "train",
+missing from the reference (its scope ends at code search) but first-class
+here because the same inverted-index machinery powers them at 100 TB:
+
+  * decontaminate — n-gram collision check of the training corpus against
+                    an evaluation/benchmark set (the standard 8-13-gram
+                    overlap rule). Shape: explode DISTINCT n-grams on both
+                    sides, equi-join on the gram, count hits per doc — the
+                    gram join is blocked by gram value exactly like the
+                    shingle self-join in dedup, linear in gram postings,
+                    never quadratic in docs. The eval side is typically
+                    thousands of docs, so it broadcasts.
+  * hash_split    — deterministic train/val/test assignment from an md5 of
+                    the row id: content-stable across runs/clusters, no
+                    RNG state, exactly reproducible in any engine with md5
+                    (the property the usual ``rand(seed)`` split lacks —
+                    rand is partition-order-dependent under AQE).
+  * line_stats    — per-doc repeated-line statistics (the C4 boilerplate
+                    rule): lines, distinct lines, dup-line fraction, all
+                    as pure column expressions.
+
+All JVM-side column expressions (whole-stage codegen, no Python), each
+with an exact DuckDB oracle in the suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark.functions.tokenize import simple_tokens_col
+from coderag_spark.operators.dedup import token_ngrams
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per training doc: how many of its distinct token n-grams appear
+    anywhere in the eval set. Returns (doc_id, n_grams, n_hit, hit_frac);
+    a pipeline drops or flags docs above a hit_frac threshold.
+
+    ``broadcast_eval`` broadcasts the distinct eval-gram set (the usual
+    case: eval benchmarks are MBs against a TB corpus). With it off, the
+    join shuffles both sides by gram — the fallback when the eval set is
+    itself huge."""
+    eval_text_col = eval_text_col or text_col
+    # materialize the token array BEFORE the n-gram slice-zip: inlining the
+    # split expression into the n shifted slices re-evaluates the tokenizer
+    # per slice (the O(n^2) lambda-inlining trap pinned in dedup.py)
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("_toks")
+    ).select("doc_id", token_ngrams(F.col("_toks"), n).alias("grams"))
+    eval_grams = (
+        eval_docs.select(simple_tokens_col(F.col(eval_text_col)).alias("_toks"))
+        .select(F.explode(token_ngrams(F.col("_toks"), n)).alias("gram"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    exploded = doc_grams.select("doc_id", F.explode("grams").alias("gram"))
+    hits = (
+        exploded.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    sizes = doc_grams.select("doc_id", F.size("grams").alias("n_grams"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("hit_frac"),
+        )
+    )
+
+
+def split_uniform(id_col: Column) -> Column:
+    """Deterministic uniform [0,1) from the md5 of a row id — the
+    content-stable substitute for rand(seed). First 8 hex chars of
+    md5(cast(id as string)) as a 32-bit integer over 2^32."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+
+
+def hash_split(
+    df: DataFrame, weights: dict[str, float] | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Assign every row a deterministic split label with the given
+    weights (normalized). Same id -> same split on any cluster size, any
+    partitioning, any engine with md5."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    u = split_uniform(F.col(id_col))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def line_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repeated-line statistics (C4-style boilerplate signal):
+    non-empty trimmed lines, distinct lines, duplicate-line fraction."""
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"), lambda x: F.trim(x)
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_lines"),
+        nd.cast("long").alias("n_distinct_lines"),
+        F.round(
+            F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 6
+        ).alias("dup_line_frac"),
+    )

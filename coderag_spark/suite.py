@@ -1298,6 +1298,123 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram collision check of every training
+    doc against the eval slice (docs with doc_id % 97 == 0 stand in for a
+    benchmark set). Eval grams broadcast; the gram join is blocked by gram
+    value — linear in gram postings, never quadratic in docs."""
+    from coderag_spark.operators import pipeline as pl
+
+    docs = _documents(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return pl.decontaminate(docs, ev, n=8)
+
+
+def _gram_expr(n: int) -> str:
+    terms = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> {terms}))"
+    )
+
+
+SQL_DECONTAM = f"""
+WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+g AS (SELECT doc_id, {_gram_expr(8)} AS grams FROM d),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g) t JOIN ev USING (gram)
+  GROUP BY doc_id
+)
+SELECT g.doc_id, len(grams)::BIGINT AS n_grams, coalesce(n_hit, 0)::BIGINT AS n_hit,
+       round(CASE WHEN len(grams) > 0
+                  THEN coalesce(n_hit, 0) * 1.0 / len(grams) ELSE 0.0 END, 6) AS hit_frac
+FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+""".replace("{toks}", TOKS_SQL)
+
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash train/val/test assignment (90/5/5): same doc
+    -> same split on any cluster size or partitioning (rand(seed) is
+    partition-order-dependent under AQE; an id hash is not)."""
+    from coderag_spark.operators import pipeline as pl
+
+    return pl.hash_split(
+        _documents(spark, sf_dir), weights=_SPLIT_WEIGHTS
+    ).select("doc_id", "split")
+
+
+def _sql_train_split() -> str:
+    # the cumulative boundaries MUST be the same Python floats the Spark
+    # side accumulates — repr() them into the SQL so 0.9 + 0.05 rounds
+    # identically on both sides
+    total = sum(_SPLIT_WEIGHTS.values())
+    items = list(_SPLIT_WEIGHTS.items())
+    acc = 0.0
+    branches = []
+    for name, w in items[:-1]:
+        acc += w / total
+        branches.append(f"WHEN u < {acc!r} THEN '{name}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{items[-1][0]}' END"
+    return f"""
+SELECT doc_id, {case} AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 AS u
+      FROM documents)
+"""
+
+
+_WRAP8_SQL = """
+SELECT doc_id,
+       array_to_string(
+         list_transform(range(0, cast(ceil(len(toks) / 8.0) AS INT)),
+                        i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')),
+         chr(10)) AS text
+FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents)
+"""
+
+
+def q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line (boilerplate) statistics. The synthetic corpus has no
+    newlines, so the query first wraps each doc into deterministic 8-token
+    lines (same wrap in the oracle), then runs the C4-style dup-line
+    fraction over them."""
+    from coderag_spark.operators import pipeline as pl
+
+    docs = _documents(spark, sf_dir)
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    nlines = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nlines - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i * F.lit(8) + F.lit(1), 8), " "),
+        ),
+        "\n",
+    )
+    return pl.line_stats(docs.withColumn("text", wrapped))
+
+
+SQL_LINE_STATS = f"""
+WITH w AS ({_WRAP8_SQL}),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> len(x) > 0) AS lines
+  FROM w
+)
+SELECT doc_id, len(lines)::BIGINT AS n_lines,
+       len(list_distinct(lines))::BIGINT AS n_distinct_lines,
+       round(CASE WHEN len(lines) > 0
+                  THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+                  ELSE 0.0 END, 6) AS dup_line_frac
+FROM l
+"""
+
+
 SQL_DEDUP_GROUPS = f"""
 WITH RECURSIVE
 sha AS (
@@ -1451,6 +1568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "emb_neardup": q_emb_neardup,
         "dedup_groups": q_dedup_groups,
+        "decontam": q_decontam,
+        "train_split": q_train_split,
+        "line_stats": q_line_stats,
         # rows-only (no SQL oracle): hash/iterative/codec-based operators
         "bpe_merges": q_bpe_merges,
         "lsh_ann": q_lsh_ann,
@@ -1499,4 +1619,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "emb_neardup": SQL_EMB_NEARDUP,
         "dedup_groups": SQL_DEDUP_GROUPS,
+        "decontam": SQL_DECONTAM,
+        "train_split": _sql_train_split(),
+        "line_stats": SQL_LINE_STATS,
     }

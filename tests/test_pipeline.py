@@ -1,0 +1,87 @@
+"""Training-pipeline operators: decontamination, hash splits, line stats."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from coderag_spark.operators import pipeline as pl
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains the eval 4-gram
+            (2, "totally different words here anyway ok"),
+            (3, "xx"),                                    # too short for any 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, "beta gamma delta epsilon")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pl.decontaminate(train, ev, n=4).collect()}
+    assert out[1]["n_hit"] == 1 and out[1]["n_grams"] == 3
+    assert abs(out[1]["hit_frac"] - 1 / 3) < 1e-6
+    assert out[2]["n_hit"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["hit_frac"] == 0.0
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # a doc repeating the contaminated gram still counts it once (grams
+    # are distinct per doc), so hit_frac stays a fraction of distinct grams
+    train = spark.createDataFrame(
+        [(1, "a1 b2 c3 d4 a1 b2 c3 d4")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(9, "a1 b2 c3 d4")], "doc_id long, text string")
+    row = pl.decontaminate(train, ev, n=4).collect()[0]
+    assert row["n_grams"] == 4  # distinct 4-grams of the repeated stream
+    assert row["n_hit"] == 1
+
+
+def test_hash_split_deterministic_and_weighted(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = pl.hash_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+
+    # identical assignment regardless of partitioning
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in pl.hash_split(df.repartition(17), weights={"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    assert a == b
+
+    # pinned to the md5 definition (portable to any engine with md5)
+    u0 = int(hashlib.md5(b"0").hexdigest()[:8], 16) / 2**32
+    expected0 = "train" if u0 < 0.8 else ("val" if u0 < 0.9 else "test")
+    assert a[0] == expected0
+
+
+def test_line_stats_dup_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nother\n\n  \n"),
+            (2, "a\nb\nc"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pl.line_stats(df).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_distinct_lines"] == 2
+    assert abs(out[1]["dup_line_frac"] - 1 / 3) < 1e-6
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[3]["n_lines"] == 0 and out[3]["dup_line_frac"] == 0.0
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    train = spark.createDataFrame([(1, "a1 b2 c3 d4 e5")], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "b2 c3 d4")], "doc_id long, text string")
+    plan = (
+        pl.decontaminate(train, ev, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
