@@ -191,3 +191,34 @@ def test_segment_merge_read_shape(spark, index, tmp_path):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cosine_pairs_blocked_plan_no_cartesian(spark):
+    from coderag_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = physical_plan(cosine_pairs(emb, threshold=0.35, block_col="label"))
+    # block_col must turn the pair space into an equi-join on the block key
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_and_prunes(spark):
+    from coderag_spark.operators.pipeline import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.limit(5)
+    plan = physical_plan(decontaminate(docs, ev, n=8))
+    # eval grams are the small side: broadcast, never a shuffle of the corpus grams
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_split_is_pure_projection(spark):
+    from coderag_spark.operators.pipeline import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = physical_plan(hash_split(docs).select("doc_id", "split"))
+    # a deterministic split must not shuffle, aggregate, or leave the JVM
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
+        assert bad not in plan, bad
