@@ -74,6 +74,7 @@ SUITE_BENCH = [
     "decontam",
     "train_split",
     "line_stats",
+    "dup_ngrams",
 ]
 
 

@@ -480,3 +480,23 @@ def dedup_components(
             break
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+def collapse_duplicates(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a dedup clustering: keep only each component's keeper row
+    (the min-id doc ``dedup_components`` labeled the cluster with) and
+    annotate it with the cluster size. This is the step that actually
+    shrinks the training corpus after pair finding + clustering.
+
+    Shape: one shuffle of (doc_id, component) for the size agg, then an
+    equi-join of keepers back to the corpus — never moves doc content for
+    dropped rows (the join is on the keeper ids only)."""
+    sizes = components.groupBy("component").agg(F.count("*").alias("n_members"))
+    keepers = sizes.select(
+        F.col("component").alias(id_col), F.col("n_members")
+    )
+    return docs.join(keepers, id_col)

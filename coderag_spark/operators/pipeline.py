@@ -1,6 +1,6 @@
 """Training-data pipeline operators: decontamination, splits, boilerplate.
 
-The three ops every LLM data pipeline runs between "crawl" and "train",
+The ops every LLM data pipeline runs between "crawl" and "train",
 missing from the reference (its scope ends at code search) but first-class
 here because the same inverted-index machinery powers them at 100 TB:
 
@@ -20,6 +20,9 @@ here because the same inverted-index machinery powers them at 100 TB:
   * line_stats    — per-doc repeated-line statistics (the C4 boilerplate
                     rule): lines, distinct lines, dup-line fraction, all
                     as pure column expressions.
+  * dup_ngram_stats — per-doc duplicate-n-gram fraction vs the rest of the
+                    corpus (the Gopher/RefinedWeb repetition signal): one
+                    gram-df shuffle + one gram-blocked join back.
 
 All JVM-side column expressions (whole-stage codegen, no Python), each
 with an exact DuckDB oracle in the suite.
@@ -137,4 +140,46 @@ def line_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.round(
             F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 6
         ).alias("dup_line_frac"),
+    )
+
+
+def dup_ngram_stats(
+    docs: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc duplicate-n-gram fraction (the Gopher/RefinedWeb corpus-level
+    repetition signal): of a doc's distinct n-grams, the fraction that also
+    occur in at least one OTHER doc. High values mark boilerplate and
+    template spam that per-doc heuristics miss.
+
+    Shape: one shuffle to count each gram's document frequency (map-side
+    partial agg: reducers see one row per distinct gram per mapper), one
+    gram-blocked join back — linear in gram postings, the same discipline
+    as the shingle join in dedup. Returns (doc_id, n_grams, n_dup, dup_frac).
+    """
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("_toks")
+    ).select("doc_id", token_ngrams(F.col("_toks"), n).alias("grams"))
+    exploded = doc_grams.select("doc_id", F.explode("grams").alias("gram"))
+    gram_df = exploded.groupBy("gram").agg(F.count("*").alias("g_df"))
+    dup = (
+        exploded.join(gram_df, "gram")
+        .filter(F.col("g_df") > 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    sizes = doc_grams.select("doc_id", F.size("grams").alias("n_grams"))
+    return (
+        sizes.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
     )

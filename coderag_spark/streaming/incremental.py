@@ -253,3 +253,26 @@ def stream_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_exact_dedup(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: str = "repo string, path string, commit string, lang string, content string, sha256 string",
+):
+    """Streaming exact dedup: emit only the FIRST row ever seen for each
+    content hash across all micro-batches (Structured Streaming's stateful
+    ``dropDuplicates`` keyed on sha256 — state lives in the checkpoint, so
+    restarts keep their memory of seen hashes). The streaming face of
+    ``operators.dedup.exact_dedup``: a training pipeline tails the crawl
+    table and keeps first-seen content only.
+
+    Returns the (unstarted) deduped streaming DataFrame; the caller picks
+    the sink, e.g. ``.writeStream.format("parquet")`` with the same
+    checkpoint dir.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.withColumn(
+        "sha256", F.coalesce(F.col("sha256"), F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+    ).dropDuplicates(["sha256"])

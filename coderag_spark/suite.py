@@ -1334,6 +1334,30 @@ FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
 """.replace("{toks}", TOKS_SQL)
 
 
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repetition signal: fraction of each doc's distinct
+    8-grams that occur in at least one other doc."""
+    from coderag_spark.operators import pipeline as pl
+
+    return pl.dup_ngram_stats(_documents(spark, sf_dir), n=8)
+
+
+SQL_DUP_NGRAMS = f"""
+WITH d AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+g AS (SELECT doc_id, {_gram_expr(8)} AS grams FROM d),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+gdf AS (SELECT gram, count(*) AS g_df FROM e GROUP BY gram),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup
+  FROM e JOIN gdf USING (gram) WHERE g_df > 1 GROUP BY doc_id
+)
+SELECT g.doc_id, len(grams)::BIGINT AS n_grams, coalesce(n_dup, 0)::BIGINT AS n_dup,
+       round(CASE WHEN len(grams) > 0
+                  THEN coalesce(n_dup, 0) * 1.0 / len(grams) ELSE 0.0 END, 6) AS dup_frac
+FROM g LEFT JOIN dup ON g.doc_id = dup.doc_id
+""".replace("{toks}", TOKS_SQL)
+
+
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -1571,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "train_split": q_train_split,
         "line_stats": q_line_stats,
+        "dup_ngrams": q_dup_ngrams,
         # rows-only (no SQL oracle): hash/iterative/codec-based operators
         "bpe_merges": q_bpe_merges,
         "lsh_ann": q_lsh_ann,
@@ -1622,4 +1647,5 @@ def oracle_sql() -> dict[str, str]:
         "decontam": SQL_DECONTAM,
         "train_split": _sql_train_split(),
         "line_stats": SQL_LINE_STATS,
+        "dup_ngrams": SQL_DUP_NGRAMS,
     }

@@ -180,3 +180,49 @@ def test_dedup_components_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long")
     got = {r["doc_id"]: r["component"] for r in dd.dedup_components(pairs).collect()}
     assert got == {i: 1 for i in range(1, 10)}
+
+
+def test_collapse_duplicates_end_to_end(spark, docs):
+    """Full dedup flow: pairs -> components -> collapsed corpus. Docs 1/2
+    (exact dup) and 3 (near dup of 1) collapse onto keeper 1; 4 and 5
+    survive as singletons."""
+    from pyspark.sql import functions as F
+
+    jac = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.3).select("doc_a", "doc_b")
+    comp = dd.dedup_components(jac, all_ids=docs.select("doc_id"))
+    kept = dd.collapse_duplicates(docs, comp)
+    rows = {r["doc_id"]: r["n_members"] for r in kept.collect()}
+    assert rows == {1: 3, 4: 1, 5: 1}
+
+
+def test_stream_exact_dedup_first_seen_wins(spark, tmp_path):
+    from coderag_spark.streaming.incremental import stream_exact_dedup
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "repo string, path string, commit string, lang string, content string, sha256 string"
+    batch1 = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", "same body", None),
+         ("r", "b.py", "c1", "py", "other body", None)], schema)
+    batch1.write.mode("append").parquet(src)
+
+    deduped = stream_exact_dedup(spark, src, ckpt)
+    q = (deduped.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # second batch: one true duplicate (same content, new path) + one new
+    batch2 = spark.createDataFrame(
+        [("r", "copy.py", "c2", "py", "same body", None),
+         ("r", "c.py", "c2", "py", "third body", None)], schema)
+    batch2.write.mode("append").parquet(src)
+    q = (stream_exact_dedup(spark, src, ckpt).writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("path", "content").collect()
+    paths = sorted(r["path"] for r in got)
+    # the duplicate re-ingest is suppressed by checkpointed state
+    assert paths == ["a.py", "b.py", "c.py"]

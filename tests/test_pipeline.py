@@ -85,3 +85,20 @@ def test_decontaminate_broadcasts_eval_side(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_dup_ngram_stats(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5"),   # shares the 3-grams of doc 2's prefix
+            (2, "w1 w2 w3 w9 w8"),   # one shared 3-gram with doc 1
+            (3, "q1 q2 q3 q4 q5"),   # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pl.dup_ngram_stats(train, n=3).collect()}
+    # docs 1 and 2 share exactly the gram "w1 w2 w3"
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup"] == 1
+    assert out[2]["n_dup"] == 1
+    assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
+    assert abs(out[1]["dup_frac"] - 1 / 3) < 1e-6
