@@ -11,6 +11,8 @@ Usage:
   python -m coderag_spark.cli query --index /path/index \
       --query "authenticate user" --limit 10 --file-extensions .py,.ts
   python -m coderag_spark.cli status --index /path/index
+  python -m coderag_spark.cli dedup --corpus /path/corpus.parquet \
+      --out /path/deduped --method minhash --threshold 0.8
 """
 
 from __future__ import annotations
@@ -206,6 +208,64 @@ def _print_snippets(spark, args, rows) -> None:
         print("```")
 
 
+def _cmd_dedup(args) -> int:
+    """Training-pipeline dedup over a corpus parquet: exact (sha256),
+    minhash (LSH near-dup + connected components), or ngram (exact
+    Jaccard pairs + components). Writes the collapsed corpus to --out."""
+    from pyspark.sql import functions as F
+
+    from coderag_spark import get_spark
+    from coderag_spark.operators import dedup as dd
+
+    spark = get_spark("coderag-dedup", cores=args.cores)
+    corpus = spark.read.parquet(args.corpus)
+    n_in = corpus.count()
+    if args.method == "exact":
+        from pyspark.sql import Window as W
+
+        # one shuffle on the content hash; keeper = lexicographic min
+        # (repo, path, commit) so reruns pick the same survivor
+        w = W.partitionBy("content_sha").orderBy("repo", "path", "commit")
+        kept = (
+            corpus.withColumn(
+                "content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "content_sha")
+        )
+    else:
+        with_id = corpus.withColumn("_did", F.xxhash64("repo", "path", "commit"))
+        if args.method == "minhash":
+            pairs = dd.minhash_lsh_pairs(
+                with_id, text_col="content", id_col="_did", threshold=args.threshold
+            )
+        else:
+            pairs = dd.ngram_jaccard_pairs(
+                with_id, text_col="content", id_col="_did", threshold=args.threshold
+            )
+        comp = dd.dedup_components(
+            pairs.select("doc_a", "doc_b"), all_ids=with_id.select("_did")
+        )
+        kept = dd.collapse_duplicates(with_id, comp, id_col="_did").drop(
+            "_did", "n_members"
+        )
+    kept.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "method": args.method,
+                "n_in": n_in,
+                "n_out": n_out,
+                "n_dropped": n_in - n_out,
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_status(args) -> int:
     import os
 
@@ -250,8 +310,19 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("status")
     s.add_argument("--index", required=True)
 
+    d = sub.add_parser("dedup")
+    d.add_argument("--corpus", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--method", choices=["exact", "minhash", "ngram"], default="exact")
+    d.add_argument("--threshold", type=float, default=0.8, help="near-dup jaccard threshold")
+
     args = p.parse_args(argv)
-    return {"build": _cmd_build, "query": _cmd_query, "status": _cmd_status}[args.cmd](args)
+    return {
+        "build": _cmd_build,
+        "query": _cmd_query,
+        "status": _cmd_status,
+        "dedup": _cmd_dedup,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

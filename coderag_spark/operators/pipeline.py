@@ -66,25 +66,31 @@ def decontaminate(
         .select(F.explode(token_ngrams(F.col("_toks"), n)).alias("gram"))
         .distinct()
     )
+    eval_marked = eval_grams.withColumn("_hit", F.lit(1))
     if broadcast_eval:
-        eval_grams = F.broadcast(eval_grams)
-    exploded = doc_grams.select("doc_id", F.explode("grams").alias("gram"))
-    hits = (
-        exploded.join(eval_grams, "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    sizes = doc_grams.select("doc_id", F.size("grams").alias("n_grams"))
+        eval_marked = F.broadcast(eval_marked)
+    # single pass over the gram stream: the n-gram construction is the
+    # expensive map phase, so it must feed ONE plan branch. explode_outer
+    # keeps gram-less docs (one null-gram row); the left join marks
+    # contaminated grams; one aggregation yields both the gram count
+    # (count skips the null) and the hit count. The earlier
+    # sizes-join-hits form re-ran the gram build once per branch —
+    # 3x the query's real work.
+    exploded = doc_grams.select("doc_id", F.explode_outer("grams").alias("gram"))
+    marked = exploded.join(eval_marked, "gram", "left")
     return (
-        sizes.join(hits, "doc_id", "left")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+        )
         .select(
             "doc_id",
             F.col("n_grams").cast("long").alias("n_grams"),
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.col("n_hit").cast("long").alias("n_hit"),
             F.round(
                 F.when(
-                    F.col("n_grams") > 0,
-                    F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams"),
+                    F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams")
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("hit_frac"),
@@ -151,33 +157,33 @@ def dup_ngram_stats(
     occur in at least one OTHER doc. High values mark boilerplate and
     template spam that per-doc heuristics miss.
 
-    Shape: one shuffle to count each gram's document frequency (map-side
-    partial agg: reducers see one row per distinct gram per mapper), one
-    gram-blocked join back — linear in gram postings, the same discipline
-    as the shingle join in dedup. Returns (doc_id, n_grams, n_dup, dup_frac).
+    Shape: the gram stream is built ONCE, shuffled once by gram for a
+    count-over-window (each gram's document frequency — grams are distinct
+    per doc), then once by doc for the final rollup. A join-based form
+    (gram-df aggregate joined back to a re-exploded stream, sizes joined
+    on top) re-ran the expensive gram construction once per branch — 3x
+    the real work. Returns (doc_id, n_grams, n_dup, dup_frac).
     """
+    from pyspark.sql import Window as W
+
     doc_grams = docs.select(
         F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("_toks")
     ).select("doc_id", token_ngrams(F.col("_toks"), n).alias("grams"))
-    exploded = doc_grams.select("doc_id", F.explode("grams").alias("gram"))
-    gram_df = exploded.groupBy("gram").agg(F.count("*").alias("g_df"))
-    dup = (
-        exploded.join(gram_df, "gram")
-        .filter(F.col("g_df") > 1)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_dup"))
-    )
-    sizes = doc_grams.select("doc_id", F.size("grams").alias("n_grams"))
+    exploded = doc_grams.select("doc_id", F.explode_outer("grams").alias("gram"))
+    marked = exploded.withColumn("g_df", F.count("gram").over(W.partitionBy("gram")))
     return (
-        sizes.join(dup, "doc_id", "left")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count(F.when(F.col("g_df") > 1, F.lit(1))).alias("n_dup"),
+        )
         .select(
             "doc_id",
             F.col("n_grams").cast("long").alias("n_grams"),
-            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            F.col("n_dup").cast("long").alias("n_dup"),
             F.round(
                 F.when(
-                    F.col("n_grams") > 0,
-                    F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_grams"),
+                    F.col("n_grams") > 0, F.col("n_dup") / F.col("n_grams")
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("dup_frac"),

@@ -84,3 +84,40 @@ def test_query_filters_local_matches_spark(built, capsys):
     rc2, out2 = _run(capsys, base + ["--local"])
     assert rc1 == rc2 == 0
     assert json.loads(out1[-1])["results"] == json.loads(out2[-1])["results"]
+
+
+def test_cli_dedup_exact(spark, corpus_df, tmp_path, capsys):
+    import json
+
+    corpus_path = str(tmp_path / "c")
+    out_path = str(tmp_path / "d")
+    corpus_df.write.mode("overwrite").parquet(corpus_path)
+    rc = main(["--cores", "4", "dedup", "--corpus", corpus_path, "--out", out_path,
+               "--method", "exact"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the generator plants duplicate content at two paths -> at least one drop
+    assert rep["n_out"] < rep["n_in"] and rep["n_dropped"] >= 1
+    kept = spark.read.parquet(out_path)
+    assert kept.count() == rep["n_out"]
+    # no identical content survives twice
+    from pyspark.sql import functions as F
+
+    dup = (kept.groupBy(F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+           .count().filter(F.col("count") > 1).count())
+    assert dup == 0
+
+
+def test_cli_dedup_ngram_collapses_near_dups(spark, corpus_df, tmp_path, capsys):
+    import json
+
+    corpus_path = str(tmp_path / "c2")
+    out_path = str(tmp_path / "d2")
+    corpus_df.write.mode("overwrite").parquet(corpus_path)
+    rc = main(["--cores", "4", "dedup", "--corpus", corpus_path, "--out", out_path,
+               "--method", "ngram", "--threshold", "0.9"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # near-dup collapse is at least as aggressive as exact dedup
+    assert rep["n_out"] <= rep["n_in"]
+    assert spark.read.parquet(out_path).count() == rep["n_out"]
