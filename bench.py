@@ -75,6 +75,7 @@ SUITE_BENCH = [
     "train_split",
     "line_stats",
     "dup_ngrams",
+    "table_profile",
 ]
 
 

@@ -22,7 +22,9 @@ here because the same inverted-index machinery powers them at 100 TB:
                     as pure column expressions.
   * dup_ngram_stats — per-doc duplicate-n-gram fraction vs the rest of the
                     corpus (the Gopher/RefinedWeb repetition signal): one
-                    gram-df shuffle + one gram-blocked join back.
+                    gram-partitioned window + one per-doc rollup.
+  * profile_table — ANALYZE-style per-column stats (nonnull / distinct /
+                    avg length) in one aggregation pass, long format.
 
 All JVM-side column expressions (whole-stage codegen, no Python), each
 with an exact DuckDB oracle in the suite.
@@ -188,4 +190,32 @@ def dup_ngram_stats(
                 6,
             ).alias("dup_frac"),
         )
+    )
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, exact_distinct: bool = True
+) -> DataFrame:
+    """ANALYZE-style column profile in one aggregation pass: per column,
+    (n_nonnull, n_distinct, avg stringified length). Long format — one row
+    per column — via stack(), so downstream code can join/filter profiles
+    relationally.
+
+    ``exact_distinct=False`` switches to approx_count_distinct (HLL): at
+    100 TB the exact form is one expand-shuffle per column, the sketch
+    form is a single pass — exact is the default only because the test
+    oracle needs bit-equality."""
+    cols = columns or df.columns
+    distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            distinct(F.col(c)).alias(f"{c}__d"),
+            F.round(F.avg(F.length(F.col(c).cast("string"))), 6).alias(f"{c}__l"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `{c}__n`, `{c}__d`, `{c}__l`" for c in cols)
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column, n_nonnull, n_distinct, avg_len)"
     )

@@ -1358,6 +1358,27 @@ FROM g LEFT JOIN dup ON g.doc_id = dup.doc_id
 """.replace("{toks}", TOKS_SQL)
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the documents table (one
+    aggregation pass, long format via stack)."""
+    from coderag_spark.operators import pipeline as pl
+
+    return pl.profile_table(_documents(spark, sf_dir))
+
+
+def _sql_table_profile(cols: list[str]) -> str:
+    parts = [
+        f"SELECT '{c}' AS \"column\", count({c})::BIGINT AS n_nonnull, "
+        f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+        f"round(avg(len({c}::VARCHAR)), 6) AS avg_len FROM documents"
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_TABLE_PROFILE = _sql_table_profile(["doc_id", "text", "lang", "source", "n_chars"])
+
+
 _SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -1596,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "line_stats": q_line_stats,
         "dup_ngrams": q_dup_ngrams,
+        "table_profile": q_table_profile,
         # rows-only (no SQL oracle): hash/iterative/codec-based operators
         "bpe_merges": q_bpe_merges,
         "lsh_ann": q_lsh_ann,
@@ -1648,4 +1670,5 @@ def oracle_sql() -> dict[str, str]:
         "train_split": _sql_train_split(),
         "line_stats": SQL_LINE_STATS,
         "dup_ngrams": SQL_DUP_NGRAMS,
+        "table_profile": SQL_TABLE_PROFILE,
     }

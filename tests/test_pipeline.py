@@ -102,3 +102,18 @@ def test_dup_ngram_stats(spark):
     assert out[2]["n_dup"] == 1
     assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
     assert abs(out[1]["dup_frac"] - 1 / 3) < 1e-6
+
+
+def test_profile_table(spark):
+    df = spark.createDataFrame(
+        [(1, "aa", None), (2, "bbb", "x"), (3, "aa", "x")],
+        "id long, s string, t string",
+    )
+    out = {r["column"]: r for r in pl.profile_table(df).collect()}
+    assert out["id"]["n_nonnull"] == 3 and out["id"]["n_distinct"] == 3
+    assert out["s"]["n_distinct"] == 2
+    assert out["t"]["n_nonnull"] == 2 and out["t"]["n_distinct"] == 1
+    assert abs(out["s"]["avg_len"] - 7 / 3) < 1e-6
+    # approx mode still returns a full profile (sketch path for 100 TB)
+    approx = {r["column"]: r for r in pl.profile_table(df, exact_distinct=False).collect()}
+    assert set(approx) == {"id", "s", "t"}
