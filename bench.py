@@ -76,6 +76,7 @@ SUITE_BENCH = [
     "line_stats",
     "dup_ngrams",
     "table_profile",
+    "events_sliding",
 ]
 
 
@@ -286,17 +287,28 @@ def _scale_probe(cores: int, n_files: int) -> None:
         tokenize_chunks(chunk_corpus(warm)).select("doc_id", "token_count", "term_freqs")
     ).groupBy("term").count().count()
 
-    t0 = _time.time()
-    tok = tokenize_chunks(chunk_corpus(corpus)).select("doc_id", "token_count", "term_freqs")
-    d = build_postings(tok).groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("raw_freq").alias("toks")
-    ).collect()
-    dt = _time.time() - t0
+    # two timed passes inside ONE warm JVM, keep the min: a transient
+    # noisy-neighbor burst during a single pass would otherwise charge
+    # this probe's whole JVM+warmup cost to a bad sample
+    times = []
+    n_terms = 0
+    for _ in range(2):
+        t0 = _time.time()
+        tok = tokenize_chunks(chunk_corpus(corpus)).select(
+            "doc_id", "token_count", "term_freqs"
+        )
+        d = build_postings(tok).groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("raw_freq").alias("toks")
+        ).collect()
+        times.append(_time.time() - t0)
+        n_terms = len(d)
+    dt = min(times)
     res = {
         "cores": cores,
         "n_files": n_files,
-        "n_terms": len(d),
+        "n_terms": n_terms,
         "build_sec": round(dt, 3),
+        "build_sec_reps": [round(t, 3) for t in times],
         "files_per_sec": round(n_files / dt, 2),
     }
     spark.stop()
@@ -369,7 +381,10 @@ def main() -> None:
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "600000"))
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         hi_cores = lo_cores * 4
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "8"))
+        # each probe times 2 in-JVM passes and keeps the min, so 5
+        # interleaved pairs here = 10 samples per level; adaptive stop
+        # below usually ends at 4 pairs
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
         # interleave levels: this shared sandbox shows 2-4x run-to-run
         # noise from host contention; an interleaved (lo_i, hi_i) pair sees
         # the same host conditions, so per-pair efficiency is the robust

@@ -562,6 +562,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup via the native F.window operator (1-hour
+    windows sliding every 15 minutes — each event lands in 4 windows).
+    The same expression drives a readStream with a watermark; batch mode
+    here makes it exact-oracle-checkable (DuckDB mirror: 4 shifted
+    15-minute buckets per event)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS win_start,
+         event_type, value
+  FROM events, (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM w GROUP BY 1, 2, 3
+"""
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.to_media_table(_documents(spark, sf_dir))
     return mm.media_stats(media).select(
@@ -1618,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_stats": q_line_stats,
         "dup_ngrams": q_dup_ngrams,
         "table_profile": q_table_profile,
+        "events_sliding": q_events_sliding,
         # rows-only (no SQL oracle): hash/iterative/codec-based operators
         "bpe_merges": q_bpe_merges,
         "lsh_ann": q_lsh_ann,
@@ -1671,4 +1707,5 @@ def oracle_sql() -> dict[str, str]:
         "line_stats": SQL_LINE_STATS,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "table_profile": SQL_TABLE_PROFILE,
+        "events_sliding": SQL_EVENTS_SLIDING,
     }

@@ -107,3 +107,44 @@ def test_stream_session_counts(spark, tmp_path):
         for r in ev.session_stats_native(batch_df).collect()
     }
     assert got == want
+
+
+def test_stream_sliding_window_agrees_with_batch(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ev_src")
+    shutil.copytree("/root/testdata/sf0.001", src, ignore=shutil.ignore_patterns("*"))
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/events.parquet")
+    schema = spark.read.parquet(src + "/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # watermarks need TIMESTAMP, not NTZ
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sliding")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from sliding").collect()
+    }
+    batch = spark.read.parquet(src + "/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+        ).collect()
+    }
+    assert got == want
