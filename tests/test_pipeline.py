@@ -117,3 +117,33 @@ def test_profile_table(spark):
     # approx mode still returns a full profile (sketch path for 100 TB)
     approx = {r["column"]: r for r in pl.profile_table(df, exact_distinct=False).collect()}
     assert set(approx) == {"id", "s", "t"}
+
+
+def test_training_pipeline_end_to_end(spark):
+    """Composition test — the full between-crawl-and-train flow: near-dup
+    collapse -> quality gate -> deterministic split -> decontamination,
+    each stage feeding the next as plain DataFrames."""
+    from coderag_spark.operators import dedup as dd
+    from coderag_spark.operators import textops as tx
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
+    comp = dd.dedup_components(pairs.select("doc_a", "doc_b"), all_ids=docs.select("doc_id"))
+    kept = dd.collapse_duplicates(docs, comp)
+    n1 = kept.count()
+    assert 0 < n1 <= n0
+
+    scored = tx.quality_score(kept).select("doc_id", "quality")
+    gated = kept.join(scored.filter(F.col("quality") >= 0.5), "doc_id")
+    n2 = gated.count()
+    assert 0 < n2 <= n1
+
+    split = pl.hash_split(gated, weights={"train": 0.9, "val": 0.1})
+    by_split = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by_split.values()) == n2 and by_split.get("train", 0) > by_split.get("val", 0)
+
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = pl.decontaminate(split.filter(F.col("split") == "train"), ev, n=8)
+    assert flagged.filter(F.col("hit_frac") >= 0.8).count() >= 1  # eval members still in train get flagged

@@ -222,3 +222,14 @@ def test_hash_split_is_pure_projection(spark):
     # a deterministic split must not shuffle, aggregate, or leave the JVM
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
         assert bad not in plan, bad
+
+
+def test_dup_ngram_stats_exactly_two_shuffles(spark):
+    from coderag_spark.operators.pipeline import dup_ngram_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = physical_plan(dup_ngram_stats(docs, n=8))
+    # single-pass contract: one shuffle for the gram-frequency window, one
+    # for the per-doc rollup — a third Exchange means a branch recomputes
+    # the gram construction again
+    assert plan.count("Exchange") <= 2, plan
