@@ -271,6 +271,13 @@ def stream_exact_dedup(
     Returns the (unstarted) deduped streaming DataFrame; the caller picks
     the sink, e.g. ``.writeStream.format("parquet")`` with the same
     checkpoint dir.
+
+    Scale note: exact first-seen-ever semantics require one state row per
+    distinct hash, forever — at 10^12 files that is a deliberately large
+    (RocksDB-backed) state store. Pipelines that only need
+    dedup-within-a-horizon should add an event-time column and use
+    ``dropDuplicatesWithinWatermark`` so state is evicted at the
+    watermark instead.
     """
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return stream.withColumn(
