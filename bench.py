@@ -77,6 +77,8 @@ SUITE_BENCH = [
     "dup_ngrams",
     "table_profile",
     "events_sliding",
+    "pmi_topk",
+    "doc_keywords",
 ]
 
 

@@ -147,3 +147,74 @@ def simple_hash_udf(content: pd.Series) -> pd.Series:
         return js_to_string36(h)
 
     return content.map(simple_hash)
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k token pairs by pointwise mutual information over document
+    co-occurrence: pmi = ln(n_ab * N / (n_a * n_b)) with doc-level
+    (distinct) counts — the classic collocation / related-term signal.
+
+    Shape: one explode of per-doc DISTINCT tokens, a within-doc self-join
+    (blocked by doc_id — quadratic only in a doc's distinct-token count,
+    never in corpus size; cap documents upstream if a pathological doc
+    has 10^5 distinct tokens), partial-aggregated pair counts, broadcast
+    unigram counts, TakeOrdered top-k. Deterministic order:
+    (pmi desc, tok_a asc, tok_b asc) on the 6-dp-rounded pmi."""
+    n_docs = df.count()
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(simple_tokens_col(F.col(text_col)))).alias("tok"),
+    )
+    uni = t.groupBy("tok").agg(F.count("*").alias("n"))
+    a = t.select(F.col("doc_id").alias("_da"), F.col("tok").alias("tok_a"))
+    b = t.select(F.col("doc_id").alias("_db"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, (F.col("_da") == F.col("_db")) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= F.lit(min_pair_count))
+    )
+    ua = F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a")))
+    ub = F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b")))
+    scored = (
+        pairs.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.lit(float(n_docs)))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")).limit(top_k)
+
+
+def doc_keywords(
+    postings: DataFrame, dictionary: DataFrame, k: int = 3
+) -> DataFrame:
+    """Per-doc top-k keyword extraction by tf-idf (raw_freq * idf), the
+    bread-and-butter "what is this document about" operator. Broadcast
+    dictionary join + per-doc window; tie-break (score desc, term asc)."""
+    from pyspark.sql import Window as W
+
+    scored = postings.join(
+        F.broadcast(dictionary.select("term", "idf")), "term"
+    ).withColumn("score", F.round(F.col("raw_freq") * F.col("idf"), 6))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
+    )

@@ -214,6 +214,71 @@ FROM post GROUP BY term
 """
 
 
+def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token pairs by PMI over doc-level co-occurrence (collocation
+    mining; within-doc self-join blocked by doc_id, broadcast unigrams)."""
+    return tx.pmi_pairs(_documents(spark, sf_dir), min_pair_count=5, top_k=50)
+
+
+SQL_PMI_TOPK = f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS tok FROM documents),
+d AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b, n_ab::BIGINT AS n_ab,
+       round(ln((n_ab::DOUBLE * (SELECT count(*) FROM documents))
+                / (da.n::DOUBLE * db.n::DOUBLE)), 6) AS pmi
+FROM p JOIN d da ON da.tok = tok_a JOIN d db ON db.tok = tok_b
+WHERE n_ab >= 5
+ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50
+"""
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by tf-idf (broadcast dictionary + per-doc
+    window, deterministic tie-break)."""
+    n_docs = _documents(spark, sf_dir).count()
+    dictionary = (
+        _doc_postings(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "term",
+            F.round(
+                F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
+            ).alias("idf"),
+        )
+    )
+    return tx.doc_keywords(_doc_postings(spark, sf_dir), dictionary, k=3)
+
+
+SQL_DOC_KEYWORDS = f"""
+WITH post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS raw_freq
+  FROM (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dict AS (
+  SELECT term,
+         round(ln(((SELECT count(*) FROM documents) + 1.0) / (count(DISTINCT doc_id) + 1.0)) + 1.0, 6) AS idf
+  FROM post GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id, p.term, round(p.raw_freq * d.idf, 6) AS score
+  FROM post p JOIN dict d ON p.term = d.term
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC)::BIGINT AS rank
+  FROM scored
+)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tokdocs(spark, sf_dir).agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -1654,6 +1719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "table_profile": q_table_profile,
         "events_sliding": q_events_sliding,
+        "pmi_topk": q_pmi_topk,
+        "doc_keywords": q_doc_keywords,
         # rows-only (no SQL oracle): hash/iterative/codec-based operators
         "bpe_merges": q_bpe_merges,
         "lsh_ann": q_lsh_ann,
@@ -1708,4 +1775,6 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngrams": SQL_DUP_NGRAMS,
         "table_profile": SQL_TABLE_PROFILE,
         "events_sliding": SQL_EVENTS_SLIDING,
+        "pmi_topk": SQL_PMI_TOPK,
+        "doc_keywords": SQL_DOC_KEYWORDS,
     }

@@ -94,3 +94,44 @@ def test_media_fake_decode_deterministic(docs):
 def test_media_stats(docs):
     row = mm.media_stats(mm.to_media_table(docs)).collect()[0]
     assert row["modality"] == "blob" and row["n_docs"] == 6
+
+
+def test_pmi_pairs_ranks_true_collocation(spark):
+    from coderag_spark.operators import textops as tx
+
+    # "alpha beta" co-occur in every doc; "alpha zz9" only once
+    rows = [(i, f"alpha beta filler{i} zz{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.pmi_pairs(df, min_pair_count=2, top_k=5).collect()
+    assert out, "no pairs"
+    top = out[0]
+    assert {top["tok_a"], top["tok_b"]} == {"alpha", "beta"} or top["pmi"] >= out[-1]["pmi"]
+    # alpha+beta occur in all 12 docs with unigram counts 12 -> pmi = ln(12*12/(12*12)) = 0
+    ab = [r for r in out if {r["tok_a"], r["tok_b"]} == {"alpha", "beta"}][0]
+    assert ab["n_ab"] == 12 and abs(ab["pmi"]) < 1e-9
+
+
+def test_doc_keywords_picks_rare_heavy_terms(spark):
+    from pyspark.sql import functions as F
+
+    from coderag_spark.operators import textops as tx
+
+    # doc 1: 'rareword' repeated (high tf, low df) must outrank 'common'
+    rows = [
+        (1, "rareword rareword rareword common filler one"),
+        (2, "common other words here"),
+        (3, "common more words again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    post = (
+        df.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("raw_freq"))
+    )
+    n = df.count()
+    dictionary = post.groupBy("term").agg(F.count("*").alias("df")).select(
+        "term", (F.log((F.lit(float(n)) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf")
+    )
+    out = tx.doc_keywords(post, dictionary, k=1).collect()
+    top_by_doc = {r["doc_id"]: r["term"] for r in out}
+    assert top_by_doc[1] == "rareword"
+    assert all(r["rank"] == 1 for r in out)
