@@ -233,3 +233,14 @@ def test_dup_ngram_stats_exactly_two_shuffles(spark):
     # for the per-doc rollup — a third Exchange means a branch recomputes
     # the gram construction again
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_pmi_topk_plan_broadcast_and_takeordered(spark):
+    from coderag_spark.operators.textops import pmi_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = physical_plan(pmi_pairs(docs, min_pair_count=2, top_k=10))
+    # unigram counts broadcast, global top-k never a full sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
