@@ -434,19 +434,31 @@ def main() -> None:
         }
 
     total = time.time() - t_total0
-    print(
-        json.dumps(
-            {
-                "metric": "coderag-spark build files/sec + BM25 top-10 queries/sec + suite query secs",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": sf,
-                "build": build,
-                "scaling": scaling,
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "coderag-spark build files/sec + BM25 top-10 queries/sec + suite query secs",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": sf,
+            "build": build,
+            "scaling": scaling,
+        }
     )
+    # durable copy first: the round-2 driver's stdout capture window lost
+    # the JSON line to interleaved Spark output, so persist before printing
+    # (console progress bars are also disabled in get_spark now)
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(result + "\n")
+    except OSError:
+        pass
+    print(result, flush=True)
+    print(result, file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -235,7 +235,16 @@ def _cmd_dedup(args) -> int:
             .drop("_rn", "content_sha")
         )
     else:
-        with_id = corpus.withColumn("_did", F.xxhash64("repo", "path", "commit"))
+        # within-run-stable UNIQUE node ids. A hash id (xxhash64 over the
+        # key tuple) can alias distinct docs at 64 bits — silent spurious
+        # dup edges + duplicated keeper rows at 10^9+ docs — so use
+        # monotonically_increasing_id, unique by construction. It is only
+        # stable once materialized (every action re-evaluates the plan),
+        # hence the localCheckpoint; the corpus feeds several passes
+        # (pairs, components, collapse) so it would be persisted anyway.
+        with_id = corpus.withColumn(
+            "_did", F.monotonically_increasing_id()
+        ).localCheckpoint()
         if args.method == "minhash":
             pairs = dd.minhash_lsh_pairs(
                 with_id, text_col="content", id_col="_did", threshold=args.threshold

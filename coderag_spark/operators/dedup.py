@@ -424,6 +424,7 @@ def dedup_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Connected components over a duplicate-pair edge list: every doc is
     labeled with the MIN doc id reachable through dup edges — the
@@ -439,6 +440,12 @@ def dedup_components(
     data. Each round is one shuffle on node id; every frontier is
     localCheckpoint()ed so the plan stays constant-size instead of
     growing a join per iteration (the classic iterative-lineage blowup).
+
+    If the loop exhausts ``max_iter`` while labels are still changing
+    (component diameter > max_iter — e.g. a long boilerplate chain), the
+    labels are PARTIALLY converged: clusters would be split and keepers
+    wrong. That is never silent: a warning is logged, and
+    ``require_converged=True`` raises instead.
     """
     edges = (
         pairs.select(
@@ -457,6 +464,7 @@ def dedup_components(
     else:
         nodes = edges.select(F.col("src").alias("v")).distinct()
     labels = nodes.select("v", F.col("v").alias("lbl")).localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("v", "src"), "src")
@@ -479,6 +487,18 @@ def dedup_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        msg = (
+            f"dedup_components did not converge within max_iter={max_iter} "
+            "rounds; labels are PARTIALLY propagated (clusters split, "
+            "keepers wrong). Raise max_iter: dup graphs normally have "
+            "diameter 2-3, so a longer chain is pathological input."
+        )
+        if require_converged:
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
 
 
@@ -492,10 +512,27 @@ def collapse_duplicates(
     annotate it with the cluster size. This is the step that actually
     shrinks the training corpus after pair finding + clustering.
 
-    Shape: one shuffle of (doc_id, component) for the size agg, then an
-    equi-join of keepers back to the corpus — never moves doc content for
-    dropped rows (the join is on the keeper ids only)."""
-    sizes = components.groupBy("component").agg(F.count("*").alias("n_members"))
+    Docs absent from ``components`` (the default ``dedup_components`` path
+    over pairs only labels docs that appear in some pair) are their own
+    singleton keepers (n_members=1) — a doc with no duplicates must never
+    vanish from the "deduped" corpus.
+
+    Shape: a left-join of doc ids (ids only, not content) to labels, one
+    shuffle of (doc_id, component) for the size agg, then an equi-join of
+    keepers back to the corpus — never moves doc content for dropped rows
+    (the final join is on the keeper ids only)."""
+    lab = components.select(
+        F.col(components.columns[0]).alias(id_col), F.col("component")
+    )
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(lab, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("n_members"))
     keepers = sizes.select(
         F.col("component").alias(id_col), F.col("n_members")
     )

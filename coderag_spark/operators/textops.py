@@ -155,6 +155,8 @@ def pmi_pairs(
     id_col: str = "doc_id",
     min_pair_count: int = 5,
     top_k: int = 50,
+    max_doc_distinct_tokens: int | None = 5000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Top-k token pairs by pointwise mutual information over document
     co-occurrence: pmi = ln(n_ab * N / (n_a * n_b)) with doc-level
@@ -162,15 +164,40 @@ def pmi_pairs(
 
     Shape: one explode of per-doc DISTINCT tokens, a within-doc self-join
     (blocked by doc_id — quadratic only in a doc's distinct-token count,
-    never in corpus size; cap documents upstream if a pathological doc
-    has 10^5 distinct tokens), partial-aggregated pair counts, broadcast
+    never in corpus size), partial-aggregated pair counts, broadcast
     unigram counts, TakeOrdered top-k. Deterministic order:
-    (pmi desc, tok_a asc, tok_b asc) on the 6-dp-rounded pmi."""
-    n_docs = df.count()
-    t = df.select(
+    (pmi desc, tok_a asc, tok_b asc) on the 6-dp-rounded pmi.
+
+    ``max_doc_distinct_tokens`` is the skew guard (ON by default, 5000):
+    the within-doc self-join emits d*(d-1)/2 pair rows for a doc with d
+    distinct tokens, so a single 10^5-distinct-token web page would emit
+    ~5e9 rows and kill the stage. Docs over the cap are DROPPED from the
+    whole computation — unigram counts, N, and pairs all range over the
+    surviving docs, so the PMI stays internally consistent (same pattern
+    as ``ngram_jaccard_pairs``'s max_shingle_df). Pass ``None`` for exact
+    semantics on corpora known to have no pathological docs;
+    ``log_dropped=True`` eagerly counts and logs dropped docs (one extra
+    job)."""
+    docs = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(simple_tokens_col(F.col(text_col)))).alias("tok"),
+        F.array_distinct(simple_tokens_col(F.col(text_col))).alias("_toks"),
     )
+    if max_doc_distinct_tokens:
+        kept = docs.filter(F.size("_toks") <= max_doc_distinct_tokens)
+        if log_dropped:
+            import logging
+
+            n_dropped = docs.filter(
+                F.size("_toks") > max_doc_distinct_tokens
+            ).count()
+            if n_dropped:
+                logging.getLogger(__name__).warning(
+                    "pmi_pairs: dropping %d docs with > %d distinct tokens",
+                    n_dropped, max_doc_distinct_tokens,
+                )
+        docs = kept
+    n_docs = docs.count()
+    t = docs.select("doc_id", F.explode("_toks").alias("tok"))
     uni = t.groupBy("tok").agg(F.count("*").alias("n"))
     a = t.select(F.col("doc_id").alias("_da"), F.col("tok").alias("tok_a"))
     b = t.select(F.col("doc_id").alias("_db"), F.col("tok").alias("tok_b"))

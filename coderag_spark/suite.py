@@ -221,7 +221,12 @@ def q_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PMI_TOPK = f"""
-WITH t AS (SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS tok FROM documents),
+WITH docs AS (
+  -- mirrors pmi_pairs' max_doc_distinct_tokens=5000 skew guard
+  SELECT * FROM (SELECT doc_id, list_distinct({TOKS_SQL}) AS toks FROM documents)
+  WHERE len(toks) <= 5000
+),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
 d AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
 p AS (
   SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
@@ -229,7 +234,7 @@ p AS (
   GROUP BY 1, 2
 )
 SELECT tok_a, tok_b, n_ab::BIGINT AS n_ab,
-       round(ln((n_ab::DOUBLE * (SELECT count(*) FROM documents))
+       round(ln((n_ab::DOUBLE * (SELECT count(*) FROM docs))
                 / (da.n::DOUBLE * db.n::DOUBLE)), 6) AS pmi
 FROM p JOIN d da ON da.tok = tok_a JOIN d db ON db.tok = tok_b
 WHERE n_ab >= 5

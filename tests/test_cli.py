@@ -109,15 +109,39 @@ def test_cli_dedup_exact(spark, corpus_df, tmp_path, capsys):
 
 
 def test_cli_dedup_ngram_collapses_near_dups(spark, corpus_df, tmp_path, capsys):
+    import hashlib
     import json
 
+    from coderag_spark.sources.corpus import CORPUS_SCHEMA
+
+    # plant a KNOWN near-dup pair: same long body, one differs by a single
+    # trailing token -> trigram jaccard well above 0.9
+    body = "\n".join(f"def planted_fn_{i}(arg_{i}):\n    return arg_{i} + {i}" for i in range(20))
+    near = body + "\n# trailing tweak"
+    planted = spark.createDataFrame(
+        [
+            ("r_planted", "src/planted_a.py", "c1", "python", body,
+             hashlib.sha256(body.encode()).hexdigest()),
+            ("r_planted", "src/planted_b.py", "c1", "python", near,
+             hashlib.sha256(near.encode()).hexdigest()),
+        ],
+        schema=CORPUS_SCHEMA,
+    )
     corpus_path = str(tmp_path / "c2")
     out_path = str(tmp_path / "d2")
-    corpus_df.write.mode("overwrite").parquet(corpus_path)
+    corpus_df.unionByName(planted).write.mode("overwrite").parquet(corpus_path)
     rc = main(["--cores", "4", "dedup", "--corpus", corpus_path, "--out", out_path,
                "--method", "ngram", "--threshold", "0.9"])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    # near-dup collapse is at least as aggressive as exact dedup
-    assert rep["n_out"] <= rep["n_in"]
-    assert spark.read.parquet(out_path).count() == rep["n_out"]
+    # the planted pair must actually collapse (not just n_out <= n_in)
+    assert rep["n_dropped"] >= 1
+    kept = spark.read.parquet(out_path)
+    assert kept.count() == rep["n_out"]
+    kept_planted = sorted(
+        r.path for r in kept.filter(kept.repo == "r_planted").collect()
+    )
+    # exactly one of the near-dup pair survives
+    assert len(kept_planted) == 1
+    # docs with no duplicates are NOT dropped by the collapse
+    assert rep["n_out"] >= rep["n_in"] - rep["n_in"] // 2

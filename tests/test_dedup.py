@@ -226,3 +226,49 @@ def test_stream_exact_dedup_first_seen_wins(spark, tmp_path):
     paths = sorted(r["path"] for r in got)
     # the duplicate re-ingest is suppressed by checkpointed state
     assert paths == ["a.py", "b.py", "c.py"]
+
+
+def test_dedup_components_warns_on_max_iter_exhaustion(spark, caplog):
+    """A chain longer than max_iter rounds cannot fully propagate the min
+    label: that must WARN (and raise under require_converged), never
+    silently return split clusters."""
+    import logging
+
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    with caplog.at_level(logging.WARNING, logger="coderag_spark.operators.dedup"):
+        got = {
+            r["doc_id"]: r["component"]
+            for r in dd.dedup_components(pairs, max_iter=2).collect()
+        }
+    assert any("did not converge" in rec.message for rec in caplog.records)
+    # partially propagated: the far end of the chain has NOT reached label 1
+    assert got[12] != 1
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.dedup_components(pairs, max_iter=2, require_converged=True).collect()
+    # enough rounds -> converges, no warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="coderag_spark.operators.dedup"):
+        got = {
+            r["doc_id"]: r["component"]
+            for r in dd.dedup_components(pairs, max_iter=25).collect()
+        }
+    assert got == {i: 1 for i in range(1, 13)}
+    assert not any("did not converge" in rec.message for rec in caplog.records)
+
+
+def test_collapse_duplicates_keeps_unlabeled_docs_as_singletons(spark):
+    """components built over pairs only (no all_ids) label just the docs
+    that appear in some pair; collapse must keep the rest as their own
+    singleton keepers rather than dropping them."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (7, "unique body"), (9, "another unique")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    comp = dd.dedup_components(pairs)  # covers only ids 1 and 2
+    kept = {r["doc_id"]: r["n_members"] for r in dd.collapse_duplicates(docs, comp).collect()}
+    assert kept == {1: 2, 7: 1, 9: 1}

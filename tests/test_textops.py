@@ -135,3 +135,37 @@ def test_doc_keywords_picks_rare_heavy_terms(spark):
     top_by_doc = {r["doc_id"]: r["term"] for r in out}
     assert top_by_doc[1] == "rareword"
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_pmi_pairs_guard_drops_pathological_doc(spark):
+    """The max_doc_distinct_tokens skew guard (ON by default) drops a doc
+    whose distinct-token count would make the within-doc self-join
+    quadratic, keeping the emitted pair-row count bounded; pmi over the
+    surviving docs is unchanged vs computing without the bad doc."""
+    from coderag_spark.operators import textops as tx
+
+    normal = [(i, f"alpha beta filler{i}") for i in range(8)]
+    # one pathological doc: 300 distinct tokens -> 44850 pairs unguarded
+    bomb = [(99, " ".join(f"tok{j}" for j in range(300)))]
+    df = spark.createDataFrame(normal + bomb, "doc_id long, text string")
+
+    guarded = tx.pmi_pairs(
+        df, min_pair_count=2, top_k=100, max_doc_distinct_tokens=100
+    ).collect()
+    clean = tx.pmi_pairs(
+        spark.createDataFrame(normal, "doc_id long, text string"),
+        min_pair_count=2, top_k=100, max_doc_distinct_tokens=None,
+    ).collect()
+    key = lambda r: (r["tok_a"], r["tok_b"], r["n_ab"], r["pmi"])
+    assert sorted(map(key, guarded)) == sorted(map(key, clean))
+    # no tokN pair leaked through
+    assert not any(r["tok_a"].startswith("tok") for r in guarded)
+    # unguarded run DOES see the bomb's pairs (sanity that the guard is
+    # what bounds the output, not the min_pair_count filter)
+    unguarded = tx.pmi_pairs(
+        df, min_pair_count=1, top_k=100000, max_doc_distinct_tokens=None
+    ).count()
+    bounded = tx.pmi_pairs(
+        df, min_pair_count=1, top_k=100000, max_doc_distinct_tokens=100
+    ).count()
+    assert unguarded >= 300 * 299 // 2 and bounded < 200
