@@ -363,10 +363,18 @@ def main() -> None:
     from coderag_spark.suite import warm_suite
 
     warm_suite(spark, sf_dir)
+    from coderag_spark.operators.dedup import release_persists
+    from coderag_spark.suite import clear_suite_caches
+
     for name in SUITE_BENCH:
         t0 = time.time()
         qs[name](spark, sf_dir).collect()
         qtimes[name] = round(time.time() - t0, 3)
+        # bound persisted-RDD growth across the run: drop per-query dedup
+        # intermediates (the shared suite caches stay warm; released
+        # upstreams just recompute if ever needed again)
+        release_persists()
+    clear_suite_caches()
     spark.stop()
 
     # --- scaling probes (fresh JVM per parallelism level)

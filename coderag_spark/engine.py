@@ -178,14 +178,49 @@ def load_index(spark: SparkSession, path: str, as_of_segment: int | None = None)
         if not 0 <= as_of_segment <= len(segs):
             raise ValueError(f"as_of_segment={as_of_segment}, store has {len(segs)} segments")
         segs = segs[:as_of_segment]
-    for seg in segs:
-        tomb = spark.read.parquet(f"{seg}/tombstones").select("doc_id")
-        postings = postings.join(tomb, "doc_id", "left_anti").unionByName(
-            spark.read.parquet(f"{seg}/postings")
+    if segs:
+        # flattened merge-on-read: ONE union of all segment rows + ONE
+        # aggregated-tombstone join, so reader plan depth is O(1) in
+        # segment count (a per-segment anti-join + union chain grows the
+        # plan linearly). The sequential semantics — segment k's
+        # tombstones apply to the base and to earlier segments only, so a
+        # doc_id re-added by a later segment survives — are preserved by
+        # tagging every row with its segment ordinal (base = 0) and
+        # keeping a row iff its ordinal >= the doc's max tombstone
+        # ordinal (a segment tombstones before it adds).
+        import functools
+
+        from pyspark.sql import DataFrame as _DF
+
+        tombs = functools.reduce(
+            _DF.unionByName,
+            [
+                spark.read.parquet(f"{seg}/tombstones")
+                .select("doc_id", F.lit(k + 1).alias("_t_ord"))
+                for k, seg in enumerate(segs)
+            ],
         )
-        docs = docs.join(tomb, "doc_id", "left_anti").unionByName(
-            spark.read.parquet(f"{seg}/docs")
-        )
+        max_tomb = tombs.groupBy("doc_id").agg(F.max("_t_ord").alias("_max_tomb"))
+
+        def _merged(base: _DF, sub: str) -> _DF:
+            rows = functools.reduce(
+                _DF.unionByName,
+                [base.withColumn("_ord", F.lit(0))]
+                + [
+                    spark.read.parquet(f"{seg}/{sub}").withColumn("_ord", F.lit(k + 1))
+                    for k, seg in enumerate(segs)
+                ],
+            )
+            return (
+                rows.join(max_tomb, "doc_id", "left")
+                .filter(
+                    F.col("_max_tomb").isNull() | (F.col("_ord") >= F.col("_max_tomb"))
+                )
+                .select(*base.columns)  # restore the base column order
+            )
+
+        postings = _merged(postings, "postings")
+        docs = _merged(docs, "docs")
     if as_of_segment is not None and as_of_segment < len(_segment_dirs(path)):
         srow = docs.agg(
             F.count("*").alias("n"),

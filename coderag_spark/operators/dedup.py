@@ -33,6 +33,33 @@ from pyspark.sql import types as T
 
 from coderag_spark.functions.tokenize import simple_tokens_col
 
+# intermediates persisted for the duration of a query (gram streams,
+# signature passes feed multiple join sides). A long-lived multi-tenant
+# driver issuing many dedup calls would otherwise leak persisted RDDs —
+# every persist is registered here and released by release_persists()
+# (suite.clear_suite_caches calls it; bench calls it between queries).
+_LIVE_PERSISTS: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _LIVE_PERSISTS.append(df.persist())
+    return df
+
+
+def release_persists() -> int:
+    """Unpersist every intermediate this module has persisted; returns the
+    number released. Safe to call while downstream persisted results are
+    still held — Spark just recomputes from source if they are evicted."""
+    n = 0
+    while _LIVE_PERSISTS:
+        df = _LIVE_PERSISTS.pop()
+        try:
+            df.unpersist(blocking=True)
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(content_sha, n_docs, keeper) — keeper = min id per identical content."""
@@ -92,8 +119,8 @@ def ngram_jaccard_pairs(
 
     NOTE: intermediate frames are persisted for the duration of the query
     (multiple consumers); a long-lived driver issuing many dedup calls
-    should clear them between rounds (``spark.catalog.clearCache()`` or
-    unpersist after materializing the result).
+    should call ``release_persists()`` between rounds (the suite's
+    ``clear_suite_caches`` does).
     """
     # two-step select: see minhash_signatures — the grams transform must
     # consume a materialized column, not the raw split expression.
@@ -103,7 +130,8 @@ def ngram_jaccard_pairs(
     # branch recomputes it (measured 2.5x the runtime at sf0.1)
     docs = df.select(
         F.col(id_col).alias("doc"), simple_tokens_col(F.col(text_col)).alias("_toks")
-    ).select("doc", token_ngrams(F.col("_toks"), n).alias("grams")).persist()
+    ).select("doc", token_ngrams(F.col("_toks"), n).alias("grams"))
+    docs = _persist(docs)
     shingles = docs.select("doc", F.explode("grams").alias("gram"))
     if max_shingle_df:
         hot = (
@@ -122,7 +150,7 @@ def ngram_jaccard_pairs(
                     dropped, max_shingle_df,
                 )
         # surviving shingles feed three consumers (join sides a/b + sizes)
-        shingles = shingles.join(F.broadcast(hot), "gram", "left_anti").persist()
+        shingles = _persist(shingles.join(F.broadcast(hot), "gram", "left_anti"))
         # per-doc gram counts over the SURVIVING shingle space, so dropped
         # grams leave both the intersection and the union consistently
         sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_grams"))
@@ -252,10 +280,10 @@ def minhash_lsh_pairs(
     rows_per = num_hashes // bands
     grams = None
     if rescore == "exact":
-        grams = doc_grams(df, text_col, id_col, shingle_n).persist()
-        sig = _sig_from_grams(grams, num_hashes).persist()
+        grams = _persist(doc_grams(df, text_col, id_col, shingle_n))
+        sig = _persist(_sig_from_grams(grams, num_hashes))
     else:
-        sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+        sig = _persist(minhash_signatures(df, text_col, id_col, num_hashes, shingle_n))
     band_cols = [
         F.xxhash64(F.concat_ws("_", *[F.element_at("sig", b * rows_per + r + 1).cast("string") for r in range(rows_per)]), F.lit(b)).alias("bucket")
         for b in range(bands)
@@ -381,7 +409,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bits must agree exactly on at least one of 4 bands when max_hamming < 4
     ... for max_hamming <= 6 we use 8-bit x 8 bands to keep recall 1.0 when
     max_hamming < 8)."""
-    sh = simhash(df, text_col, id_col).persist()
+    sh = _persist(simhash(df, text_col, id_col))
     n_bands = 8  # 8 bands x 8 bits: hamming <= 7 guarantees a matching band
     bands = sh.select(
         "doc_id",

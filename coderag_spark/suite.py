@@ -124,6 +124,26 @@ def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clear_suite_caches() -> int:
+    """Release every persisted DataFrame the suite is holding — the five
+    shared scan/derived caches plus the dedup operators' internal
+    intermediates — and return how many were unpersisted. Bounded-cache
+    discipline for a long-lived multi-tenant driver: without this, a
+    50-query run accumulates persisted RDDs for the life of the process.
+    Queries issued afterwards simply rebuild (and re-register) what they
+    need."""
+    n = 0
+    for cache in (_DOC_CACHE, _EMB_CACHE, _EVENTS_CACHE, _TOK_CACHE, _NGRAM_PAIR_CACHE):
+        for key in list(cache):
+            try:
+                cache.pop(key).unpersist(blocking=True)
+                n += 1
+            except Exception:
+                pass
+    n += dd.release_persists()
+    return n
+
+
 def warm_suite(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the suite's shared persisted scans and compile the hot
     whole-stage-codegen kernels (the 64-dim ``zip_with``/``aggregate``

@@ -312,3 +312,57 @@ def test_size_based_compaction_policy(spark, tmp_path):
 
         os.remove(f"{seg}/postings/_ballast.bin")
     assert not should_compact(path)
+
+
+def test_flattened_segment_reader_plan_and_readd(spark, tmp_path):
+    """The merge-on-read reader flattens ALL segments into one union plus
+    ONE aggregated-tombstone join: the plan's join count must not grow
+    with segment count, and the sequential semantics must hold — a doc_id
+    tombstoned by one segment and re-added by a later one survives."""
+    from coderag_spark.engine import append_index_segment, load_index
+    from coderag_spark.streaming.incremental import IncrementalDelta
+
+    path = str(tmp_path / "idx")
+    pdf = generate_corpus(n_files=12, seed=91, include_edge_rows=False)
+    corpus = spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+    idx = resume_or_build(spark, corpus, path)
+    base_rows = {(r["doc_id"], r["term"]) for r in idx.postings.collect()}
+
+    x = idx.docs.select("doc_id").first()["doc_id"]
+    x_post = idx.postings.filter(F.col("doc_id") == x).localCheckpoint()
+    x_docs = idx.docs.filter(F.col("doc_id") == x).localCheckpoint()
+    tomb = x_docs.select("doc_id").distinct().localCheckpoint()
+    no_keys = spark.createDataFrame([], "repo string, path string")
+    no_terms = spark.createDataFrame([], "term string")
+
+    def delta(post, docs, removed):
+        return IncrementalDelta(
+            affected_file_keys=no_keys, affected_terms=no_terms,
+            added_postings=post, added_docs=docs, removed_doc_ids=removed,
+        )
+
+    # seg-0: delete doc x | seg-1: re-add it | seg-2/3: no-ops
+    append_index_segment(spark, idx, path, delta(x_post.limit(0), x_docs.limit(0), tomb))
+    append_index_segment(spark, idx, path, delta(x_post, x_docs, tomb))
+    append_index_segment(
+        spark, idx, path, delta(x_post.limit(0), x_docs.limit(0), tomb.limit(0))
+    )
+
+    def n_joins(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("Join")
+
+    joins_at_3 = n_joins(load_index(spark, path).postings)
+    append_index_segment(
+        spark, idx, path, delta(x_post.limit(0), x_docs.limit(0), tomb.limit(0))
+    )
+    merged = load_index(spark, path)
+    # O(1) join depth: the 4th segment adds NO join to the reader plan
+    assert n_joins(merged.postings) == joins_at_3
+    # delete-then-re-add converges back to the base content
+    got = {(r["doc_id"], r["term"]) for r in merged.postings.collect()}
+    assert got == base_rows
+    assert merged.docs.filter(F.col("doc_id") == x).count() == x_docs.count()
+    # time travel to just after the delete: doc x absent
+    snap1 = load_index(spark, path, as_of_segment=1)
+    assert snap1.postings.filter(F.col("doc_id") == x).count() == 0
+    assert snap1.docs.filter(F.col("doc_id") == x).count() == 0

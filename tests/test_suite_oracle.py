@@ -73,3 +73,30 @@ def test_entry_runs(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0 and len(df.columns) >= 2
+
+
+def test_suite_caches_bounded(spark):
+    """A long-lived driver running dedup-family suite queries repeatedly
+    must not accumulate persisted RDDs: release_persists() between rounds
+    keeps the count flat, and clear_suite_caches() returns the session to
+    its baseline (asserted via getPersistentRDDs)."""
+    from coderag_spark import suite
+    from coderag_spark.operators.dedup import release_persists
+
+    jsc = spark.sparkContext._jsc
+    suite.clear_suite_caches()  # known starting state
+    base = jsc.getPersistentRDDs().size()
+    sf = "/root/testdata/sf0.001"
+    qs = suite.queries()
+    counts = []
+    for _ in range(2):
+        for name in ("ngram_jaccard", "minhash_lsh", "simhash"):
+            qs[name](spark, sf).collect()
+        release_persists()
+        counts.append(jsc.getPersistentRDDs().size())
+    # round 2 adds nothing the release didn't reclaim (shared suite caches
+    # are reused, per-query intermediates are dropped)
+    assert counts[1] <= counts[0]
+    released = suite.clear_suite_caches()
+    assert released >= 1
+    assert jsc.getPersistentRDDs().size() <= base
