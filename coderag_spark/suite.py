@@ -1629,6 +1629,61 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lsh_ann(dim: int = 64, n_planes: int = 12, max_hamming: int = 4, k: int = 10) -> str:
+    """Exact DuckDB oracle for hyperplane LSH ANN (graduates lsh_ann from
+    rows-only). The seeded Gaussian planes (``random.Random(42).gauss``,
+    similarity.py:_planes) are not SQL-derivable, so their constants are
+    inlined as full-precision literals; both engines then compute the same
+    sequential left-to-right double fold for every dot product (Spark
+    ``F.aggregate``, DuckDB ``list_sum`` over ``list_transform``), so the
+    sign decisions, the bit-packed signatures, the hamming filter, and the
+    candidate cosines are bit-identical. dim=64 matches the driver
+    embeddings table at every SF."""
+    planes = sim._planes(dim, n_planes, seed=42)
+    vals = ",\n".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+planes(pid, pv) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, p.pid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                 i -> e.embedding[i]::DOUBLE * p.pv[i])) AS d
+  FROM embeddings e CROSS JOIN planes p
+),
+sigs AS (
+  SELECT vec_id,
+         sum(CASE WHEN d >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id
+),
+qdots AS (
+  SELECT p.pid,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+                                 i -> q.qv[i]::DOUBLE * p.pv[i])) AS d
+  FROM q CROSS JOIN planes p
+),
+qsig AS (
+  SELECT sum(CASE WHEN d >= 0 THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT AS sig
+  FROM qdots
+),
+cand AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id, qsig
+  WHERE bit_count(xor(s.sig, qsig.sig)) <= {max_hamming}
+),
+sc AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(embedding) + 1),
+                                 i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))) AS c
+  FROM cand, q
+)
+SELECT vec_id, round(c, 6) AS cos FROM sc ORDER BY 2 DESC, 1 ASC LIMIT {k}
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.to_media_table(_documents(spark, sf_dir))
     feats = mm.decode_image_features(media, fake=True)
@@ -1802,4 +1857,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": SQL_EVENTS_SLIDING,
         "pmi_topk": SQL_PMI_TOPK,
         "doc_keywords": SQL_DOC_KEYWORDS,
+        "lsh_ann": _sql_lsh_ann(),
     }
