@@ -59,17 +59,24 @@ _DEF_LINE_RE = re.compile(
 )
 
 # arrow-function binding: `const foo = (a, b) => ...` / `export let f = x =>`
+# / generic arrows `const pick = <T,>(xs: T[]) =>`
 _ARROW_RE = re.compile(
     r"^\s*(?:export\s+)?(?:default\s+)?(?:const|let|var)\s+"
-    r"([A-Za-z_$][\w$]*)\s*(?::[^=]*)?=\s*(?:async\s+)?"
-    r"(?:\([^)]*\)|[A-Za-z_$][\w$]*)\s*=>"
+    r"([A-Za-z_$][\w$]*)\s*(?::[^=]*)?=\s*(?:async\s+)?(?:<[^>]*>\s*)?"
+    r"(?:\([^)]*\)(?:\s*:[^=]*)?|[A-Za-z_$][\w$]*)\s*=>"
 )
 
 # modifier-led method header without a def keyword — `public void foo(`,
-# `private foo() {`, `static async handle(` (Java/C#/TS class members)
+# `private foo() {`, `static async handle(` (Java/C#/TS class members).
+# The lookahead rejects control statements that would otherwise parse as
+# `modifier identifier(` — Python's `async with session.get(...)` /
+# `async for` were flagged as defs before it
 _MODIFIER_DEF_RE = re.compile(
     r"^\s*(?:(?:public|private|protected|static|abstract|final|synchronized|"
-    r"override|readonly|async)\s+)+[A-Za-z_$][\w$<>\[\], .]*?\s*\("
+    r"override|readonly|async)\s+)+"
+    r"(?!(?:with|if|for|while|switch|catch|return|await|new|do|else|try|"
+    r"in|of|yield|raise|assert|lambda|not|del|import|from)\b)"
+    r"[A-Za-z_$][\w$<>\[\], .]*?\s*\("
 )
 
 # the method name in a modifier-led header: first identifier directly
@@ -82,8 +89,13 @@ _DECORATOR_RE = re.compile(r"^\s*@[\w.]+")
 # entity extraction from a boundary line: (kind, name) — the analogue of
 # the reference's AST entities (ast-chunking.ts:71-87: chunk type is the
 # first entity's type, metadata carries {name, type} pairs)
+# the optional `<...>` between keyword and name covers generics/lifetimes
+# BEFORE the name (`impl<'a> Parser`, `impl<T: Fn(&'a str) -> bool> W`);
+# `->` is consumed as a token so a return-type arrow inside the generic
+# list doesn't terminate it early
 _ENTITY_RE = re.compile(
-    r"\b(function|def|class|fn|func|impl|struct|interface|trait|enum)\s+"
+    r"\b(function|def|class|fn|func|impl|struct|interface|trait|enum)\s*"
+    r"(?:<(?:->|[^<>]|<[^<>]*>)*>)?\s+"
     r"(?:\([^)]*\)\s+)?"  # go method receiver
     r"([A-Za-z_][A-Za-z0-9_]*)"
 )
@@ -129,15 +141,20 @@ def _fallback_chunks(text: str, max_chunk_size: int) -> list[Chunk]:
 
 
 _STRING_RE = re.compile(r'"(?:\\.|[^"\\])*"|\'(?:\\.|[^\'\\])*\'|`[^`]*`')
+# Rust: a lone quote is a lifetime (`impl<'a> Parser<'a>`), not a string
+# open — treating it as one swallowed everything up to the next lifetime
+# and lost the impl's type name. Strip only double-quoted strings and
+# single-CHAR literals ('x', '\n') there.
+_STRING_RE_RUST = re.compile(r'"(?:\\.|[^"\\])*"|\'(?:\\.|[^\'\\])\'')
 
 
-def _code_text(line: str) -> str:
+def _code_text(line: str, lang: str | None = None) -> str:
     """Line with string literals and // line comments removed — what brace
     counting and definition detection should look at. Fast-pathed: most
     lines contain neither quotes nor comments, and this runs per line in
     the build pipeline's hottest UDF."""
     if '"' in line or "'" in line or "`" in line:
-        line = _STRING_RE.sub("", line)
+        line = (_STRING_RE_RUST if lang == "Rust" else _STRING_RE).sub("", line)
     if "//" in line:
         line = line.split("//")[0]
     return line
@@ -147,8 +164,8 @@ def _indent(line: str) -> int:
     return len(line) - len(line.lstrip(" \t"))
 
 
-def _is_def_line(line: str) -> bool:
-    code = _code_text(line)
+def _is_def_line(line: str, lang: str | None = None) -> bool:
+    code = _code_text(line, lang)
     return bool(
         _DEF_LINE_RE.match(code)
         or _ARROW_RE.match(code)
@@ -184,22 +201,53 @@ def _is_def_code(code_line: str) -> bool:
 def _body_end_brace(code: list[str], i: int) -> int:
     """Exclusive end of a brace-delimited body starting at def line ``i``:
     scan until the brace depth opened on/after the header returns to 0.
-    A brace-less declaration (`fn foo();`, `const f = x => expr;`) ends at
-    its terminating `;`; a header whose `{` never appears within a few
-    lines is treated as a one-line unit (resilience on invalid syntax)."""
+    The body's `{` is the first one at PAREN depth 0 — a balanced default
+    argument inside a multi-line signature (`options: Opts = {}`) is not a
+    body (it broke chunkCodeByAST-shaped headers before). A brace-less
+    declaration (`fn foo();`, `const f = x => expr;`) ends at its
+    terminating `;`; a header whose `{` never appears within a few lines
+    past its closing paren is a one-line unit (resilience on invalid
+    syntax)."""
     depth = 0
+    pdepth = 0
     opened = False
+    sig_done_at = None  # line where the signature's paren list closed
     for j in range(i, len(code)):
         cl = code[j]
-        depth += cl.count("{") - cl.count("}")
-        opened = opened or "{" in cl
-        if opened and depth <= 0:
-            return j + 1
         if not opened:
-            if cl.rstrip().endswith(";"):
+            if "{" in cl:
+                # char scan: body opens at the first `{` outside parens
+                for pos, ch in enumerate(cl):
+                    if not opened:
+                        if ch == "(":
+                            pdepth += 1
+                        elif ch == ")":
+                            pdepth -= 1
+                        elif ch == "{" and pdepth <= 0:
+                            opened = True
+                            depth = 1
+                    elif ch == "{":
+                        depth += 1
+                    elif ch == "}":
+                        depth -= 1
+                if opened and depth <= 0:
+                    return j + 1
+            else:
+                pdepth += cl.count("(") - cl.count(")")
+            if not opened:
+                if pdepth <= 0:
+                    if cl.rstrip().endswith(";"):
+                        return j + 1
+                    if sig_done_at is None and (")" in cl or "(" not in "".join(code[i : j + 1])):
+                        sig_done_at = j
+                if sig_done_at is not None and j - sig_done_at >= 8:
+                    return i + 1  # no body after the signature: one-line unit
+                if j - i >= 40:  # runaway unclosed signature guard
+                    return i + 1
+        else:
+            depth += cl.count("{") - cl.count("}")
+            if depth <= 0:
                 return j + 1
-            if j - i >= 8:  # multi-line signature grace window
-                return i + 1
     return len(code)
 
 
@@ -325,7 +373,7 @@ def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
     lines = text.split("\n")
     # per-file memos of everything the recursive passes would recompute:
     # stripped lines, def flags (one regex pass per line), length prefix sums
-    code = [_code_text(ln) for ln in lines]
+    code = [_code_text(ln, lang) for ln in lines]
     flags = [_is_def_code(cl) for cl in code]
     if not any(flags):
         return []  # no structure found -> caller falls back to char chunks
