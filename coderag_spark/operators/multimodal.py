@@ -5,16 +5,18 @@ metadata struct, Arrow-batched `mapInPandas` decode/feature stages with
 stable schemas and bounded batch sizes.
 
 Decode support comes in two tiers:
-  * REAL decoders for the self-contained formats Python's stdlib + numpy
-    can parse without external libraries — 24-bit uncompressed **BMP**,
-    binary **PPM (P6)**, and PCM **WAV** — via ``decode_media_features``
-    (format sniffed from magic bytes per payload). Encoders for the same
-    formats (``encode_bmp`` / ``encode_ppm`` / ``encode_wav``) make the
-    round trip testable and synthesize deterministic fixtures.
-  * compressed formats (PNG/JPEG/MP3/MP4) need PIL/ffmpeg, which are not
-    in this container — those payloads raise ``NotImplementedError``
-    (or flow through the deterministic fake when requested), keeping the
-    limitation explicit rather than silent.
+  * REAL decoders for the formats Python's stdlib + numpy can parse
+    without external libraries — 24-bit uncompressed **BMP**, binary
+    **PPM (P6)**, PCM **WAV**, and **PNG** (8-bit RGB/RGBA, chunk parse +
+    zlib inflate + all five scanline unfilters) — via
+    ``decode_media_features`` (format sniffed from magic bytes per
+    payload). Encoders for the same formats (``encode_bmp`` /
+    ``encode_ppm`` / ``encode_wav`` / ``encode_png``) make the round trip
+    testable and synthesize deterministic fixtures.
+  * formats needing external codecs (JPEG/MP3/MP4, interlaced or
+    paletted PNG) raise ``NotImplementedError`` (or flow through the
+    deterministic fake when requested), keeping the limitation explicit
+    rather than silent.
 
 Schema convention for a multimodal corpus row:
   (doc_id long, modality string, payload binary,
@@ -130,6 +132,142 @@ def decode_ppm(b: bytes) -> tuple[int, int, float, float, float]:
     return w, h, float(means[0]), float(means[1]), float(means[2])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(kind: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + kind
+        + data
+        + struct.pack(">I", zlib.crc32(kind + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3|4) uint8 -> PNG (8-bit, color type 2/6, no interlace).
+
+    Pure stdlib: chunk framing + CRC32 + zlib deflate. ``filter_type``
+    selects the per-scanline filter (0=None, 1=Sub, 2=Up, 3=Average,
+    4=Paeth) so round-trip tests can exercise every unfilter path of
+    ``decode_png``."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    if ch not in (3, 4):
+        raise ValueError("encode_png expects (h, w, 3|4) uint8")
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    px = pixels.astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        row = px[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+            filt = row - left
+        elif filter_type == 2:  # Up
+            filt = row - prev
+        elif filter_type == 3:  # Average
+            left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+            filt = row - (left + prev) // 2
+        elif filter_type == 4:  # Paeth
+            left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+            upleft = np.vstack([np.zeros((1, ch), np.int16), prev[:-1]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = row - pred
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> tuple[int, int, float, float, float]:
+    """-> (width, height, mean_r, mean_g, mean_b). Stdlib-only PNG decode:
+    chunk parse, zlib inflate, per-scanline unfilter (all 5 filter types).
+    Supports 8-bit color types 2 (RGB) and 6 (RGBA), no interlace — the
+    shapes a training pipeline's thumbnail/synthetic fixtures produce;
+    anything else raises explicitly."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    ch = 0
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        kind = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if kind == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit RGB/RGBA non-interlaced PNG "
+                    f"(depth={depth}, color={color_type}, interlace={interlace})"
+                )
+            ch = 3 if color_type == 2 else 4
+        elif kind == b"IDAT":
+            idat.extend(data)
+        elif kind == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left context
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    upleft = prev[x - ch] if x >= ch else 0
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    arr = out.reshape(height, width, ch)[:, :, :3]
+    means = arr.reshape(-1, 3).mean(axis=0)
+    return width, height, float(means[0]), float(means[1]), float(means[2])
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000, sampwidth: int = 2) -> bytes:
     """float samples in [-1, 1] (1-D mono or (n, ch)) -> PCM WAV bytes."""
     import io
@@ -185,6 +323,8 @@ def sniff_modality(b: bytes) -> str | None:
         return "image/ppm"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "audio/wav"
+    if b[:8] == _PNG_SIG:
+        return "image/png"
     return None
 
 
@@ -214,8 +354,8 @@ def decode_media_features(
                         if on_unsupported == "skip":
                             continue
                         raise NotImplementedError(
-                            "payload is not BMP/PPM/WAV; compressed formats "
-                            "need PIL/ffmpeg, unavailable in this build "
+                            "payload is not BMP/PPM/WAV/PNG; other compressed "
+                            "formats need PIL/ffmpeg, unavailable in this build "
                             f"(doc_id={doc_id}, head={b[:8]!r})"
                         )
                     if kind == "audio/wav":
@@ -224,7 +364,11 @@ def decode_media_features(
                         frames = nfr
                         feat = [rms, peak, nfr / rate if rate else 0.0, float(rate)]
                     else:
-                        dec = decode_bmp if kind == "image/bmp" else decode_ppm
+                        dec = {
+                            "image/bmp": decode_bmp,
+                            "image/ppm": decode_ppm,
+                            "image/png": decode_png,
+                        }[kind]
                         w, h, mr, mg, mb = dec(b)
                         frames = 1
                         feat = [mr, mg, mb, 0.0]

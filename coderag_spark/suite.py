@@ -1693,10 +1693,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode end-to-end: deterministic BMP / WAV payloads
-    synthesized per doc (format alternating by doc_id parity), decoded by
-    the stdlib+numpy codecs inside mapInPandas, format sniffed from magic
-    bytes. Rows-only (codec byte-layout math is not SQL-expressible)."""
+    """REAL media decode end-to-end: deterministic BMP / WAV / PNG
+    payloads synthesized per doc (format rotating by doc_id mod 3),
+    decoded by the stdlib+numpy codecs inside mapInPandas (PNG pays the
+    full chunk-parse + zlib-inflate + Paeth-unfilter path), format sniffed
+    from magic bytes. Rows-only (codec byte-layout math is not
+    SQL-expressible)."""
 
     @F.pandas_udf(T.BinaryType())
     def synth(doc_id: pd.Series) -> pd.Series:
@@ -1707,12 +1709,12 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for d in doc_id:
             d = int(d)
-            if d % 2 == 0:
+            if d % 3 != 1:
                 # cheap deterministic pixels (multiplicative hash per cell)
                 px = (((base + np.uint64(d)) * np.uint64(2654435761)) >> np.uint64(24)).astype(
                     np.uint8
                 ).reshape(6, 5, 3)
-                out.append(mm.encode_bmp(px))
+                out.append(mm.encode_bmp(px) if d % 3 == 0 else mm.encode_png(px, filter_type=4))
             else:
                 out.append(
                     mm.encode_wav(0.3 * np.sin(2 * np.pi * (100 + d % 50) * t), rate=8000)

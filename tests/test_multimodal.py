@@ -111,3 +111,56 @@ def test_decode_media_unsupported_modes(spark, media_df):
         mm.decode_media_features(media_df).collect()
     kept = mm.decode_media_features(media_df, on_unsupported="skip").collect()
     assert sorted(r["doc_id"] for r in kept) == [1, 2, 3]
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(filter_type):
+    """encode_png can emit each scanline filter; decode_png must invert
+    all five (None/Sub/Up/Average/Paeth) to the exact pixel means."""
+    px = _pixels(11, 7, seed=filter_type + 20)
+    w, h, mr, mg, mb = mm.decode_png(mm.encode_png(px, filter_type=filter_type))
+    assert (w, h) == (7, 11)
+    means = px.reshape(-1, 3).mean(axis=0)
+    assert (mr, mg, mb) == pytest.approx((means[0], means[1], means[2]))
+
+
+def test_png_rgba_and_signature():
+    rgba = np.dstack([_pixels(5, 4, seed=2), np.full((5, 4), 128, np.uint8)])
+    b = mm.encode_png(rgba, filter_type=4)
+    assert mm.sniff_modality(b) == "image/png"
+    w, h, mr, mg, mb = mm.decode_png(b)  # alpha ignored in the means
+    assert (w, h) == (4, 5)
+    means = rgba[:, :, :3].reshape(-1, 3).mean(axis=0)
+    assert (mr, mg, mb) == pytest.approx(tuple(means))
+
+
+def test_png_unsupported_shapes_raise():
+    import struct as st
+    import zlib
+
+    # paletted (color type 3) must raise explicitly, not mis-decode
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    b = mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr) + mm._png_chunk(
+        b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00")
+    ) + mm._png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="color=3"):
+        mm.decode_png(b)
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"BM not a png")
+
+
+def test_decode_media_features_png_distributed(spark):
+    """PNG payloads decoded inside mapInPandas next to BMP of the same
+    pixels — identical features."""
+    from pyspark.sql import functions as F
+
+    px = _pixels(6, 9, seed=5)
+    rows = [
+        (1, "image", bytearray(mm.encode_png(px, filter_type=4))),
+        (2, "image", bytearray(mm.encode_bmp(px))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, modality string, payload binary")
+    out = {r["doc_id"]: r for r in mm.decode_media_features(df).collect()}
+    assert out[1]["modality"] == "image/png"
+    assert (out[1]["width"], out[1]["height"]) == (9, 6)
+    assert out[1]["feat"] == pytest.approx(out[2]["feat"])
