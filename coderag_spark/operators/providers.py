@@ -10,11 +10,12 @@ Built-ins:
     an exact port of generateMockEmbedding) — the default, and the
     fallback for every failure path, exactly like the reference;
   * ``openai`` / ``openai-compatible`` — construction REQUIRES an API key
-    (clean error otherwise); the network call itself is stubbed in this
-    offline build and falls back to the mock with a warning, mirroring
-    the reference's catch-and-fallback (embeddings.ts:129-158). The UDF
-    shape (batched texts -> list[vector]) is the real integration point:
-    a production build replaces ``_network_embed_batch`` only.
+    (clean error otherwise); ``_network_embed_batch`` is a REAL
+    openai-compatible HTTP client (stdlib urllib: batch splitting at
+    ``batch_size``, Bearer auth, index-ordered response, retries), tested
+    against an in-process fake server. Any terminal failure — offline,
+    5xx, malformed response — falls back to the mock with a warning,
+    mirroring the reference's catch-and-fallback (embeddings.ts:129-158).
 """
 
 from __future__ import annotations
@@ -55,7 +56,9 @@ class EmbeddingConfig:
     dimensions: int = 64
     api_key: str | None = None
     base_url: str | None = None
-    batch_size: int = 100
+    batch_size: int = 10  # embeddings.ts:109
+    max_retries: int = 2  # retries after the first attempt (SDK default)
+    timeout_sec: float = 30.0
 
 
 @dataclass
@@ -150,13 +153,61 @@ def _mock_factory(config: EmbeddingConfig) -> EmbeddingProvider:
 
 
 def _network_embed_batch(config: EmbeddingConfig, texts: list[str]) -> list[list[float]]:
-    """The production integration point. This offline build has no HTTP
-    client wired, so the call always raises — and the caller falls back to
-    the mock, mirroring the reference's catch path (embeddings.ts:150-158)."""
-    raise EmbeddingProviderError(
-        f"network embedding call not available in this build "
-        f"(provider={config.provider}, model={config.model})"
-    )
+    """REAL openai-compatible embeddings call (stdlib urllib — no extra
+    client dependency): POST {base_url}/embeddings with
+    ``{"model", "input": [...]}``, Bearer auth, response vectors re-ordered
+    by their ``index`` field. Splits the input into ``config.batch_size``
+    sub-batches (embeddings.ts:109 batchSize) and retries each HTTP call
+    up to ``config.max_retries`` times after the first attempt (the
+    reference's ai-SDK default). Terminal failure raises — the provider
+    wrapper catches and falls back to the mock (embeddings.ts:150-158).
+
+    Offline builds simply never reach this path unless base_url points at
+    a live (or test-local) server."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    base = (config.base_url or "https://api.openai.com/v1").rstrip("/")
+    url = f"{base}/embeddings"
+    out: list[list[float]] = []
+    step = max(int(config.batch_size), 1)
+    for start in range(0, len(texts), step):
+        sub = texts[start : start + step]
+        body = json.dumps({"model": config.model, "input": sub}).encode()
+        req = urllib.request.Request(
+            url,
+            data=body,
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {config.api_key or ''}",
+            },
+            method="POST",
+        )
+        last_err: Exception | None = None
+        for _attempt in range(config.max_retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=config.timeout_sec) as resp:
+                    payload = json.loads(resp.read().decode())
+                data = payload.get("data")
+                if not isinstance(data, list) or len(data) != len(sub):
+                    raise EmbeddingProviderError(
+                        f"embeddings response shape mismatch: expected {len(sub)} "
+                        f"vectors, got {type(data).__name__}"
+                        f"{'' if not isinstance(data, list) else f' of {len(data)}'}"
+                    )
+                ordered = sorted(data, key=lambda d: d.get("index", 0))
+                out.extend([list(map(float, d["embedding"])) for d in ordered])
+                last_err = None
+                break
+            except (urllib.error.URLError, urllib.error.HTTPError, OSError, ValueError, KeyError) as e:
+                last_err = e
+        if last_err is not None:
+            raise EmbeddingProviderError(
+                f"embeddings call to {url} failed after "
+                f"{config.max_retries + 1} attempts: {last_err}"
+            ) from last_err
+    return out
 
 
 def _openai_factory(config: EmbeddingConfig) -> EmbeddingProvider:

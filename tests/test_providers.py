@@ -38,14 +38,17 @@ def test_openai_compatible_requires_base_url(monkeypatch):
         )
 
 
-def test_openai_stub_falls_back_to_mock_on_call():
+def test_openai_unreachable_falls_back_to_mock_on_call():
     """Reference parity: a failed network embed falls back to the mock
-    (embeddings.ts:150-158) instead of erroring the pipeline."""
+    (embeddings.ts:150-158) instead of erroring the pipeline. The dead
+    localhost port makes the failure immediate and deterministic."""
     p = pv.create_embedding_provider(
-        pv.EmbeddingConfig(provider="openai", model="text-embedding-3-small",
-                           dimensions=64, api_key="sk-test")
+        pv.EmbeddingConfig(provider="openai-compatible", model="text-embedding-3-small",
+                           dimensions=64, api_key="sk-test",
+                           base_url="http://127.0.0.1:9/v1",
+                           max_retries=1, timeout_sec=0.5)
     )
-    assert p.name == "openai"
+    assert p.name == "openai-compatible"
     assert p.embed("query text") == mock_embedding("query text", 64)
 
 
@@ -88,3 +91,134 @@ def test_custom_provider_registration(spark):
         assert r["embedding"] == [4.0, 0.0]
     finally:
         pv._REGISTRY.pop("toy", None)
+
+
+# --------------------------------------------------------------------------
+# Network contract against an in-process fake server speaking the
+# openai-compatible embeddings shape: batch splitting (embeddings.ts:109
+# batchSize), Bearer auth, index-ordered response, retry-then-succeed, and
+# the catch-and-fallback of embeddings.ts:150-158 on terminal failure.
+# --------------------------------------------------------------------------
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _FakeEmbeddings(BaseHTTPRequestHandler):
+    """Deterministic vectors: [float(len(text)), float(index within call)].
+    Records every request; can fail the first N calls with HTTP 500."""
+
+    def do_POST(self):  # noqa: N802  (http.server API)
+        srv = self.server
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        srv.requests.append(
+            {
+                "path": self.path,
+                "auth": self.headers.get("Authorization"),
+                "model": body.get("model"),
+                "n_input": len(body.get("input", [])),
+            }
+        )
+        if srv.fail_remaining > 0:
+            srv.fail_remaining -= 1
+            self.send_response(500)
+            self.end_headers()
+            self.wfile.write(b'{"error": "boom"}')
+            return
+        # reversed on purpose: the client must re-order by "index"
+        data = [
+            {"index": i, "embedding": [float(len(t)), float(i)]}
+            for i, t in enumerate(body["input"])
+        ][::-1]
+        out = json.dumps({"data": data}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):  # silence per-request stderr lines
+        pass
+
+
+@pytest.fixture()
+def fake_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeEmbeddings)
+    srv.requests = []
+    srv.fail_remaining = 0
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield srv, f"http://127.0.0.1:{srv.server_address[1]}/v1"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_network_batch_split_auth_and_ordering(fake_server):
+    srv, base = fake_server
+    cfg = pv.EmbeddingConfig(
+        provider="openai-compatible", model="m-test", dimensions=2,
+        api_key="sk-abc", base_url=base, batch_size=10,
+    )
+    p = pv.create_embedding_provider(cfg)
+    texts = [f"t{'x' * i}" for i in range(25)]  # lengths 1..25
+    vecs = p.embed_batch(texts)
+    # 25 texts at batchSize 10 -> 3 HTTP calls of 10/10/5
+    assert [r["n_input"] for r in srv.requests] == [10, 10, 5]
+    assert all(r["path"] == "/v1/embeddings" for r in srv.requests)
+    assert all(r["auth"] == "Bearer sk-abc" for r in srv.requests)
+    assert all(r["model"] == "m-test" for r in srv.requests)
+    # the server answered index-REVERSED; client must restore text order
+    assert [v[0] for v in vecs] == [float(len(t)) for t in texts]
+
+
+def test_network_retry_then_succeed(fake_server):
+    srv, base = fake_server
+    srv.fail_remaining = 2  # first two attempts 500, third succeeds
+    cfg = pv.EmbeddingConfig(
+        provider="openai-compatible", model="m", dimensions=2,
+        api_key="sk", base_url=base, max_retries=2,
+    )
+    p = pv.create_embedding_provider(cfg)
+    vecs = p.embed_batch(["abcd"])
+    assert len(srv.requests) == 3
+    assert vecs == [[4.0, 0.0]]  # real server vector, NOT the mock
+
+
+def test_network_terminal_failure_falls_back_to_mock(fake_server):
+    srv, base = fake_server
+    srv.fail_remaining = 100  # every attempt fails
+    cfg = pv.EmbeddingConfig(
+        provider="openai-compatible", model="m", dimensions=16,
+        api_key="sk", base_url=base, max_retries=1,
+    )
+    p = pv.create_embedding_provider(cfg)
+    assert p.embed_batch(["hello"]) == [mock_embedding("hello", 16)]
+    assert len(srv.requests) == 2  # initial + 1 retry, then fallback
+
+
+def test_network_shape_mismatch_falls_back(fake_server):
+    """A 200 response with the wrong vector count must not be trusted."""
+    srv, base = fake_server
+
+    class _Short(_FakeEmbeddings):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            srv.requests.append({"n_input": len(body["input"])})
+            out = json.dumps({"data": [{"index": 0, "embedding": [1.0]}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv.RequestHandlerClass = _Short
+    cfg = pv.EmbeddingConfig(
+        provider="openai-compatible", model="m", dimensions=8,
+        api_key="sk", base_url=base, max_retries=0,
+    )
+    p = pv.create_embedding_provider(cfg)
+    assert p.embed_batch(["a", "b"]) == [mock_embedding("a", 8), mock_embedding("b", 8)]
