@@ -193,6 +193,73 @@ def dup_ngram_stats(
     )
 
 
+# PII patterns kept dialect-portable (Java regex in Spark, RE2 in the
+# DuckDB oracle): no lookarounds, no backrefs. Counted independently on
+# the ORIGINAL text; redaction applies them in list order.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("secret", r"\b[0-9a-f]{32,}\b", "<SECRET>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII detection + redaction (emails, IPv4 literals, long hex
+    secrets — the categories a code/web training corpus actually leaks).
+    Returns (doc_id, n_email, n_ip, n_secret, clean) where ``clean`` is
+    the text with every match replaced by a typed placeholder.
+
+    Pure JVM column expressions (regexp_extract_all + chained
+    regexp_replace) — whole-stage codegen, no Python in the scan, so the
+    scrub rides along any corpus pass at 100 TB for free. Counts are per
+    ORIGINAL text; redaction is sequential in PII_PATTERNS order (both
+    choices mirrored exactly by the DuckDB oracle)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = text
+    for _name, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col).alias("doc_id"), *counts, clean.alias("clean"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixing downsample: keep each row with its
+    stratum's rate, decided by the same md5-uniform as ``hash_split`` —
+    content-stable, partition-order-independent, reproducible on any
+    engine with md5 (a ``df.sample``/rand(seed) mix is neither). Adds
+    ``weight = 1/rate`` so downstream aggregates can importance-reweight
+    the surviving rows. This is the standard corpus-mixture op (upweight
+    curated sources, downsample crawl) expressed as a pure projection +
+    filter — no shuffle at all."""
+    u = split_uniform(F.col(id_col))
+    rate_expr = None
+    for src, r in rates.items():
+        branch = F.when(F.col(strat_col) == F.lit(src), F.lit(float(r)))
+        rate_expr = branch if rate_expr is None else rate_expr.when(
+            F.col(strat_col) == F.lit(src), F.lit(float(r))
+        )
+    rate_expr = F.lit(float(default_rate)) if rate_expr is None else rate_expr.otherwise(
+        F.lit(float(default_rate))
+    )
+    return (
+        df.withColumn("_rate", rate_expr)
+        .filter(u < F.col("_rate"))
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("_rate"), 6))
+        .drop("_rate")
+    )
+
+
 def profile_table(
     df: DataFrame, columns: list[str] | None = None, exact_distinct: bool = True
 ) -> DataFrame:

@@ -1548,6 +1548,85 @@ FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM document
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub end-to-end: deterministic PII (an email, an IPv4, a
+    32-hex md5 'secret') is injected per doc — the synthetic corpus has
+    none — then detected and redacted by pure column expressions. The
+    oracle injects the identical strings and mirrors count-on-original +
+    sequential-redaction; clean text compared via its sha256."""
+    from coderag_spark.operators import pipeline as pl
+
+    docs = _documents(spark, sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 key "), F.md5(F.col("doc_id").cast("string")),
+        ),
+    )
+    out = pl.pii_scrub(injected)
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_secret",
+        F.sha2(F.col("clean"), 256).alias("clean_sha"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from coderag_spark.operators import pipeline as pl
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in pl.PII_PATTERNS
+    )
+    clean = "text"
+    for _name, pat, repl in pl.PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || doc_id::VARCHAR ||
+         '@example.com from 10.0.' || (doc_id % 256)::VARCHAR || '.7 key ' ||
+         md5(doc_id::VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id, {counts}, sha256({clean}) AS clean_sha
+FROM injected
+"""
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing downsample: per-source keep rates decided by the
+    md5-uniform of the doc id (content-stable, partition-independent) with
+    an importance weight for surviving rows. Pure projection + filter —
+    the 100 TB shape is 'no shuffle at all'."""
+    from coderag_spark.operators import pipeline as pl
+
+    return pl.stratified_sample(
+        _documents(spark, sf_dir), rates=_MIX_RATES, default_rate=_MIX_DEFAULT
+    ).select("doc_id", "source", "weight")
+
+
+def _sql_source_mix() -> str:
+    whens = " ".join(f"WHEN source = '{s}' THEN {r!r}" for s, r in _MIX_RATES.items())
+    return f"""
+WITH rated AS (
+  SELECT doc_id, source,
+         CASE {whens} ELSE {_MIX_DEFAULT!r} END AS rate,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, round(1.0 / rate, 6) AS weight
+FROM rated WHERE u < rate
+"""
+
+
 def q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-line (boilerplate) statistics. The synthetic corpus has no
     newlines, so the query first wraps each doc into deterministic 8-token
@@ -1797,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "decontam": q_decontam,
         "train_split": q_train_split,
+        "pii_scrub": q_pii_scrub,
+        "source_mix": q_source_mix,
         "line_stats": q_line_stats,
         "dup_ngrams": q_dup_ngrams,
         "table_profile": q_table_profile,
@@ -1853,6 +1934,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": SQL_DEDUP_GROUPS,
         "decontam": SQL_DECONTAM,
         "train_split": _sql_train_split(),
+        "pii_scrub": _sql_pii_scrub(),
+        "source_mix": _sql_source_mix(),
         "line_stats": SQL_LINE_STATS,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "table_profile": SQL_TABLE_PROFILE,

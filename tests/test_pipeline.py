@@ -147,3 +147,59 @@ def test_training_pipeline_end_to_end(spark):
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     flagged = pl.decontaminate(split.filter(F.col("split") == "train"), ev, n=8)
     assert flagged.filter(F.col("hit_frac") >= 0.8).count() >= 1  # eval members still in train get flagged
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    rows = [
+        (1, "mail a@b.io and c.d+x@sub.example.org end"),
+        (2, "server at 192.168.1.10 and 8.8.8.8"),
+        (3, "token " + "deadbeef" * 4 + " leaked"),
+        (4, "clean text with nothing sensitive"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pl.pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_secret"]) == (2, 0, 0)
+    assert out[1]["clean"] == "mail <EMAIL> and <EMAIL> end"
+    assert out[2]["n_ip"] == 2
+    assert out[2]["clean"] == "server at <IP> and <IP>"
+    assert out[3]["n_secret"] == 1
+    assert "<SECRET>" in out[3]["clean"] and "deadbeef" not in out[3]["clean"]
+    assert out[4]["clean"] == rows[3][1]  # untouched
+    assert out[5]["clean"] == ""
+
+
+def test_pii_scrub_is_pure_codegen(spark):
+    """No Python/BatchEvalPython in the plan — the scrub must ride the
+    scan inside whole-stage codegen."""
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = pl.pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_deterministic_and_weighted(spark):
+    rows = [(i, f"t{i}", "keep" if i % 2 == 0 else "down") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = pl.stratified_sample(df, rates={"keep": 1.0, "down": 0.2})
+    got = out.collect()
+    keep = [r for r in got if r["source"] == "keep"]
+    down = [r for r in got if r["source"] == "down"]
+    assert len(keep) == 1000  # rate 1.0 keeps everything
+    assert 120 <= len(down) <= 280  # ~200 expected at rate 0.2
+    assert all(r["weight"] == 1.0 for r in keep)
+    assert all(r["weight"] == 5.0 for r in down)
+    # partition-layout independence: identical surviving ids at any
+    # parallelism (the property rand(seed)-based sampling lacks)
+    again = pl.stratified_sample(df.repartition(17), rates={"keep": 1.0, "down": 0.2})
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in got
+    )
+
+
+def test_stratified_sample_default_rate(spark):
+    df = spark.createDataFrame(
+        [(i, "t", "unknown") for i in range(500)], "doc_id long, text string, source string"
+    )
+    out = pl.stratified_sample(df, rates={"named": 0.9}, default_rate=0.1).collect()
+    assert 20 <= len(out) <= 90  # ~50 at the default rate
+    assert all(r["weight"] == 10.0 for r in out)
