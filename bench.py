@@ -79,6 +79,9 @@ SUITE_BENCH = [
     "events_sliding",
     "pmi_topk",
     "doc_keywords",
+    "lsh_ann",
+    "pii_scrub",
+    "source_mix",
 ]
 
 
