@@ -82,6 +82,7 @@ SUITE_BENCH = [
     "lsh_ann",
     "pii_scrub",
     "source_mix",
+    "gopher",
 ]
 
 

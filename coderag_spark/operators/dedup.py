@@ -70,8 +70,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def token_ngrams(tokens: Column, n: int = 3) -> Column:
-    """Distinct token n-grams (space-joined) from a token array column.
+def token_ngrams(tokens: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Token n-grams (space-joined) from a token array column — distinct
+    by default (the dedup/jaccard shape); ``distinct=False`` keeps
+    duplicates for coverage-style signals (e.g. top-bigram fraction).
 
     Built by zipping n shifted slices of the array (``zip_with(slice(t,1),
     slice(t,2), concat)`` …) instead of ``transform(indexes,
@@ -90,7 +92,9 @@ def token_ngrams(tokens: Column, n: int = 3) -> Column:
         shifted = F.slice(tokens, F.lit(1 + j), cnt)
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     empty = F.array().cast(T.ArrayType(T.StringType()))
-    return F.when(sz >= n, F.array_distinct(grams)).otherwise(empty)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(sz >= n, grams).otherwise(empty)
 
 
 def ngram_jaccard_pairs(

@@ -245,3 +245,86 @@ def doc_keywords(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    max_top_bigram_frac: float = 0.20,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, §A1.1) per doc:
+    word count bounds, mean word length bounds, fraction of words with an
+    alphabetic character, and the top-bigram coverage fraction (repetition
+    signal), plus the combined ``passes`` flag.
+
+    Word-level stats are pure column expressions over the whitespace word
+    stream (whole-stage codegen). The top-bigram count is the only
+    aggregation: explode analyzer-token bigrams (duplicates kept — this is
+    coverage, not dedup) -> count per (doc, gram) -> max per doc; docs with
+    fewer than 2 analyzer tokens left-join back as coverage 0. Shape at
+    100 TB: one shuffle keyed (doc_id, gram) with map-side partial counts,
+    one by doc_id — no joins across docs, no skew (the key includes
+    doc_id). Max-count-only also avoids tie-break ambiguity: WHICH bigram
+    is most frequent never matters, only its share."""
+    from coderag_spark.operators.dedup import token_ngrams
+
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+    )
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        simple_tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.explode(token_ngrams(F.col("_toks"), 2, distinct=False)).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"), F.sum("count").alias("n_grams"))
+    )
+    out = base.join(top, "doc_id", "left")
+    top_frac = F.round(
+        F.when(F.col("n_grams") > 0, F.col("top_cnt") / F.col("n_grams")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        top_frac.alias("top_bigram_frac"),
+        (
+            F.col("n_words").between(min_words, max_words)
+            & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+            & (F.col("alpha_frac") >= min_alpha_frac)
+            & (top_frac <= max_top_bigram_frac)
+        ).alias("passes"),
+    )

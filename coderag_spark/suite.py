@@ -1548,6 +1548,52 @@ FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM document
 """
 
 
+def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule set: word/mean-length bounds, alpha
+    fraction, top-bigram coverage, combined pass flag."""
+    return tx.gopher_quality(_documents(spark, sf_dir))
+
+
+SQL_GOPHER = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         round(CASE WHEN len(words) > 0
+               THEN list_sum(list_transform(words, x -> len(x))) * 1.0 / len(words)
+               ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN len(words) > 0
+               THEN len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(words)
+               ELSE 0.0 END, 6) AS alpha_frac
+  FROM w
+),
+t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_grams FROM cnt GROUP BY 1),
+j AS (SELECT b.*, round(CASE WHEN t2.n_grams > 0 THEN t2.top_cnt * 1.0 / t2.n_grams
+                        ELSE 0.0 END, 6) AS top_bigram_frac
+      FROM base b LEFT JOIN top t2 USING (doc_id))
+SELECT doc_id, n_words, mean_word_len, alpha_frac,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_frac >= 0.80
+        AND coalesce(top_bigram_frac, 0.0) <= 0.20) AS passes
+FROM j
+""".replace("{toks}", TOKS_SQL)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub end-to-end: deterministic PII (an email, an IPv4, a
     32-hex md5 'secret') is injected per doc — the synthetic corpus has
@@ -1877,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "train_split": q_train_split,
         "pii_scrub": q_pii_scrub,
+        "gopher": q_gopher,
         "source_mix": q_source_mix,
         "line_stats": q_line_stats,
         "dup_ngrams": q_dup_ngrams,
@@ -1935,6 +1982,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam": SQL_DECONTAM,
         "train_split": _sql_train_split(),
         "pii_scrub": _sql_pii_scrub(),
+        "gopher": SQL_GOPHER,
         "source_mix": _sql_source_mix(),
         "line_stats": SQL_LINE_STATS,
         "dup_ngrams": SQL_DUP_NGRAMS,

@@ -169,3 +169,34 @@ def test_pmi_pairs_guard_drops_pathological_doc(spark):
         df, min_pair_count=1, top_k=100000, max_doc_distinct_tokens=100
     ).count()
     assert unguarded >= 300 * 299 // 2 and bounded < 200
+
+
+def test_gopher_quality_rules(spark):
+    from coderag_spark.operators.textops import gopher_quality
+
+    good = " ".join(f"word{i} text{i} body{i}" for i in range(30))  # 90 varied words
+    repetitive = "spam ham " * 60  # top bigram covers ~half the stream
+    short = "too short"
+    rows = [(1, good), (2, repetitive), (3, short), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+
+    assert out[1]["n_words"] == 90 and out[1]["passes"]
+    assert out[2]["top_bigram_frac"] > 0.2 and not out[2]["passes"]
+    assert out[3]["n_words"] == 2 and not out[3]["passes"]  # word-count bound
+    assert out[4]["n_words"] == 0 and not out[4]["passes"]
+    # every doc survives the left join, even gram-less ones
+    assert sorted(out) == [1, 2, 3, 4]
+
+
+def test_gopher_alpha_and_length_bounds(spark):
+    from coderag_spark.operators.textops import gopher_quality
+
+    numeric = " ".join(str(1000 + i) for i in range(80))  # no alpha chars
+    longwords = " ".join("x" * 15 for _ in range(80))  # mean word len 15
+    df = spark.createDataFrame(
+        [(1, numeric), (2, longwords)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["alpha_frac"] == 0.0 and not out[1]["passes"]
+    assert out[2]["mean_word_len"] == 15.0 and not out[2]["passes"]
