@@ -1817,6 +1817,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the deterministic fake decode is pure byte arithmetic over the utf-8
+# payload; the corpus is ASCII (verified: octet_length == len for every
+# doc), so ord(substr) reproduces the byte stream exactly — which
+# graduates media_features from rows-only to an exact oracle. The REAL
+# codec path stays rows-only via media_decode (byte-layout math isn't SQL).
+SQL_MEDIA_FEATURES = """
+WITH b AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         len(coalesce(text, '')) AS n,
+         greatest(len(coalesce(text, '')) // 4, 1) AS q
+  FROM documents
+)
+SELECT doc_id, (n % 640 + 1)::INT AS width, (n % 480 + 1)::INT AS height,
+       round(CASE WHEN n = 0 THEN 0.0
+             ELSE list_sum(list_transform(range(1, q + 1), i -> ord(substr(t, i, 1)))) * 1.0 / q
+             END, 6) AS feat0
+FROM b
+"""
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end: deterministic BMP / WAV / PNG
     payloads synthesized per doc (format rotating by doc_id mod 3),
@@ -1983,6 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "train_split": _sql_train_split(),
         "pii_scrub": _sql_pii_scrub(),
         "gopher": SQL_GOPHER,
+        "media_features": SQL_MEDIA_FEATURES,
         "source_mix": _sql_source_mix(),
         "line_stats": SQL_LINE_STATS,
         "dup_ngrams": SQL_DUP_NGRAMS,
