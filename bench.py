@@ -83,6 +83,7 @@ SUITE_BENCH = [
     "pii_scrub",
     "source_mix",
     "gopher",
+    "fuzzy_decontam",
 ]
 
 

@@ -180,6 +180,91 @@ def ngram_jaccard_pairs(
     return jac.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    max_eval_gram_df: int | None = 1000,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """NEAR-dup decontamination: per training doc, how many eval docs it
+    overlaps at n-gram Jaccard >= threshold and the max such Jaccard —
+    the fuzzy complement to ``pipeline.decontaminate`` (whose exact 8-gram
+    rule misses lightly-paraphrased eval leakage). Every training doc
+    yields a row (zeros when clean), so the output is a stable per-doc
+    annotation, not a match list.
+
+    Shape: the candidate join is blocked by gram with the EVAL side
+    broadcast (eval benchmarks are MBs against a TB corpus) — linear in
+    the train gram stream, never train x eval. ``max_eval_gram_df`` drops
+    grams hot across the eval set (boilerplate) before pairing; dropped
+    grams leave the intersection AND both gram counts, keeping the
+    Jaccard consistent over the surviving gram space (the same guard
+    convention as ``ngram_jaccard_pairs``)."""
+    eval_text_col = eval_text_col or text_col
+    train = docs.select(
+        F.col(id_col).alias("doc"), simple_tokens_col(F.col(text_col)).alias("_toks")
+    ).select("doc", token_ngrams(F.col("_toks"), n).alias("grams"))
+    train = _persist(train)  # feeds the shingle stream + per-doc sizes
+    ev = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        simple_tokens_col(F.col(eval_text_col)).alias("_toks"),
+    ).select("eval_id", token_ngrams(F.col("_toks"), n).alias("grams"))
+    ev_sh = ev.select("eval_id", F.explode("grams").alias("gram"))
+    if max_eval_gram_df:
+        hot = (
+            ev_sh.groupBy("gram")
+            .agg(F.count("*").alias("g_df"))
+            .filter(F.col("g_df") > max_eval_gram_df)
+            .select("gram")
+        )
+        ev_sh = ev_sh.join(F.broadcast(hot), "gram", "left_anti")
+        hot_b = F.broadcast(hot)
+    else:
+        hot_b = None
+    ev_sh = _persist(ev_sh)  # join side + eval sizes
+    ev_sizes = ev_sh.groupBy("eval_id").agg(F.count("*").alias("nb"))
+
+    tr_sh = train.select("doc", F.explode("grams").alias("gram"))
+    if hot_b is not None:
+        tr_sh = _persist(tr_sh.join(hot_b, "gram", "left_anti"))
+        tr_sizes = tr_sh.groupBy("doc").agg(F.count("*").alias("na"))
+    else:
+        tr_sizes = train.select("doc", F.size("grams").alias("na"))
+    if broadcast_eval:
+        ev_sh = F.broadcast(ev_sh)
+        ev_sizes = F.broadcast(ev_sizes)
+    shared = (
+        tr_sh.join(ev_sh, "gram")
+        .groupBy("doc", "eval_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = (
+        shared.join(tr_sizes, "doc")
+        .join(ev_sizes, "eval_id")
+        .withColumn(
+            "jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    per_doc = jac.groupBy("doc").agg(
+        F.count("*").alias("n_eval_matches"), F.max("jaccard").alias("mj")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_eval_matches"), F.lit(0)).cast("long").alias("n_eval_matches"),
+            F.round(F.coalesce(F.col("mj"), F.lit(0.0)), 6).alias("max_jaccard"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -1548,6 +1548,52 @@ FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM document
 """
 
 
+def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup decontamination (the fuzzy complement of `decontam`'s
+    exact 8-gram rule): even-id docs as the training corpus, odd-id docs
+    as the eval set; per training doc the count of eval docs overlapping
+    at 3-gram Jaccard >= 0.5 and the max such Jaccard. Eval side
+    broadcast, candidate join blocked by gram."""
+    from coderag_spark.operators import dedup as dd
+
+    docs = _documents(spark, sf_dir)
+    return dd.fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=3,
+        threshold=0.5,
+        max_eval_gram_df=None,  # exact semantics for the oracle match
+    )
+
+
+SQL_FUZZY_DECONTAM = """
+WITH g AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS grams
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+),
+tr AS (SELECT doc, unnest(grams) AS gram FROM g WHERE doc % 2 = 0),
+ev AS (SELECT doc AS eval_id, unnest(grams) AS gram FROM g WHERE doc % 2 = 1),
+sizes AS (SELECT doc, len(grams) AS n FROM g),
+sh AS (
+  SELECT t.doc, e.eval_id, count(*) AS shared
+  FROM tr t JOIN ev e USING (gram) GROUP BY 1, 2
+),
+j AS (
+  SELECT sh.doc, shared * 1.0 / (sa.n + sb.n - shared) AS jac
+  FROM sh JOIN sizes sa ON sa.doc = sh.doc JOIN sizes sb ON sb.doc = sh.eval_id
+  WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+),
+agg AS (SELECT doc, count(*) AS n_eval_matches, max(jac) AS mj FROM j GROUP BY doc)
+SELECT d.doc_id,
+       coalesce(a.n_eval_matches, 0)::BIGINT AS n_eval_matches,
+       round(coalesce(a.mj, 0.0), 6) AS max_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+LEFT JOIN agg a ON a.doc = d.doc_id
+""".replace("{toks}", TOKS_SQL)
+
+
 def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-filter rule set: word/mean-length bounds, alpha
     fraction, top-bigram coverage, combined pass flag."""
@@ -1944,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "pii_scrub": q_pii_scrub,
         "gopher": q_gopher,
+        "fuzzy_decontam": q_fuzzy_decontam,
         "source_mix": q_source_mix,
         "line_stats": q_line_stats,
         "dup_ngrams": q_dup_ngrams,
@@ -2003,6 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         "train_split": _sql_train_split(),
         "pii_scrub": _sql_pii_scrub(),
         "gopher": SQL_GOPHER,
+        "fuzzy_decontam": SQL_FUZZY_DECONTAM,
         "media_features": SQL_MEDIA_FEATURES,
         "source_mix": _sql_source_mix(),
         "line_stats": SQL_LINE_STATS,

@@ -272,3 +272,50 @@ def test_collapse_duplicates_keeps_unlabeled_docs_as_singletons(spark):
     comp = dd.dedup_components(pairs)  # covers only ids 1 and 2
     kept = {r["doc_id"]: r["n_members"] for r in dd.collapse_duplicates(docs, comp).collect()}
     assert kept == {1: 2, 7: 1, 9: 1}
+
+
+def test_fuzzy_decontaminate_flags_near_dup_leakage(spark):
+    from coderag_spark.operators.dedup import fuzzy_decontaminate, release_persists
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    train = spark.createDataFrame(
+        [
+            (1, base),  # exact copy of eval doc 100
+            (2, base.replace("lazy", "sleepy")),  # near dup (1-token edit)
+            (3, "completely unrelated content about spark distributed joins"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, base), (101, "other eval material entirely different")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in fuzzy_decontaminate(train, ev, threshold=0.4).collect()}
+    release_persists()
+    assert out[1]["n_eval_matches"] == 1 and out[1]["max_jaccard"] == 1.0
+    assert out[2]["n_eval_matches"] == 1 and 0.4 <= out[2]["max_jaccard"] < 1.0
+    # clean docs still get a row, with zeros
+    assert out[3]["n_eval_matches"] == 0 and out[3]["max_jaccard"] == 0.0
+
+
+def test_fuzzy_decontaminate_hot_gram_guard(spark):
+    """Grams hot across the eval set are dropped from BOTH sides, keeping
+    the Jaccard consistent over the surviving gram space."""
+    from coderag_spark.operators.dedup import fuzzy_decontaminate, release_persists
+
+    boiler = "copyright header boilerplate notice " * 2
+    ev_rows = [(100 + i, boiler + f"unique eval fact number {i} entirely") for i in range(30)]
+    train = spark.createDataFrame(
+        [(1, boiler + "training doc body completely different")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+    # guard at df>10: the boilerplate grams (df=30) vanish, so the train
+    # doc no longer matches anything
+    out = fuzzy_decontaminate(train, ev, threshold=0.2, max_eval_gram_df=10).collect()
+    release_persists()
+    assert out[0]["n_eval_matches"] == 0
+    # unguarded: the boilerplate overlap alone crosses the threshold
+    out2 = fuzzy_decontaminate(train, ev, threshold=0.2, max_eval_gram_df=None).collect()
+    release_persists()
+    assert out2[0]["n_eval_matches"] >= 1
