@@ -375,11 +375,22 @@ def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
     # stripped lines, def flags (one regex pass per line), length prefix sums
     code = [_code_text(ln, lang) for ln in lines]
     flags = [_is_def_code(cl) for cl in code]
-    if not any(flags):
-        return []  # no structure found -> caller falls back to char chunks
     prefix = [0]
     for ln in lines:
         prefix.append(prefix[-1] + len(ln) + 1)
+    if not any(flags):
+        # statement-only file (pure re-exports, describe-callback suites):
+        # tree-sitter would emit statement chunks with real line ranges, so
+        # line-group with 1-based lines and type 'chunk' — strictly closer
+        # to the reference than the char fallback (which is reserved for
+        # unsupported languages, ast-chunking.ts:59-68)
+        spans = _split_oversize(
+            lines, code, flags, prefix, 0, len(lines), lang, max_chunk_size, depth=4
+        )
+        chunks = [
+            _mk_chunk(lines, code, flags, s, e, i) for i, (s, e) in enumerate(spans)
+        ]
+        return [c for c in chunks if c.content.strip()]
     segs = _segments(lines, code, flags, 0, len(lines), lang)
 
     # expand oversize segments before packing (1.6x grace, matching the

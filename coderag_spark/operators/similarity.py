@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -254,3 +255,163 @@ def ivf_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+# ------------------------------------------------------------------- PQ
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — public method): split each vector into m
+# subvectors, k-means each subspace to k centroids, store only the m
+# centroid ids (m bytes at k<=256) per vector. At 100 TB of embeddings
+# the float vectors don't fit anywhere; the codes are a 32x smaller
+# column scanned with whole-stage codegen, and the query-time work is an
+# m x k lookup table (driver-built) + m array lookups per row.
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of k centroids each (deterministic:
+    id-hash-seeded starts + Lloyd iterations as ONE aggregation per round
+    across all subspaces). Driver holds m*k*(dim/m) floats — the whole
+    codebook for a 1536-dim space at m=8,k=256 is ~1.5 MB."""
+    import numpy as np
+
+    first = embeddings.orderBy(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10**9))
+    ).limit(k)
+    seeds = np.array([list(r[vec_col]) for r in first.collect()], dtype=np.float64)
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = [seeds[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+
+    sc = embeddings.sparkSession.sparkContext
+    for _ in range(iters):
+        bbooks = sc.broadcast([b.tolist() for b in books])
+
+        # one Arrow pass assigns EVERY subspace and emits partial sums; a
+        # single groupBy((sub, code)) reduces them — one shuffle per
+        # iteration regardless of m
+        out_schema = "sub int, code int, cnt long" + "".join(
+            f", s{i} double" for i in range(dsub)
+        )
+
+        def assign(batches, _books=bbooks, _m=m, _dsub=dsub):
+            import numpy as _np
+            import pandas as _pd
+
+            bk = [_np.asarray(b) for b in _books.value]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _np.array(list(pdf["v"]), dtype=_np.float64)
+                rows = []
+                for j in range(_m):
+                    sub = X[:, j * _dsub : (j + 1) * _dsub]
+                    # squared L2 to each centroid: ||x||^2 - 2xB^T + ||B||^2
+                    d = (
+                        (sub * sub).sum(1)[:, None]
+                        - 2.0 * sub @ bk[j].T
+                        + (bk[j] * bk[j]).sum(1)[None, :]
+                    )
+                    code = d.argmin(1)
+                    for c in _np.unique(code):
+                        mask = code == c
+                        rows.append(
+                            (j, int(c), int(mask.sum()), *sub[mask].sum(0).tolist())
+                        )
+                yield _pd.DataFrame(
+                    rows, columns=["sub", "code", "cnt"] + [f"s{i}" for i in range(_dsub)]
+                )
+
+        partials = embeddings.select(F.col(vec_col).alias("v")).mapInPandas(
+            assign, schema=out_schema
+        )
+        agg = (
+            partials.groupBy("sub", "code")
+            .agg(
+                F.sum("cnt").alias("n"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dsub)],
+            )
+            .collect()
+        )
+        for r in agg:
+            if r["n"]:
+                books[r["sub"]][r["code"]] = [r[f"s{i}"] / r["n"] for i in range(dsub)]
+        bbooks.unpersist()
+    return [b.tolist() for b in books]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, code array<int> of length m) — the compressed column."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    sc = embeddings.sparkSession.sparkContext
+    bb = sc.broadcast(codebooks)
+
+    @F.pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bk = [np.asarray(b) for b in bb.value]
+        X = np.array(list(v), dtype=np.float64)
+        if not len(X):
+            return pd.Series([], dtype="object")
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            d = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * sub @ bk[j].T
+                + (bk[j] * bk[j]).sum(1)[None, :]
+            )
+            codes[:, j] = d.argmin(1)
+        return pd.Series([c.tolist() for c in codes])
+
+    return embeddings.select(F.col(id_col), enc(F.col(vec_col)).alias("code"))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC (asymmetric distance) top-k over PQ codes: the driver builds an
+    m x k_centroids table of per-subspace squared distances to the query;
+    each row's approximate distance is m array lookups summed — a pure
+    JVM expression over broadcast literals, no Python, no join, then
+    TakeOrderedAndProject."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = []
+    for j in range(m):
+        bk = np.asarray(codebooks[j])
+        qs = q[j * dsub : (j + 1) * dsub]
+        lut.append(((bk - qs[None, :]) ** 2).sum(1).tolist())
+    dist = None
+    for j in range(m):
+        table = F.array(*[F.lit(float(x)) for x in lut[j]])
+        term = F.element_at(table, F.element_at(F.col("code"), j + 1) + 1)
+        dist = term if dist is None else dist + term
+    return (
+        encoded.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -412,35 +412,23 @@ def test_reference_differential_fixtures(code, lang, max_size, expected):
 
 REF_SRC = pathlib.Path("/root/reference/packages/core/src")
 
-# statement-only files (pure re-exports / describe-callback test suites)
-# have no top-level definitions for the structural parser; real
-# tree-sitter would still emit statement chunks — enumerated divergence
-# (COVERAGE.md): these fall back to char chunks, same downstream content.
-KNOWN_FALLBACK = {
-    "embeddings.test.ts", "incremental-tfidf.test.ts", "index.ts",
-    "search-cache.test.ts", "storage-persistent.test.ts", "storage.test.ts",
-    "tfidf.test.ts", "utils.test.ts", "vector-storage.test.ts",
-}
-
-
 @pytest.mark.skipif(not REF_SRC.exists(), reason="reference tree not mounted")
 @pytest.mark.parametrize("path", sorted(REF_SRC.glob("*.ts"), key=lambda p: p.name),
                          ids=lambda p: p.name)
 def test_reference_tree_structural_invariants(path):
     """Differential check over the reference's OWN source tree (input data
-    only — nothing is copied): structural chunks must partition the file's
-    non-blank lines without overlap, keep every top-level exported
-    function intact in one chunk (header through its column-0 closing
-    brace), and stay bounded."""
+    only — nothing is copied): EVERY core .ts file — including the
+    statement-only ones (pure re-exports, describe-callback suites), which
+    line-group with real line ranges instead of char-falling-back —
+    produces structural chunks that partition the file's non-blank lines
+    without overlap, keep every top-level exported function intact in one
+    chunk (header through its column-0 closing brace), and stay bounded."""
     import re
 
     text = path.read_text()
     chunks = chunk_file(text, "TypeScript", 1000)
     assert chunks, path.name
-    if chunks[0].chunk_type == "text":
-        assert path.name in KNOWN_FALLBACK, f"{path.name} unexpectedly fell back"
-        return
-    assert path.name not in KNOWN_FALLBACK, f"{path.name} no longer needs fallback"
+    assert chunks[0].chunk_type != "text", f"{path.name} char-fell-back"
 
     lines = text.split("\n")
     # partition: ordered, non-overlapping, covers every non-blank line

@@ -89,3 +89,57 @@ def test_cosine_pairs_threshold(spark, emb):
 
     pairs = cosine_pairs(emb, threshold=0.99).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 40)}
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    """The driver's 64-dim embeddings table (500 rows at sf0.001) — real
+    enough for a meaningful PQ recall measurement."""
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_pq_roundtrip_recall_and_determinism(spark, emb_df):
+    """PQ train -> encode -> ADC top-k: codes are m small ints, the ADC
+    ranking recovers most of the exact top-k (recall@10 over 16x
+    compression), and training is deterministic."""
+    from coderag_spark.operators import similarity as sim
+
+    import numpy as np
+
+    books = sim.pq_train(emb_df, m=8, k=32, iters=3)
+    assert len(books) == 8 and len(books[0]) == 32
+    again = sim.pq_train(emb_df, m=8, k=32, iters=3)
+    assert books == again  # same seed, same corpus -> identical codebooks
+
+    enc = sim.pq_encode(emb_df, books)
+    rows = enc.collect()
+    assert all(len(r["code"]) == 8 for r in rows)
+    assert all(0 <= c < 32 for r in rows for c in r["code"])
+
+    # ground truth in the metric ADC approximates (L2), via numpy
+    vecs = emb_df.collect()
+    X = np.array([list(r["embedding"]) for r in vecs])
+    ids = np.array([r["vec_id"] for r in vecs])
+    q = X[ids.tolist().index(0)]
+    exact = ids[np.argsort(((X - q) ** 2).sum(1))][:10].tolist()
+    approx = [r["vec_id"] for r in sim.pq_topk(enc, books, list(map(float, q)), k=20).collect()]
+    overlap = len(set(exact) & set(approx))
+    # near-random Gaussian 64-dim data is PQ's worst case; >=5 of the L2
+    # top-10 inside the ADC top-20 at 32x compression is the useful bar
+    assert overlap >= 5, f"recall too low: {overlap}/10 ({approx} vs {exact})"
+    # the query vector itself must be the nearest code
+    assert approx[0] == 0
+
+
+def test_pq_topk_is_pure_jvm(spark, emb_df):
+    """ADC scoring is lookup-table arithmetic over broadcast literals —
+    no Python eval node may appear in the scoring plan."""
+    from coderag_spark.operators import similarity as sim
+
+    books = sim.pq_train(emb_df, m=4, k=8, iters=1)
+    enc = sim.pq_encode(emb_df, books)
+    # materialize codes so the plan under test is scoring-only
+    enc = spark.createDataFrame(enc.collect(), "vec_id long, code array<int>")
+    plan = sim.pq_topk(enc, books, [0.1] * 64, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
