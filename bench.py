@@ -84,6 +84,9 @@ SUITE_BENCH = [
     "source_mix",
     "gopher",
     "fuzzy_decontam",
+    "phrase_search",
+    "proximity_search",
+    "prefix_bm25",
 ]
 
 

@@ -211,6 +211,40 @@ def search_many(
     )
 
 
+def prefix_search(
+    index: Index,
+    prefix: str,
+    limit: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Prefix (wildcard ``prefix*``) BM25 search — every dictionary term
+    starting with ``prefix`` contributes with its own idf, exactly as if
+    the query had listed the expansions (Lucene PrefixQuery semantics; the
+    reference has no wildcard surface, so this is a beyond-reference
+    fulltext op). Returns (doc_id, score, matched_terms) top-``limit``.
+
+    Plan shape: the StartsWith predicate lands on the POSTINGS scan (the
+    big table — string-prefix pushdown turns into a parquet min/max range
+    skip when postings are laid out term-sorted, compact.py), and the
+    matching dictionary slice broadcasts for idf. One partial-agg shuffle
+    of surviving docs, then TakeOrderedAndProject.
+    """
+    if not prefix:
+        raise ValueError("prefix_search needs a non-empty prefix")
+    idf = index.dictionary.filter(F.col("term").startswith(prefix)).select("term", "idf")
+    cand = index.postings.filter(F.col("term").startswith(prefix)).join(
+        F.broadcast(idf), "term", "left"
+    )
+    per_term = bm25_term_score(
+        F.col("raw_freq"), F.col("idf"), F.col("token_count"), index.stats.avgdl, k1, b
+    )
+    scored = cand.groupBy("doc_id").agg(
+        F.sum(per_term).alias("score"), F.count("*").alias("matched_terms")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
 def tfidf_cosine_search(
     index: Index, query: str, limit: int = 10, analyzer=code_analyze
 ) -> DataFrame:

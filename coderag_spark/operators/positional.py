@@ -1,0 +1,167 @@
+"""Positional inverted index: phrase and proximity search.
+
+The reference engine scores bag-of-words BM25 only (tfidf.ts:315-338);
+every serious fulltext index (Lucene, Tantivy, PostgreSQL tsvector) also
+stores per-term *positions* so it can answer phrase ("exact sequence") and
+proximity ("within N tokens") queries. This module adds that layer
+Spark-first:
+
+  * ``positional_postings`` — (doc_id, term, positions array<int>): ONE
+    map-side Arrow pass per doc builds the term -> sorted-positions table
+    (same zero-raw-token-shuffle shape as the tf counting pass,
+    postings.py:59); the per-term explode is NARROW, so the whole build is
+    shuffle-free. At 100 TB the position payload never moves between
+    executors during the build — it lands partition-local and is written
+    bucketed like the tf postings.
+  * ``phrase_hits`` — docs containing the exact token sequence, with the
+    occurrence count. Plan: filter postings to the phrase's terms (an IN
+    predicate pushed to the scan — only matching lists move), ONE shuffle
+    to assemble the per-doc term->positions map, then the adjacency check
+    runs as whole-stage-codegen higher-order functions (EXISTS p in
+    pos[w0] with p+i in pos[wi] for all i) — no Python, no join per term.
+  * ``proximity_hits`` — unordered co-occurrence of two terms within a
+    token window, counted per doc; same single-shuffle shape with the
+    pair count as a fold over the two position lists.
+
+Positions are 0-based token offsets AFTER the analyzer (stopword-length
+filtering included), matching how Lucene counts positions post-analysis.
+Compression note: for the checkpointed store the positions column rides
+the same delta+varbyte path as docID gaps (compact.py) — positions within
+a doc are sorted, so gaps are small ints.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark.functions.tokenize import simple_tokens_col
+
+__all__ = [
+    "positional_postings",
+    "phrase_hits",
+    "phrase_search",
+    "proximity_hits",
+]
+
+
+_POS_SCHEMA = "array<struct<term:string,positions:array<int>>>"
+
+
+def _positions_udf():
+    """Per-doc term -> sorted 0-based positions (one dict pass per doc;
+    insertion order keeps positions ascending for free). Built lazily —
+    pandas_udf schema parsing needs an active session."""
+
+    @F.pandas_udf(_POS_SCHEMA)
+    def udf(toks: pd.Series) -> pd.Series:
+        out = []
+        for row in toks:
+            d: dict[str, list[int]] = {}
+            for i, t in enumerate(row):
+                d.setdefault(t, []).append(i)
+            out.append([(t, ps) for t, ps in d.items()])
+        return pd.Series(out)
+
+    return udf
+
+
+def positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, term, positions array<int>) — zero-shuffle build.
+
+    Pass ``tokens_col`` to reuse an already-tokenized column (the suite's
+    persisted tokenization); otherwise ``text_col`` goes through the
+    simple analyzer (code-tokenizer.ts:14-19 semantics).
+    """
+    toks = F.col(tokens_col) if tokens_col else simple_tokens_col(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), _positions_udf()(toks).alias("_tp"))
+        .select("doc_id", F.explode("_tp").alias("_e"))
+        .select("doc_id", F.col("_e.term").alias("term"), F.col("_e.positions").alias("positions"))
+    )
+
+
+def _doc_position_map(positional: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, pmap map<term, positions>) for docs holding ALL terms.
+
+    The isin filter is the selectivity lever: only the phrase terms'
+    posting lists are shuffled (one groupBy on doc_id), never the corpus.
+    """
+    uniq = sorted(set(terms))
+    sub = positional.filter(F.col("term").isin(uniq))
+    agg = sub.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "positions"))).alias("pmap")
+    )
+    # every distinct term must be present (AND semantics for phrases)
+    return agg.filter(F.size(F.map_keys(F.col("pmap"))) == len(uniq))
+
+
+def phrase_hits(positional: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, n_hits) for docs containing the exact token sequence
+    ``terms``; n_hits counts occurrences (overlaps allowed).
+
+    The adjacency test is pure JVM: for each start position p of terms[0],
+    every later terms[i] must contain p+i. Repeated phrase terms fall out
+    naturally (the map holds one list per distinct term).
+    """
+    if not terms:
+        raise ValueError("phrase_hits needs at least one term")
+    have = _doc_position_map(positional, terms)
+
+    def _is_start(p: Column) -> Column:
+        cond = F.lit(True)
+        for i, t in enumerate(terms[1:], start=1):
+            cond = cond & F.array_contains(F.element_at("pmap", F.lit(t)), p + i)
+        return cond
+
+    n_hits = F.size(F.filter(F.element_at("pmap", F.lit(terms[0])), _is_start))
+    return (
+        have.select("doc_id", n_hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase_terms: list[str],
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Phrase query end-to-end over a corpus DataFrame: build (or reuse)
+    positions, count exact-sequence occurrences, rank by count then id."""
+    pos = positional_postings(df, text_col=text_col, id_col=id_col, tokens_col=tokens_col)
+    out = phrase_hits(pos, phrase_terms).orderBy(F.desc("n_hits"), F.asc("doc_id"))
+    return out.limit(k) if k is not None else out
+
+
+def proximity_hits(
+    positional: DataFrame, term_a: str, term_b: str, window: int = 5
+) -> DataFrame:
+    """(doc_id, n_pairs) — co-occurrences of two distinct terms within
+    ``window`` tokens (unordered, |pos_a - pos_b| <= window), counted per
+    doc. The count is a codegen fold over the two position lists (list
+    sizes are per-doc term frequencies — tiny), after the same
+    filter-then-single-shuffle candidate plan as ``phrase_hits``."""
+    if term_a == term_b:
+        raise ValueError("proximity_hits wants two distinct terms")
+    have = _doc_position_map(positional, [term_a, term_b])
+    pa = F.element_at("pmap", F.lit(term_a))
+    pb = F.element_at("pmap", F.lit(term_b))
+    n_pairs = F.aggregate(
+        pa,
+        F.lit(0),
+        lambda acc, p: acc
+        + F.size(F.filter(pb, lambda q: F.abs(q - p) <= F.lit(window))),
+    )
+    return (
+        have.select("doc_id", n_pairs.cast("long").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )

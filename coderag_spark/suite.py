@@ -114,6 +114,25 @@ def _tokdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached(_TOK_CACHE, spark, sf_dir, build)
 
 
+_POS_CACHE: dict = {}
+
+
+def _positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, positions), built once per (session, sf_dir) — the
+    positional index is a build-once artifact exactly like the tf
+    postings; three suite queries (phrase x2, proximity) read it."""
+    from coderag_spark.operators import positional as px
+
+    def build() -> DataFrame:
+        df = px.positional_postings(
+            _tokdocs(spark, sf_dir), tokens_col="toks"
+        ).persist()
+        df.count()
+        return df
+
+    return _session_cached(_POS_CACHE, spark, sf_dir, build)
+
+
 def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, term, raw_freq) treating each documents row as one doc."""
     return (
@@ -133,7 +152,7 @@ def clear_suite_caches() -> int:
     Queries issued afterwards simply rebuild (and re-register) what they
     need."""
     n = 0
-    for cache in (_DOC_CACHE, _EMB_CACHE, _EVENTS_CACHE, _TOK_CACHE, _NGRAM_PAIR_CACHE):
+    for cache in (_DOC_CACHE, _EMB_CACHE, _EVENTS_CACHE, _TOK_CACHE, _POS_CACHE, _NGRAM_PAIR_CACHE):
         for key in list(cache):
             try:
                 cache.pop(key).unpersist(blocking=True)
@@ -154,6 +173,7 @@ def warm_suite(spark: SparkSession, sf_dir: str) -> None:
     from coderag_spark.operators import similarity as sim_
 
     _tokdocs(spark, sf_dir)
+    _positional(spark, sf_dir)
     _events(spark, sf_dir).count()
     emb = _embeddings(spark, sf_dir)
     emb.count()
@@ -318,16 +338,32 @@ FROM documents
 """
 
 
-def _bm25(spark: SparkSession, sf_dir: str, terms: list[str], k: int, min_score: float = 0.0) -> DataFrame:
+def _bm25(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str],
+    k: int,
+    min_score: float = 0.0,
+    prefix: str | None = None,
+) -> DataFrame:
     """Stats (N, avgdl) ride along as a broadcast 1-row cross-join instead
     of a separate collect — the whole query is ONE Spark job (one fewer
-    scheduling round per query; same math to the last ulp)."""
+    scheduling round per query; same math to the last ulp).
+
+    ``prefix`` switches term selection from an IN list to a StartsWith
+    predicate (PrefixQuery expansion — every matching dictionary term
+    scores with its own idf)."""
     tok = _tokdocs(spark, sf_dir)
     stats = tok.agg(
         F.count("*").alias("n_docs"),
         F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl"),
     )
-    post = _doc_postings(spark, sf_dir).filter(F.col("term").isin(terms))
+    post = _doc_postings(spark, sf_dir)
+    post = (
+        post.filter(F.col("term").startswith(prefix))
+        if prefix is not None
+        else post.filter(F.col("term").isin(terms))
+    )
     idf = (
         post.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -358,8 +394,15 @@ def _bm25(spark: SparkSession, sf_dir: str, terms: list[str], k: int, min_score:
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def _sql_bm25(terms: list[str], k: int, min_score: float = 0.0) -> str:
+def _sql_bm25(
+    terms: list[str], k: int, min_score: float = 0.0, prefix: str | None = None
+) -> str:
     having = f"HAVING round(score_raw, 6) >= {min_score}" if min_score > 0 else ""
+    if prefix is not None:
+        esc = prefix.replace("'", "''")
+        qt_sql = f"SELECT DISTINCT term FROM post WHERE term LIKE '{esc}%'"
+    else:
+        qt_sql = _terms_sql(terms)
     return f"""
 WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 stats AS (SELECT count(*) AS n_docs, greatest(avg(len(toks) * 1.0), 1.0) AS avgdl FROM tok),
@@ -367,7 +410,7 @@ post AS (
   SELECT doc_id, term, count(*) AS raw_freq
   FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
 ),
-qt AS ({_terms_sql(terms)}),
+qt AS ({qt_sql}),
 idf AS (
   SELECT term, ln((s.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
   FROM post JOIN qt USING (term), stats s
@@ -408,6 +451,83 @@ def q_bm25_single(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25_minscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), 50, min_score=2.0)
+
+
+# ------------------------------------------------ positional index ops
+
+PHRASE_2 = ["table", "hash"]
+PHRASE_3 = ["slow", "hash", "batch"]
+PROX_TERMS = ("spark", "window")
+PROX_WINDOW = 5
+PREFIX_Q = "s"
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table hash") through the positional index:
+    zero-shuffle position build, IN-pruned candidate lists, one groupBy,
+    pure-JVM adjacency HOFs (operators/positional.py)."""
+    from coderag_spark.operators import positional as px
+
+    return px.phrase_hits(_positional(spark, sf_dir), PHRASE_2)
+
+
+def q_phrase_search3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-term phrase ("slow hash batch") — same plan, longer adjacency."""
+    from coderag_spark.operators import positional as px
+
+    return px.phrase_hits(_positional(spark, sf_dir), PHRASE_3)
+
+
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search: 'spark' and 'window' within 5 tokens, pair count
+    per doc (codegen fold over the two position lists)."""
+    from coderag_spark.operators import positional as px
+
+    return px.proximity_hits(_positional(spark, sf_dir), *PROX_TERMS, window=PROX_WINDOW)
+
+
+def _sql_phrase(terms: list[str]) -> str:
+    """Exact DuckDB phrase oracle recomputed straight from the token
+    stream: count start offsets i where toks[i+j] = terms[j] for all j
+    (DuckDB lists are 1-based; positions only need to be relative)."""
+    n = len(terms)
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks) - {n - 1} + 1), i -> {conds}))::BIGINT AS n_hits
+  FROM tok WHERE len(toks) >= {n}
+)
+SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+"""
+
+
+def _sql_proximity(a: str, b: str, window: int) -> str:
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{a}') AS pa,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{b}') AS pb
+  FROM tok
+),
+pairs AS (
+  SELECT doc_id,
+         list_sum(list_transform(pa, p ->
+             len(list_filter(pb, q -> abs(q - p) <= {window}))))::BIGINT AS n_pairs
+  FROM pos WHERE len(pa) > 0 AND len(pb) > 0
+)
+SELECT doc_id, n_pairs FROM pairs WHERE n_pairs > 0
+"""
+
+
+def q_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQuery ('s*') BM25: every dictionary term with the prefix
+    scores with its own idf — StartsWith lands on the postings scan."""
+    return _bm25(spark, sf_dir, [], 25, prefix=PREFIX_Q)
 
 
 def q_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1957,6 +2077,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_single": q_bm25_single,
         "bm25_minscore": q_bm25_minscore,
         "wand_topk": q_wand_topk,
+        "phrase_search": q_phrase_search,
+        "phrase_search3": q_phrase_search3,
+        "proximity_search": q_proximity_search,
+        "prefix_bm25": q_prefix_bm25,
         "cosine_tfidf": q_cosine_tfidf,
         "match_candidates": q_match_candidates,
         "magnitude": q_magnitude,
@@ -2017,6 +2141,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_single": _sql_bm25(query_terms(BM25_QUERY_SINGLE), 10),
         "bm25_minscore": _sql_bm25(query_terms(BM25_QUERY_MULTI), 50, min_score=2.0),
         "wand_topk": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10),
+        "phrase_search": _sql_phrase(PHRASE_2),
+        "phrase_search3": _sql_phrase(PHRASE_3),
+        "proximity_search": _sql_proximity(*PROX_TERMS, PROX_WINDOW),
+        "prefix_bm25": _sql_bm25([], 25, prefix=PREFIX_Q),
         "cosine_tfidf": _sql_cosine_tfidf(query_terms(BM25_QUERY_MULTI)),
         "match_candidates": _sql_match_candidates(query_terms(BM25_QUERY_LONG)),
         "magnitude": SQL_MAGNITUDE,

@@ -1,0 +1,138 @@
+"""Positional index: phrase / proximity / prefix search.
+
+Semantics pinned against a trivial pure-Python scan over the same token
+streams; plan shapes pinned (the positional build must be shuffle-free,
+phrase matching must pay exactly one Exchange)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.functions.tokenize import simple_word_tokenize
+from coderag_spark.operators import positional as px
+
+DOCS = [
+    (0, "alpha beta gamma alpha beta"),          # "alpha beta" x2
+    (1, "beta alpha beta gamma"),                 # "alpha beta" x1
+    (2, "alpha gamma beta"),                      # phrase broken
+    (3, "alpha beta"),                            # exact-fit doc
+    (4, "zz alpha zz zz zz zz zz beta"),          # far apart (dist 6)
+    (5, "repeat repeat repeat"),                  # repeated-term phrase
+    (6, ""),                                      # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def pos(spark, docs_df):
+    return px.positional_postings(docs_df).persist()
+
+
+def _py_phrase_hits(terms):
+    out = {}
+    for did, text in DOCS:
+        toks = simple_word_tokenize(text)
+        n = sum(
+            1
+            for i in range(len(toks) - len(terms) + 1)
+            if all(toks[i + j] == t for j, t in enumerate(terms))
+        )
+        if n:
+            out[did] = n
+    return out
+
+
+def test_positions_are_token_offsets(pos):
+    rows = {(r["doc_id"], r["term"]): list(r["positions"]) for r in pos.collect()}
+    assert rows[(0, "alpha")] == [0, 3]
+    assert rows[(0, "beta")] == [1, 4]
+    assert rows[(5, "repeat")] == [0, 1, 2]
+    assert not any(d == 6 for d, _ in rows)  # empty doc emits nothing
+
+
+def test_positional_build_is_shuffle_free(docs_df):
+    plan = (
+        px.positional_postings(docs_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "terms",
+    [["alpha", "beta"], ["alpha", "beta", "gamma"], ["alpha"], ["repeat", "repeat"]],
+)
+def test_phrase_hits_match_python_scan(pos, terms):
+    got = {r["doc_id"]: r["n_hits"] for r in px.phrase_hits(pos, terms).collect()}
+    assert got == _py_phrase_hits(terms)
+
+
+def test_phrase_hits_single_exchange(pos, spark):
+    # materialize positions so the plan under test is the matching only
+    mat = spark.createDataFrame(
+        pos.collect(), "doc_id long, term string, positions array<int>"
+    )
+    plan = (
+        px.phrase_hits(mat, ["alpha", "beta"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_phrase_requires_all_terms(pos):
+    assert px.phrase_hits(pos, ["alpha", "zz", "gamma"]).count() == 0  # no doc has all three adjacent
+    with pytest.raises(ValueError):
+        px.phrase_hits(pos, [])
+
+
+def test_proximity_window_and_counts(pos):
+    got = {
+        r["doc_id"]: r["n_pairs"]
+        for r in px.proximity_hits(pos, "alpha", "beta", window=2).collect()
+    }
+    # doc0: alpha@[0,3], beta@[1,4] -> pairs |d|<=2: (0,1),(3,1),(3,4),(0? 0-4=4 no) = 3
+    assert got[0] == 3
+    assert got[3] == 1
+    assert 4 not in got  # distance 6 > window
+    wide = {
+        r["doc_id"]: r["n_pairs"]
+        for r in px.proximity_hits(pos, "alpha", "beta", window=6).collect()
+    }
+    assert wide[4] == 1
+    with pytest.raises(ValueError):
+        px.proximity_hits(pos, "alpha", "alpha")
+
+
+def test_phrase_search_ranks_by_count(docs_df):
+    rows = px.phrase_search(docs_df, ["alpha", "beta"], k=3).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in rows] == [(0, 2), (1, 1), (3, 1)]
+
+
+def test_prefix_search_matches_expanded_or_query(index):
+    """prefix_search('auth') == scoring the explicit expansion list."""
+    from coderag_spark.operators import bm25 as bm
+
+    prefix = "auth"
+    expand = [
+        r["term"]
+        for r in index.dictionary.filter(F.col("term").startswith(prefix)).collect()
+    ]
+    assert len(expand) >= 2, "fixture corpus should have several auth* terms"
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm.prefix_search(index, prefix, limit=15).collect()
+    ]
+    want_df = bm.score_terms(index, expand)
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in want_df.orderBy(F.desc("score"), F.asc("doc_id")).limit(15).collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError):
+        bm.prefix_search(index, "")
