@@ -87,6 +87,8 @@ SUITE_BENCH = [
     "phrase_search",
     "proximity_search",
     "prefix_bm25",
+    "substr_dedup",
+    "unigram_lm",
 ]
 
 

@@ -193,6 +193,70 @@ def dup_ngram_stats(
     )
 
 
+def remove_duplicate_substrings(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring dedup, transformation form (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    method): REMOVE every token covered by a k-token window that appears
+    verbatim in >= 2 distinct documents, instead of dropping whole docs.
+    This is the op that strips shared boilerplate (license headers,
+    navigation chrome) while keeping each doc's unique remainder.
+
+    Returns (doc_id, n_tokens, n_removed, kept_sha) — kept_sha is the
+    sha256 of the space-joined surviving tokens, which makes the whole
+    transformation value-hash checkable by the oracle without shipping
+    long strings through the compare.
+
+    Shape at 100 TB: the positioned gram stream is linear in tokens;
+    one groupBy(gram) builds the cross-doc document-frequency set (the
+    paper's suffix-array step re-expressed as the gram-hash join Spark
+    can shuffle); a semi-join marks duplicated start positions (only
+    grams surviving df>=2 move); one groupBy(doc) collects dup starts
+    (only docs WITH duplicates shuffle); the final coverage filter is a
+    pure-JVM HOF over the token array — no Python anywhere. Gram keys
+    stay raw strings for bit-exact oracle parity; a production run would
+    key on xxhash64(gram) to shrink the shuffle (collisions only ever
+    remove a few extra tokens, never corrupt kept text).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("toks")
+    )
+    grams_pos = toks.select(
+        "doc_id",
+        F.posexplode_outer(token_ngrams(F.col("toks"), k, distinct=False)).alias(
+            "pos", "gram"
+        ),
+    ).filter(F.col("gram").isNotNull())
+    dup_grams = (
+        grams_pos.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("gdf"))
+        .filter(F.col("gdf") >= 2)
+        .select("gram")
+    )
+    starts = (
+        grams_pos.join(dup_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = toks.join(starts, "doc_id", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    covered = lambda j: F.exists(  # noqa: E731 — token j inside any dup window
+        F.col("starts"), lambda s: (s <= j) & (j < s + k)
+    )
+    kept = F.filter(F.col("toks"), lambda x, j: ~covered(j))
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.sha2(F.array_join(kept, " "), 256).alias("kept_sha"),
+    )
+
+
 # PII patterns kept dialect-portable (Java regex in Spark, RE2 in the
 # DuckDB oracle): no lookarounds, no backrefs. Counted independently on
 # the ORIGINAL text; redaction applies them in list order.

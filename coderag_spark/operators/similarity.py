@@ -383,12 +383,61 @@ def pq_encode(
     return embeddings.select(F.col(id_col), enc(F.col(vec_col)).alias("code"))
 
 
+def pq_encode_expr(
+    codebooks: list[list[list[float]]], vec_col: str = "embedding"
+) -> Column:
+    """PQ encode as a PURE column expression (array<int> of m codes):
+    per-subspace squared distances to each centroid as a LEFT-FOLD sum of
+    (x-b)*(x-b) terms, argmin via array_position(dists, array_min(dists))
+    (first match on ties). Strictly slower than the Arrow ``pq_encode``
+    for big m*k (the expression tree is m*k*dsub terms) but bit-exact
+    reproducible in any engine with IEEE doubles and the same left-fold
+    order — which is what gives the ADC path an exact SQL oracle."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        dists = []
+        for cent in codebooks[j]:
+            terms = None
+            for i, b in enumerate(cent):
+                x = F.element_at(F.col(vec_col), j * dsub + i + 1)
+                t = (x - F.lit(float(b))) * (x - F.lit(float(b)))
+                terms = t if terms is None else terms + t
+            dists.append(terms)
+        arr = F.array(*dists)
+        codes.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_adc_lut(
+    codebooks: list[list[list[float]]], query_vec: list[float]
+) -> list[list[float]]:
+    """Per-subspace query->centroid squared distances, LEFT-FOLD in pure
+    Python — the one LUT both the Spark plan and the SQL oracle inline as
+    literals (numpy's pairwise summation can differ by an ulp)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = []
+    for j in range(m):
+        row = []
+        for cent in codebooks[j]:
+            acc = 0.0
+            for i, b in enumerate(cent):
+                d = query_vec[j * dsub + i] - b
+                acc = acc + d * d
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
 def pq_topk(
     encoded: DataFrame,
     codebooks: list[list[list[float]]],
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
+    lut: list[list[float]] | None = None,
 ) -> DataFrame:
     """ADC (asymmetric distance) top-k over PQ codes: the driver builds an
     m x k_centroids table of per-subspace squared distances to the query;
@@ -397,14 +446,15 @@ def pq_topk(
     TakeOrderedAndProject."""
     import numpy as np
 
-    q = np.asarray(query_vec, dtype=np.float64)
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    lut = []
-    for j in range(m):
-        bk = np.asarray(codebooks[j])
-        qs = q[j * dsub : (j + 1) * dsub]
-        lut.append(((bk - qs[None, :]) ** 2).sum(1).tolist())
+    if lut is None:
+        q = np.asarray(query_vec, dtype=np.float64)
+        dsub = len(codebooks[0][0])
+        lut = []
+        for j in range(m):
+            bk = np.asarray(codebooks[j])
+            qs = q[j * dsub : (j + 1) * dsub]
+            lut.append(((bk - qs[None, :]) ** 2).sum(1).tolist())
     dist = None
     for j in range(m):
         table = F.array(*[F.lit(float(x)) for x in lut[j]])

@@ -328,3 +328,45 @@ def gopher_quality(
             & (top_frac <= max_top_bigram_frac)
         ).alias("passes"),
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM fluency score — the cheap stand-in for the KenLM
+    perplexity filter every web-corpus pipeline runs (CCNet/RedPajama use
+    a 5-gram KenLM; the unigram case is the same scoring rule with n=1
+    and needs no external model): train add-one-smoothed unigram
+    probabilities on the corpus itself, score each doc by its mean token
+    log-probability and perplexity. Outlier-low scores mark gibberish /
+    rare-token spam; outlier-high mark stopword soup.
+
+        p(t) = (count(t) + 1) / (T + V)    (T tokens, V vocab size)
+        mean_logp(doc) = avg over the doc's TOKEN STREAM of ln p(t)
+        ppl(doc) = exp(-mean_logp)
+
+    Shape: one groupBy(term) builds the model (map-side partials — term
+    counts, not the stream, shuffle); corpus totals ride along as a
+    broadcast 1-row cross-join; scoring joins the token stream to the
+    model on term (the model side is dictionary-sized) and rolls up per
+    doc. Empty docs score mean_logp = 0, ppl = 1.
+    """
+    stream = df.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("_toks")
+    ).select("doc_id", F.explode_outer("_toks").alias("term"))
+    counts = stream.filter(F.col("term").isNotNull()).groupBy("term").agg(
+        F.count("*").alias("c")
+    )
+    totals = counts.agg(
+        F.sum("c").alias("T"), F.count("*").alias("V")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "term", F.log((F.col("c") + 1.0) / (F.col("T") + F.col("V"))).alias("logp")
+    )
+    return (
+        stream.join(model, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("term").cast("long").alias("n_tokens"),
+            F.round(F.coalesce(F.avg("logp"), F.lit(0.0)), 6).alias("mean_logp"),
+            F.round(F.exp(-F.coalesce(F.avg("logp"), F.lit(0.0))), 6).alias("ppl"),
+        )
+    )

@@ -524,6 +524,148 @@ SELECT doc_id, n_pairs FROM pairs WHERE n_pairs > 0
 """
 
 
+SUBSTR_K = 8
+
+
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 transformation form): strip
+    every token covered by an 8-token window shared verbatim across >= 2
+    docs; value-hash the surviving text per doc."""
+    from coderag_spark.operators.pipeline import remove_duplicate_substrings
+
+    return remove_duplicate_substrings(_documents(spark, sf_dir), k=SUBSTR_K)
+
+
+SQL_SUBSTR_DEDUP = f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i + {SUBSTR_K} - 1], ' ') AS g
+  FROM tok, unnest(range(1, len(toks) - {SUBSTR_K} + 2)) AS r(i)
+  WHERE len(toks) >= {SUBSTR_K}
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+starts AS (
+  SELECT doc_id, list_sort(list(pos)) AS starts
+  FROM grams JOIN dupg USING (g) GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.toks, coalesce(s.starts, []) AS starts
+  FROM tok t LEFT JOIN starts s USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         list_transform(
+           list_filter(range(1, len(toks) + 1),
+                       j -> NOT len(list_filter(starts,
+                                s -> s <= j - 1 AND j - 1 < s + {SUBSTR_K})) > 0),
+           j -> toks[j]) AS kept_toks
+  FROM joined
+)
+SELECT doc_id, n_tokens,
+       (n_tokens - len(kept_toks))::BIGINT AS n_removed,
+       sha256(coalesce(array_to_string(kept_toks, ' '), '')) AS kept_sha
+FROM kept
+"""
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency/perplexity scoring (the KenLM-filter stand-in):
+    corpus-trained add-one model, per-doc mean log-prob + ppl."""
+    return tx.unigram_logprob(_documents(spark, sf_dir))
+
+
+SQL_UNIGRAM_LM = f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stream AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+counts AS (SELECT term, count(*) AS c FROM stream GROUP BY term),
+totals AS (SELECT sum(c) AS T, count(*) AS V FROM counts),
+model AS (SELECT term, ln((c + 1.0) / (t.T + t.V)) AS logp FROM counts, totals t),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(logp) AS m
+  FROM stream JOIN model USING (term) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(a.m, 0.0), 6) AS mean_logp,
+       round(exp(-coalesce(a.m, 0.0)), 6) AS ppl
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+PQ_M, PQ_K, PQ_DIM = 4, 8, 64
+
+
+def _pq_books() -> list[list[list[float]]]:
+    """Seeded data-independent codebooks (the Lloyd-TRAINED path is pinned
+    by pytest; the suite query validates the encode+ADC arithmetic, which
+    is the part an exact SQL oracle can express)."""
+    import random
+
+    rnd = random.Random(7)
+    dsub = PQ_DIM // PQ_M
+    return [
+        [[rnd.gauss(0.0, 1.0) for _ in range(dsub)] for _ in range(PQ_K)]
+        for _ in range(PQ_M)
+    ]
+
+
+def _pq_query_vec() -> list[float]:
+    import random
+
+    rnd = random.Random(11)
+    return [rnd.gauss(0.0, 1.0) for _ in range(PQ_DIM)]
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10: expression-form encode (bit-exact
+    left-fold arithmetic) + lookup-table scoring — no Python in the plan."""
+    books = _pq_books()
+    qv = _pq_query_vec()
+    enc = _embeddings(spark, sf_dir).select(
+        "vec_id", sim.pq_encode_expr(books).alias("code")
+    )
+    return sim.pq_topk(enc, books, qv, k=10, lut=sim.pq_adc_lut(books, qv))
+
+
+def _sql_pq_adc() -> str:
+    books = _pq_books()
+    qv = _pq_query_vec()
+    lut = sim.pq_adc_lut(books, qv)
+    dsub = PQ_DIM // PQ_M
+    dlists = []
+    for j in range(PQ_M):
+        dists = []
+        for cent in books[j]:
+            # ::DOUBLE on every literal: DuckDB parses bare decimal-point
+            # literals as DECIMAL, which would drop the whole expression
+            # out of IEEE arithmetic
+            terms = " + ".join(
+                f"(embedding[{j * dsub + i + 1}] - {b!r}::DOUBLE)"
+                f"*(embedding[{j * dsub + i + 1}] - {b!r}::DOUBLE)"
+                for i, b in enumerate(cent)
+            )
+            dists.append(f"({terms})")
+        dlists.append(f"[{', '.join(dists)}]")
+    dcols = ",\n       ".join(f"{d} AS d{j}" for j, d in enumerate(dlists))
+    ccols = ", ".join(
+        f"list_position(d{j}, list_min(d{j})) AS c{j}" for j in range(PQ_M)
+    )
+    adc = " + ".join(
+        f"([{', '.join(repr(v) + '::DOUBLE' for v in lut[j])}])[c{j}]"
+        for j in range(PQ_M)
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id,
+       {dcols}
+  FROM embeddings
+),
+c AS (SELECT vec_id, {ccols} FROM s)
+SELECT vec_id, round({adc}, 6) AS adc_dist
+FROM c ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
 def q_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixQuery ('s*') BM25: every dictionary term with the prefix
     scores with its own idf — StartsWith lands on the postings scan."""
@@ -2081,6 +2223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search3": q_phrase_search3,
         "proximity_search": q_proximity_search,
         "prefix_bm25": q_prefix_bm25,
+        "substr_dedup": q_substr_dedup,
+        "unigram_lm": q_unigram_lm,
+        "pq_adc": q_pq_adc,
         "cosine_tfidf": q_cosine_tfidf,
         "match_candidates": q_match_candidates,
         "magnitude": q_magnitude,
@@ -2145,6 +2290,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search3": _sql_phrase(PHRASE_3),
         "proximity_search": _sql_proximity(*PROX_TERMS, PROX_WINDOW),
         "prefix_bm25": _sql_bm25([], 25, prefix=PREFIX_Q),
+        "substr_dedup": SQL_SUBSTR_DEDUP,
+        "unigram_lm": SQL_UNIGRAM_LM,
+        "pq_adc": _sql_pq_adc(),
         "cosine_tfidf": _sql_cosine_tfidf(query_terms(BM25_QUERY_MULTI)),
         "match_candidates": _sql_match_candidates(query_terms(BM25_QUERY_LONG)),
         "magnitude": SQL_MAGNITUDE,

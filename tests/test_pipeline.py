@@ -203,3 +203,51 @@ def test_stratified_sample_default_rate(spark):
     out = pl.stratified_sample(df, rates={"named": 0.9}, default_rate=0.1).collect()
     assert 20 <= len(out) <= 90  # ~50 at the default rate
     assert all(r["weight"] == 10.0 for r in out)
+
+
+def test_remove_duplicate_substrings_strips_shared_boilerplate(spark):
+    """Lee et al. transformation semantics: tokens covered by a k-gram
+    shared across >=2 docs vanish; unique remainders and sub-k docs
+    survive untouched; a fully-boilerplate doc empties."""
+    import hashlib
+
+    from coderag_spark.operators.pipeline import remove_duplicate_substrings
+
+    header = "copyright acme corp all rights reserved license apache"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, header + " unique alpha body one"),
+            (2, header + " totally different tail here"),
+            (3, header),                      # nothing but the shared window
+            (4, "short doc"),                 # < k tokens, no grams
+            (5, "completely unrelated content with many original words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_sha"])
+        for r in remove_duplicate_substrings(docs, k=8).collect()
+    }
+
+    def sha(s: str) -> str:
+        return hashlib.sha256(s.encode()).hexdigest()
+
+    assert out[1] == (12, 8, sha("unique alpha body one"))
+    assert out[2] == (12, 8, sha("totally different tail here"))
+    assert out[3] == (8, 8, sha(""))
+    assert out[4] == (2, 0, sha("short doc"))
+    assert out[5][1] == 0  # untouched
+
+
+def test_remove_duplicate_substrings_overlapping_windows_merge(spark):
+    """Two docs sharing a 9-token run at k=8 -> two overlapping windows
+    whose union covers all 9 tokens, not 16."""
+    from coderag_spark.operators.pipeline import remove_duplicate_substrings
+
+    run = "t0 t1 t2 t3 t4 t5 t6 t7 t8"  # 9 shared tokens
+    docs = spark.createDataFrame(
+        [(1, run + " solo1 solo2"), (2, "pre1 pre2 " + run)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_removed"] for r in remove_duplicate_substrings(docs, k=8).collect()}
+    assert out == {1: 9, 2: 9}

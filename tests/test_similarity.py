@@ -143,3 +143,31 @@ def test_pq_topk_is_pure_jvm(spark, emb_df):
     plan = sim.pq_topk(enc, books, [0.1] * 64, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_encode_expr_matches_arrow_encoder(spark, emb_df):
+    """The bit-exact expression-form encoder (exact-oracle path) must
+    produce the same codes as the Arrow/numpy production encoder, and the
+    ADC plan built on it stays Python-free."""
+    from coderag_spark.operators import similarity as sim
+
+    books = sim.pq_train(emb_df, m=4, k=8, iters=2)
+    via_expr = {
+        r["vec_id"]: list(r["code"])
+        for r in emb_df.select(
+            "vec_id", sim.pq_encode_expr(books).alias("code")
+        ).collect()
+    }
+    via_arrow = {
+        r["vec_id"]: list(r["code"]) for r in sim.pq_encode(emb_df, books).collect()
+    }
+    assert via_expr == via_arrow
+
+    qv = [0.05 * (i % 7) - 0.1 for i in range(64)]
+    enc = emb_df.select("vec_id", sim.pq_encode_expr(books).alias("code"))
+    plan = (
+        sim.pq_topk(enc, books, qv, k=5, lut=sim.pq_adc_lut(books, qv))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

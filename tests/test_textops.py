@@ -200,3 +200,25 @@ def test_gopher_alpha_and_length_bounds(spark):
     out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
     assert out[1]["alpha_frac"] == 0.0 and not out[1]["passes"]
     assert out[2]["mean_word_len"] == 15.0 and not out[2]["passes"]
+
+
+def test_unigram_logprob_model_math(spark):
+    """Hand-checked add-one unigram LM: p(t) = (c+1)/(T+V); per-doc mean
+    over the token STREAM (repeats weighted); empty doc -> (0, 0.0, 1.0)."""
+    import math
+
+    from coderag_spark.operators.textops import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "bb cc"), (3, "")],
+        "doc_id long, text string",
+    )
+    # counts: aa=2 bb=2 cc=1, T=5, V=3
+    p = {t: (c + 1) / 8.0 for t, c in {"aa": 2, "bb": 2, "cc": 1}.items()}
+    want1 = (2 * math.log(p["aa"]) + math.log(p["bb"])) / 3
+    want2 = (math.log(p["bb"]) + math.log(p["cc"])) / 2
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert got[1]["n_tokens"] == 3 and abs(got[1]["mean_logp"] - want1) < 1e-6
+    assert got[2]["n_tokens"] == 2 and abs(got[2]["mean_logp"] - want2) < 1e-6
+    assert abs(got[1]["ppl"] - math.exp(-want1)) < 1e-4
+    assert got[3]["n_tokens"] == 0 and got[3]["mean_logp"] == 0.0 and got[3]["ppl"] == 1.0
