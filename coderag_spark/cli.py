@@ -77,8 +77,45 @@ def _cmd_query(args) -> int:
     from coderag_spark.operators.bm25 import dedupe_query_tokens, search
 
     spark = get_spark("coderag-query", cores=args.cores)
+    if args.mode == "phrase":
+        # file-level phrase grep over the corpus (positions are not stored
+        # in the index; the positional pass is one shuffle-free scan)
+        if not args.corpus:
+            print(json.dumps({"error": "--mode phrase needs --corpus"}))
+            return 2
+        from coderag_spark.functions.tokenize import simple_word_tokenize
+        from coderag_spark.operators.positional import phrase_search
+
+        corpus = spark.read.parquet(args.corpus).withColumn(
+            "_fid", F.xxhash64("repo", "path", "commit")
+        )
+        # the SAME analyzer that built the positions (a phrase is a token
+        # sequence, so query and corpus must share one token space; the
+        # code analyzer's subtoken expansion would break adjacency)
+        terms = simple_word_tokenize(args.query)
+        hits_df = phrase_search(
+            corpus, terms, k=args.limit, text_col="content", id_col="_fid"
+        ).join(corpus.select("_fid", "repo", "path"), F.col("doc_id") == F.col("_fid"))
+        out = [
+            {"repo": r["repo"], "path": r["path"], "nHits": r["n_hits"]}
+            for r in hits_df.orderBy(F.desc("n_hits"), F.asc("path")).collect()
+        ]
+        print(json.dumps({"query": args.query, "terms": terms, "results": out}))
+        return 0
     idx = load_index(spark, args.index)
-    if args.hybrid:
+    if args.mode in ("prefix", "regex"):
+        if args.hybrid or args.local:
+            print(json.dumps({"error": f"--mode {args.mode} runs the Spark path (no --local/--hybrid)"}))
+            return 2
+        from coderag_spark.operators.bm25 import prefix_search, regex_search
+
+        fn = prefix_search if args.mode == "prefix" else regex_search
+        hits = [
+            (r["doc_id"], r["score"])
+            for r in fn(idx, args.query, limit=args.limit).collect()
+            if r["score"] >= args.min_score
+        ]
+    elif args.hybrid:
         # semanticSearch surface (mcp-server index.ts:211-228): vector knn
         # (mock provider) fused with BM25 by max-normalized weighted sum;
         # attribute filters apply to the fused set (same flags as the
@@ -157,7 +194,8 @@ def _cmd_query(args) -> int:
             "language": r["lang"],
         }
         out.append(item)
-    print(json.dumps({"query": args.query, "terms": dedupe_query_tokens(args.query), "results": out}))
+    terms = dedupe_query_tokens(args.query) if args.mode == "keyword" else [args.query]
+    print(json.dumps({"query": args.query, "terms": terms, "results": out}))
     if args.include_content and rows:
         _print_snippets(spark, args, rows)
     return 0
@@ -308,6 +346,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--path-filter", default=None)
     q.add_argument("--exclude-paths", default=None)
     q.add_argument("--include-content", action="store_true")
+    q.add_argument(
+        "--mode",
+        choices=["keyword", "prefix", "regex", "phrase"],
+        default="keyword",
+        help="keyword BM25 (default); prefix/regex expand dictionary terms; "
+        "phrase greps the exact token sequence over --corpus",
+    )
     q.add_argument("--local", action="store_true", help="serve from an in-process shard")
     q.add_argument("--hybrid", action="store_true", help="vector+BM25 fusion (needs --with-vectors build)")
     q.add_argument("--vector-weight", type=float, default=0.7)

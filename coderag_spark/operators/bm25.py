@@ -245,6 +245,100 @@ def prefix_search(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
 
+def _regex_literal_runs(pattern: str) -> list[str]:
+    """Maximal literal substrings of a regex (the zoekt/Google-codesearch
+    trick, Cox 2012 "Regular Expression Matching with a Trigram Index" —
+    public method): characters that must appear verbatim in any match.
+    Conservative in the only direction that is sound for pruning (a
+    dropped run costs speed; a wrong run costs CORRECTNESS): alternation
+    or grouping anywhere disables extraction entirely (neither branch of
+    'foo|bar' is required in every match, and '(abc)?' makes a whole run
+    optional); character classes are skipped, not read as literals;
+    '?', '*', '{' make the preceding char optional, so it leaves the run.
+    The real regex always verifies the pruned set afterwards."""
+    if "|" in pattern or "(" in pattern:
+        return []
+    runs: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(pattern)
+    meta = set("[](){}|.*+?^$\\")
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            flush()  # escapes may be classes (\d) — break the run
+            i += 2
+            continue
+        if ch == "[":  # skip the whole class — its chars are NOT literals
+            flush()
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            i = j + 1
+            continue
+        if ch in meta:
+            if ch in "?*{" and cur:
+                cur.pop()  # previous char is optional/repeated-from-zero
+            flush()
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    flush()
+    return [r for r in runs if len(r) >= 3]
+
+
+def _trigrams(s: str) -> list[str]:
+    return [s[i : i + 3] for i in range(len(s) - 2)]
+
+
+def regex_search(
+    index: Index,
+    pattern: str,
+    limit: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Regex term search (grep-over-the-index): every dictionary term
+    matching ``pattern`` scores BM25 with its own idf, like
+    ``prefix_search`` with a regex expansion. Returns (doc_id, score,
+    matched_terms) top-``limit``.
+
+    Scale shape (the zoekt design): a regex can't push into a term-sorted
+    scan, so candidates are pruned FIRST by the pattern's required literal
+    trigrams — every match must contain ALL trigrams of each >=3-char
+    literal run (e.g. '^stream.*$' requires 'str','tre','rea','eam') —
+    as contains-conjunctions on the DICTIONARY, which is
+    orders of magnitude smaller than postings; materialize it bucketed at
+    build time for repeated queries). The regex verifies only the pruned
+    set, then the matched-term slice broadcasts into the postings join.
+    With no extractable literals the dictionary takes a full rlike scan —
+    still dictionary-sized, never postings-sized.
+    """
+    runs = _regex_literal_runs(pattern)
+    cand = index.dictionary
+    for tri in {t for r in runs for t in _trigrams(r)}:
+        cand = cand.filter(F.col("term").contains(tri))
+    matched = cand.filter(F.col("term").rlike(pattern)).select("term", "idf")
+    scored_src = index.postings.join(F.broadcast(matched), "term")
+    per_term = bm25_term_score(
+        F.col("raw_freq"), F.col("idf"), F.col("token_count"), index.stats.avgdl, k1, b
+    )
+    scored = scored_src.groupBy("doc_id").agg(
+        F.sum(per_term).alias("score"), F.count("*").alias("matched_terms")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
 def tfidf_cosine_search(
     index: Index, query: str, limit: int = 10, analyzer=code_analyze
 ) -> DataFrame:

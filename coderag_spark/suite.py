@@ -345,6 +345,7 @@ def _bm25(
     k: int,
     min_score: float = 0.0,
     prefix: str | None = None,
+    regex: str | None = None,
 ) -> DataFrame:
     """Stats (N, avgdl) ride along as a broadcast 1-row cross-join instead
     of a separate collect — the whole query is ONE Spark job (one fewer
@@ -359,11 +360,12 @@ def _bm25(
         F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl"),
     )
     post = _doc_postings(spark, sf_dir)
-    post = (
-        post.filter(F.col("term").startswith(prefix))
-        if prefix is not None
-        else post.filter(F.col("term").isin(terms))
-    )
+    if prefix is not None:
+        post = post.filter(F.col("term").startswith(prefix))
+    elif regex is not None:
+        post = post.filter(F.col("term").rlike(regex))
+    else:
+        post = post.filter(F.col("term").isin(terms))
     idf = (
         post.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -395,12 +397,19 @@ def _bm25(
 
 
 def _sql_bm25(
-    terms: list[str], k: int, min_score: float = 0.0, prefix: str | None = None
+    terms: list[str],
+    k: int,
+    min_score: float = 0.0,
+    prefix: str | None = None,
+    regex: str | None = None,
 ) -> str:
     having = f"HAVING round(score_raw, 6) >= {min_score}" if min_score > 0 else ""
     if prefix is not None:
         esc = prefix.replace("'", "''")
         qt_sql = f"SELECT DISTINCT term FROM post WHERE term LIKE '{esc}%'"
+    elif regex is not None:
+        esc = regex.replace("'", "''")
+        qt_sql = f"SELECT DISTINCT term FROM post WHERE regexp_matches(term, '{esc}')"
     else:
         qt_sql = _terms_sql(terms)
     return f"""
@@ -525,6 +534,17 @@ SELECT doc_id, n_pairs FROM pairs WHERE n_pairs > 0
 
 
 SUBSTR_K = 8
+
+
+REGEX_Q = "^(sc|st|sp)[a-z]+$"
+
+
+def q_regex_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex term search ('^(sc|st|sp)[a-z]+$') scored BM25 — each
+    matching dictionary term contributes with its own idf. The engine
+    path adds zoekt-style trigram pruning (bm25.regex_search, pinned by
+    pytest); the pattern here is Java-regex/RE2 common dialect."""
+    return _bm25(spark, sf_dir, [], 25, regex=REGEX_Q)
 
 
 def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2223,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search3": q_phrase_search3,
         "proximity_search": q_proximity_search,
         "prefix_bm25": q_prefix_bm25,
+        "regex_bm25": q_regex_bm25,
         "substr_dedup": q_substr_dedup,
         "unigram_lm": q_unigram_lm,
         "pq_adc": q_pq_adc,
@@ -2290,6 +2311,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search3": _sql_phrase(PHRASE_3),
         "proximity_search": _sql_proximity(*PROX_TERMS, PROX_WINDOW),
         "prefix_bm25": _sql_bm25([], 25, prefix=PREFIX_Q),
+        "regex_bm25": _sql_bm25([], 25, regex=REGEX_Q),
         "substr_dedup": SQL_SUBSTR_DEDUP,
         "unigram_lm": SQL_UNIGRAM_LM,
         "pq_adc": _sql_pq_adc(),

@@ -145,3 +145,40 @@ def test_cli_dedup_ngram_collapses_near_dups(spark, corpus_df, tmp_path, capsys)
     assert len(kept_planted) == 1
     # docs with no duplicates are NOT dropped by the collapse
     assert rep["n_out"] >= rep["n_in"] - rep["n_in"] // 2
+
+
+def test_query_prefix_and_regex_modes(built, capsys):
+    _, index_path = built
+    rc1, out1 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                              "--query", "auth", "--mode", "prefix", "--limit", "5"])
+    rc2, out2 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                              "--query", "^auth[a-z]*$", "--mode", "regex",
+                              "--limit", "5"])
+    assert rc1 == rc2 == 0
+    r1 = json.loads(out1[-1])["results"]
+    r2 = json.loads(out2[-1])["results"]
+    assert r1 and r2
+    # '^auth[a-z]*$' expands to a subset of the 'auth' prefix expansion
+    # (prefix also catches digit/underscore-suffixed terms), and on this
+    # fixture corpus both rank the same top hit
+    assert r1[0]["path"] == r2[0]["path"]
+    # modes reject serving-shard combos
+    rc3, out3 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                              "--query", "auth", "--mode", "prefix", "--local"])
+    assert rc3 == 2
+
+
+def test_query_phrase_mode_greps_corpus(built, capsys):
+    corpus_path, index_path = built
+    rc, out = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                            "--corpus", corpus_path,
+                            "--query", "const max_retries", "--mode", "phrase",
+                            "--limit", "5"])
+    assert rc == 0
+    res = json.loads(out[-1])
+    assert res["results"], "fixture corpus has 'const MAX_RETRIES' lines"
+    assert all(r["nHits"] >= 1 for r in res["results"])
+    # phrase mode without a corpus is a usage error
+    rc2, _ = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                           "--query", "const max_retries", "--mode", "phrase"])
+    assert rc2 == 2

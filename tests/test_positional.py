@@ -136,3 +136,54 @@ def test_prefix_search_matches_expanded_or_query(index):
     assert got == want
     with pytest.raises(ValueError):
         bm.prefix_search(index, "")
+
+
+# ----------------------------------------------------------- regex search
+
+
+def test_regex_literal_runs_extraction():
+    """Extraction must only ever emit strings REQUIRED in every match —
+    over-extraction would silently drop legal results from the pruned
+    candidate set."""
+    from coderag_spark.operators.bm25 import _regex_literal_runs
+
+    assert _regex_literal_runs("^stream.*$") == ["stream"]
+    assert _regex_literal_runs("term[0-9]+ing") == ["term", "ing"]
+    assert _regex_literal_runs("foo123.bar") == ["foo123", "bar"]
+    # alternation / grouping: neither branch is required -> no pruning
+    assert _regex_literal_runs("foo123|barbar") == []
+    assert _regex_literal_runs("(abcdef)?ghi") == []
+    # optional/repeated last char leaves the run ('auths?' requires 'auth')
+    assert _regex_literal_runs("auths?") == ["auth"]
+    assert _regex_literal_runs("abcd*") == ["abc"]
+    # class contents are not literals
+    assert _regex_literal_runs("[abcdef]xy") == []
+    # escapes break runs
+    assert _regex_literal_runs(r"foo\d+barbaz") == ["foo", "barbaz"]
+
+
+def test_regex_search_matches_expanded_terms(index):
+    """regex_search == BM25 over the explicit rlike expansion, and the
+    trigram pruning never drops a legal match."""
+    from pyspark.sql import functions as F
+
+    from coderag_spark.operators import bm25 as bm
+
+    pattern = "^auth[a-z]*$"
+    expand = [
+        r["term"]
+        for r in index.dictionary.filter(F.col("term").rlike(pattern)).collect()
+    ]
+    assert expand, "fixture corpus should have auth* terms"
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm.regex_search(index, pattern, limit=15).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm.score_terms(index, expand)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+        .collect()
+    ]
+    assert got == want
