@@ -7,16 +7,18 @@ stable schemas and bounded batch sizes.
 Decode support comes in two tiers:
   * REAL decoders for the formats Python's stdlib + numpy can parse
     without external libraries — 24-bit uncompressed **BMP**, binary
-    **PPM (P6)**, PCM **WAV**, and **PNG** (8-bit RGB/RGBA, chunk parse +
-    zlib inflate + all five scanline unfilters) — via
-    ``decode_media_features`` (format sniffed from magic bytes per
-    payload). Encoders for the same formats (``encode_bmp`` /
-    ``encode_ppm`` / ``encode_wav`` / ``encode_png``) make the round trip
-    testable and synthesize deterministic fixtures.
-  * formats needing external codecs (JPEG/MP3/MP4, interlaced or
-    paletted PNG) raise ``NotImplementedError`` (or flow through the
-    deterministic fake when requested), keeping the limitation explicit
-    rather than silent.
+    **PPM (P6)**, PCM **WAV**, **PNG** (8-bit RGB/RGBA, chunk parse +
+    zlib inflate + all five scanline unfilters), and baseline **JPEG**
+    (SOF0 Huffman sequential incl. 4:2:0 subsampling and restart
+    markers — operators/jpeg.py) — via ``decode_media_features``
+    (format sniffed from magic bytes per payload). Encoders for the same
+    formats (``encode_bmp`` / ``encode_ppm`` / ``encode_wav`` /
+    ``encode_png`` / ``jpeg.encode_jpeg``) make the round trip testable
+    and synthesize deterministic fixtures.
+  * formats still needing external codecs (progressive JPEG, MP3/MP4,
+    interlaced or paletted PNG) raise ``NotImplementedError`` (or flow
+    through the deterministic fake when requested), keeping the
+    limitation explicit rather than silent.
 
 Schema convention for a multimodal corpus row:
   (doc_id long, modality string, payload binary,
@@ -325,6 +327,8 @@ def sniff_modality(b: bytes) -> str | None:
         return "audio/wav"
     if b[:8] == _PNG_SIG:
         return "image/png"
+    if b[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
     return None
 
 
@@ -332,13 +336,14 @@ def decode_media_features(
     media: DataFrame, batch_rows: int = 256, on_unsupported: str = "error"
 ) -> DataFrame:
     """REAL decode + feature-extract over binary payloads (BMP / PPM /
-    WAV, sniffed per payload). Output schema == FEATURE_SCHEMA:
+    WAV / PNG / baseline JPEG, sniffed per payload). Output schema ==
+    FEATURE_SCHEMA:
       * images: (width, height, n_frames=1, feat=[mean_r, mean_g, mean_b, 0])
       * audio:  (width=0, height=0, n_frames=frames,
                  feat=[rms, peak, duration_sec, sample_rate])
 
     ``on_unsupported``: "error" raises NotImplementedError on the first
-    payload needing an external codec (PNG/JPEG/...); "skip" drops those
+    payload needing an external codec (progressive JPEG/MP3/...); "skip" drops those
     rows — the explicit choice belongs to the pipeline author.
     """
 
@@ -364,10 +369,13 @@ def decode_media_features(
                         frames = nfr
                         feat = [rms, peak, nfr / rate if rate else 0.0, float(rate)]
                     else:
+                        from coderag_spark.operators.jpeg import decode_jpeg
+
                         dec = {
                             "image/bmp": decode_bmp,
                             "image/ppm": decode_ppm,
                             "image/png": decode_png,
+                            "image/jpeg": decode_jpeg,
                         }[kind]
                         w, h, mr, mg, mb = dec(b)
                         frames = 1

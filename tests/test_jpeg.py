@@ -1,0 +1,102 @@
+"""Baseline JPEG codec: round trips, subsampling, restart markers,
+explicit unsupported-profile errors, and the Spark decode stage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from coderag_spark.operators.jpeg import (
+    decode_jpeg,
+    decode_jpeg_pixels,
+    encode_jpeg,
+)
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (w + h))], axis=-1
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality,max_err", [(95, 1.0), (75, 3.0), (40, 6.0)])
+@pytest.mark.parametrize("subsample", [False, True])
+def test_roundtrip_error_bounds(quality, max_err, subsample):
+    img = _gradient(40, 56)
+    out = decode_jpeg_pixels(encode_jpeg(img, quality=quality, subsample=subsample))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    # smooth gradients survive DCT quantization well; chroma decimation
+    # adds ~1 LSB of mean error
+    assert err < max_err + (2.0 if subsample else 0.0), err
+
+
+def test_solid_color_is_exact():
+    solid = np.full((16, 24, 3), [200, 64, 31], dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(solid, quality=90))
+    assert np.array_equal(out, solid)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 9), (17, 23), (8, 16)])
+def test_non_multiple_of_mcu_dimensions(h, w):
+    """Edge padding must never leak into the cropped output dims."""
+    img = _gradient(max(h, 2), max(w, 2))[:h, :w]
+    for sub in (False, True):
+        out = decode_jpeg_pixels(encode_jpeg(img, quality=95, subsample=sub))
+        assert out.shape == (h, w, 3)
+
+
+@pytest.mark.parametrize("interval", [1, 3])
+def test_restart_markers_decode_identically(interval):
+    img = _gradient(40, 56)
+    base = decode_jpeg_pixels(encode_jpeg(img, quality=90, subsample=True))
+    with_rst = decode_jpeg_pixels(
+        encode_jpeg(img, quality=90, subsample=True, restart_interval=interval)
+    )
+    assert np.array_equal(base, with_rst)
+
+
+def test_noise_image_round_trip_stays_bounded():
+    """Worst case for DCT coding (white noise): still decodes, bounded."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(img, quality=95))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 12.0
+
+
+def test_feature_contract():
+    solid = np.full((10, 20, 3), [10, 200, 30], dtype=np.uint8)
+    w, h, mr, mg, mb = decode_jpeg(encode_jpeg(solid, quality=95))
+    assert (w, h) == (20, 10)
+    assert abs(mr - 10) <= 1 and abs(mg - 200) <= 1 and abs(mb - 30) <= 1
+
+
+def test_progressive_and_garbage_raise():
+    img = _gradient(16, 16)
+    b = bytearray(encode_jpeg(img))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_pixels(bytes(b))
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\x00\x01\x02")
+
+
+def test_sniff_and_spark_decode_stage(spark):
+    from coderag_spark.operators import multimodal as mm
+
+    assert mm.sniff_modality(encode_jpeg(_gradient(8, 8))) == "image/jpeg"
+    rows = []
+    for d in range(6):
+        px = np.full((8, 8, 3), [d * 10, 100, 255 - d * 10], dtype=np.uint8)
+        rows.append((d, "image", bytearray(encode_jpeg(px, quality=95)),
+                     ("image/jpeg", 0, "synth")))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["doc_id"]: r for r in mm.decode_media_features(media).collect()}
+    assert len(got) == 6
+    for d in range(6):
+        r = got[d]
+        assert (r["width"], r["height"], r["modality"]) == (8, 8, "image/jpeg")
+        assert abs(r["feat"][0] - d * 10) <= 1.5
+        assert abs(r["feat"][2] - (255 - d * 10)) <= 1.5
