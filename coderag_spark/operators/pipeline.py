@@ -222,6 +222,8 @@ def remove_duplicate_substrings(
     key on xxhash64(gram) to shrink the shuffle (collisions only ever
     remove a few extra tokens, never corrupt kept text).
     """
+    from pyspark.sql import Window as W
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("toks")
     )
@@ -231,14 +233,19 @@ def remove_duplicate_substrings(
             "pos", "gram"
         ),
     ).filter(F.col("gram").isNotNull())
-    dup_grams = (
-        grams_pos.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("gdf"))
-        .filter(F.col("gdf") >= 2)
-        .select("gram")
+    # cross-doc document frequency WITHOUT a self-join (a join-based form
+    # recomputes the expensive gram build once per branch — measured 5x):
+    # first-occurrence flag per (gram, doc), then a windowed sum per gram
+    # counts distinct docs. Both windows shuffle the positioned stream by
+    # gram-ish keys; the gram build itself runs ONCE.
+    first_in_doc = F.when(
+        F.row_number().over(W.partitionBy("gram", "doc_id").orderBy("pos")) == 1, 1
+    ).otherwise(0)
+    marked = grams_pos.withColumn("_first", first_in_doc).withColumn(
+        "gdf", F.sum("_first").over(W.partitionBy("gram"))
     )
     starts = (
-        grams_pos.join(dup_grams, "gram", "left_semi")
+        marked.filter(F.col("gdf") >= 2)
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
     )

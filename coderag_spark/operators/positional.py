@@ -43,6 +43,13 @@ __all__ = [
     "phrase_hits",
     "phrase_search",
     "proximity_hits",
+    "encode_positions",
+    "decode_positions",
+    "compress_positional",
+    "decompress_positional",
+    "write_positional_store",
+    "read_positional_store",
+    "phrase_hits_compressed",
 ]
 
 
@@ -165,3 +172,101 @@ def proximity_hits(
         have.select("doc_id", n_pairs.cast("long").alias("n_pairs"))
         .filter(F.col("n_pairs") > 0)
     )
+
+
+# ------------------------------------------------- compressed position store
+# Positions within a (doc, term) list are sorted ascending, so they ride
+# the same delta+varbyte scheme as docID gaps in the tf store
+# (compact.py) — a position list compresses to ~1 byte per occurrence.
+
+
+def encode_positions(positions: list[int]) -> bytes:
+    """Sorted 0-based positions -> varint count + first + gaps."""
+    from coderag_spark.operators.compact import _write_varint
+
+    out = bytearray()
+    _write_varint(out, len(positions))
+    prev = 0
+    for i, p in enumerate(positions):
+        _write_varint(out, p if i == 0 else p - prev)
+        prev = p
+    return bytes(out)
+
+
+def decode_positions(buf: bytes) -> list[int]:
+    from coderag_spark.operators.compact import _read_varint
+
+    n, pos = _read_varint(buf, 0)
+    out: list[int] = []
+    cur = 0
+    for i in range(n):
+        v, pos = _read_varint(buf, pos)
+        cur = v if i == 0 else cur + v
+        out.append(cur)
+    return out
+
+
+def compress_positional(positional: DataFrame) -> DataFrame:
+    """(doc_id, term, positions) -> (doc_id, term, n_pos, posz binary)."""
+
+    @F.pandas_udf("binary")
+    def enc(ps: pd.Series) -> pd.Series:
+        return pd.Series([encode_positions(list(p)) for p in ps])
+
+    return positional.select(
+        "doc_id",
+        "term",
+        F.size("positions").alias("n_pos"),
+        enc(F.col("positions")).alias("posz"),
+    )
+
+
+def decompress_positional(compressed: DataFrame) -> DataFrame:
+    """Inverse of :func:`compress_positional` (drops n_pos)."""
+
+    @F.pandas_udf("array<int>")
+    def dec(bs: pd.Series) -> pd.Series:
+        return pd.Series([decode_positions(bytes(b)) for b in bs])
+
+    return compressed.select("doc_id", "term", dec(F.col("posz")).alias("positions"))
+
+
+def write_positional_store(compressed: DataFrame, path: str, n_buckets: int = 32) -> None:
+    """Checkpoint compressed positions bucketed by term hash — the same
+    layout as the tf store (compact.write_term_store), so a phrase
+    query's `term IN (...)` prunes to the phrase terms' buckets."""
+    b = compressed.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    b.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/positions")
+
+
+def read_positional_store(
+    spark, path: str, terms: list[str] | None = None, n_buckets: int = 32
+) -> DataFrame:
+    """Read back, optionally pruned to ``terms``: the terms' bucket ids
+    (computed with the SAME xxhash64 expression that wrote them — a
+    driver-side job over len(terms) rows) become a partition-pruning
+    predicate on the bucket column, plus the exact term IN filter pushed
+    into the scan — a phrase query touches <= len(terms) of the
+    ``n_buckets`` directory partitions, not the whole store."""
+    df = spark.read.parquet(f"{path}/positions")
+    if terms is None:
+        return df
+    uniq = sorted(set(terms))
+    bucket_ids = [
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in uniq], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    return df.filter(F.col("bucket").isin(bucket_ids) & F.col("term").isin(uniq))
+
+
+def phrase_hits_compressed(compressed: DataFrame, terms: list[str]) -> DataFrame:
+    """Phrase match straight off the compressed store: prune to the
+    phrase's terms FIRST (only those lists are decoded), decompress in
+    one Arrow pass, then the standard pure-JVM adjacency check."""
+    if not terms:
+        raise ValueError("phrase_hits_compressed needs at least one term")
+    sub = compressed.filter(F.col("term").isin(sorted(set(terms))))
+    return phrase_hits(decompress_positional(sub), terms)

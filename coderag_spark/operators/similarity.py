@@ -465,3 +465,54 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """IVF+PQ index build (the FAISS IVFPQ architecture, minus residual
+    encoding — codes quantize the raw vectors, which keeps pq_train
+    reusable and costs a little recall; the probe-then-ADC shape is the
+    same): coarse k-means cells for partition pruning + PQ codes for
+    32x-compressed in-cell scoring.
+
+    Returns (centroids, codebooks, DataFrame(vec_id, centroid, code)).
+    At scale the returned frame is what you persist, PARTITIONED BY
+    centroid — a query then reads nprobe/n_centroids of the data and
+    scans only m-byte codes, never float vectors."""
+    cents = ivf_build_centroids(embeddings, n_centroids=n_centroids, iters=iters,
+                                vec_col=vec_col, id_col=id_col)
+    books = pq_train(embeddings, m=m, k=ksub, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
+    enc = pq_encode(assigned, books, vec_col=vec_col, id_col=id_col)
+    coded = assigned.select(id_col, "centroid").join(enc, id_col)
+    return cents, books, coded
+
+
+def ivfpq_topk(
+    coded: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the nprobe nearest cells, ADC-score only their codes (pure
+    JVM lookup-table arithmetic), TakeOrderedAndProject the top-k."""
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i], query_vec))
+    cand = coded.filter(F.col("centroid").isin(order[:nprobe]))
+    return pq_topk(cand, codebooks, query_vec, k=k, id_col=id_col)

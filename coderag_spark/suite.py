@@ -487,6 +487,17 @@ def q_phrase_search3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.phrase_hits(_positional(spark, sf_dir), PHRASE_3)
 
 
+def q_phrase_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase match THROUGH the delta+varbyte position store: compress
+    every position list, prune to the phrase terms, decode only those,
+    then the same JVM adjacency — must equal phrase_search exactly, which
+    gives the position codec a driver-level exact oracle."""
+    from coderag_spark.operators import positional as px
+
+    comp = px.compress_positional(_positional(spark, sf_dir))
+    return px.phrase_hits_compressed(comp, PHRASE_2)
+
+
 def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity search: 'spark' and 'window' within 5 tokens, pair count
     per doc (codegen fold over the two position lists)."""
@@ -2248,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": q_wand_topk,
         "phrase_search": q_phrase_search,
         "phrase_search3": q_phrase_search3,
+        "phrase_compressed": q_phrase_compressed,
         "proximity_search": q_proximity_search,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
@@ -2316,6 +2328,7 @@ def oracle_sql() -> dict[str, str]:
         "wand_topk": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10),
         "phrase_search": _sql_phrase(PHRASE_2),
         "phrase_search3": _sql_phrase(PHRASE_3),
+        "phrase_compressed": _sql_phrase(PHRASE_2),
         "proximity_search": _sql_proximity(*PROX_TERMS, PROX_WINDOW),
         "prefix_bm25": _sql_bm25([], 25, prefix=PREFIX_Q),
         "regex_bm25": _sql_bm25([], 25, regex=REGEX_Q),

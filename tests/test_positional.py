@@ -187,3 +187,59 @@ def test_regex_search_matches_expanded_terms(index):
         .collect()
     ]
     assert got == want
+
+
+# ------------------------------------------------ compressed position store
+
+
+def test_position_codec_roundtrip():
+    import random
+
+    rnd = random.Random(3)
+    for _ in range(50):
+        n = rnd.randrange(0, 40)
+        ps = sorted(rnd.sample(range(10_000), n))
+        assert px.decode_positions(px.encode_positions(ps)) == ps
+    assert px.decode_positions(px.encode_positions([])) == []
+
+
+def test_compress_decompress_positional(pos):
+    comp = px.compress_positional(pos)
+    rows = {(r["doc_id"], r["term"]): r for r in comp.collect()}
+    # gaps-of-small-ints: every list fits in ~1 byte/occurrence + count
+    assert all(len(r["posz"]) <= 2 + r["n_pos"] * 2 for r in rows.values())
+    back = {
+        (r["doc_id"], r["term"]): list(r["positions"])
+        for r in px.decompress_positional(comp).collect()
+    }
+    orig = {(r["doc_id"], r["term"]): list(r["positions"]) for r in pos.collect()}
+    assert back == orig
+
+
+def test_phrase_hits_compressed_matches_uncompressed(pos):
+    comp = px.compress_positional(pos)
+    for terms in (["alpha", "beta"], ["alpha", "beta", "gamma"], ["repeat", "repeat"]):
+        a = {r["doc_id"]: r["n_hits"] for r in px.phrase_hits(pos, terms).collect()}
+        b = {r["doc_id"]: r["n_hits"] for r in px.phrase_hits_compressed(comp, terms).collect()}
+        assert a == b == _py_phrase_hits(terms)
+
+
+def test_positional_store_write_read_prunes(pos, spark, tmp_path):
+    import pathlib
+
+    store = str(tmp_path / "posstore")
+    px.write_positional_store(px.compress_positional(pos), store, n_buckets=8)
+    # bucket layout on disk
+    parts = {p.name for p in pathlib.Path(store, "positions").iterdir() if p.is_dir()}
+    assert parts and all(p.startswith("bucket=") for p in parts)
+    # pruned read: only the phrase terms come back, phrase result identical
+    sub = px.read_positional_store(spark, store, terms=["alpha", "beta"], n_buckets=8)
+    assert set(r["term"] for r in sub.collect()) <= {"alpha", "beta"}
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.phrase_hits_compressed(sub, ["alpha", "beta"]).collect()
+    }
+    assert got == _py_phrase_hits(["alpha", "beta"])
+    # the scan plan carries the bucket partition filter
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan

@@ -171,3 +171,35 @@ def test_pq_encode_expr_matches_arrow_encoder(spark, emb_df):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_index_and_probe(spark, emb_df):
+    """FAISS-style IVF+PQ: coarse cells prune the scan, ADC scores only
+    probed cells' codes; nearest-to-self recovery and useful recall."""
+    import numpy as np
+
+    from coderag_spark.operators import similarity as sim
+
+    cents, books, coded = sim.ivfpq_index(emb_df, n_centroids=8, m=8, ksub=16, iters=2)
+    assert len(cents) == 8 and len(books) == 8
+    rows = coded.collect()
+    assert len(rows) == emb_df.count()
+    assert all(0 <= r["centroid"] < 8 and len(r["code"]) == 8 for r in rows)
+
+    vecs = emb_df.collect()
+    X = np.array([list(r["embedding"]) for r in vecs])
+    ids = [r["vec_id"] for r in vecs]
+    q = X[ids.index(3)]
+    got = [r["vec_id"] for r in
+           sim.ivfpq_topk(coded, cents, books, list(map(float, q)), k=20, nprobe=4).collect()]
+    assert got[0] == 3  # the query vector itself survives probe + ADC
+    exact = np.array(ids)[np.argsort(((X - q) ** 2).sum(1))][:10].tolist()
+    overlap = len(set(exact) & set(got))
+    assert overlap >= 4, f"ivfpq recall too low: {overlap}/10"
+
+    # fewer cells probed -> subset of the work, never more rows scanned
+    n_all = coded.count()
+    n_probe = coded.filter(
+        coded.centroid.isin([r["centroid"] for r in coded.limit(1).collect()])
+    ).count()
+    assert n_probe < n_all
