@@ -43,12 +43,23 @@ def build_index(
     max_chunk_size: int = MAX_CHUNK_SIZE,
     max_file_size: int = MAX_FILE_SIZE,
     cache: bool | str = True,
+    tag_terms: bool = False,
 ) -> Index:
     """cache=True persists tokenized chunks AND exploded postings (best for
     repeated queries at test scale); cache="light" persists only the lean
     tokenized rows (metadata + term_freqs map, content dropped) — the
     memory-bandwidth-friendly mode a one-shot build-and-checkpoint job
     uses at scale; cache=False caches nothing (every consumer recomputes).
+
+    ``tag_terms=True`` adds the north-star language-tagged terms: every
+    chunk gets synthetic ``lang:<language>`` and ``type:<chunk_type>``
+    postings, so an index-level filter like "only Python function chunks"
+    is a posting-list intersection (``search(required_terms=...)``) — the
+    way Lucene keyword fields work — instead of a docs-table scan. The
+    ':' keeps tags out of the analyzer's token space: no analyzed query
+    can ever collide with (or score against) a tag, corpus stats
+    (n_docs, avgdl, token_count) don't count them, and default-off keeps
+    rank parity with the reference exact.
     """
     chunks = chunk_corpus(corpus, max_chunk_size, max_file_size)
     # drop content before caching: the index never needs it downstream, and
@@ -58,6 +69,21 @@ def build_index(
         tokenized = tokenized.persist()
     docs = tokenized.select(*DOC_COLS)
     postings = build_postings(tokenized.select("doc_id", "token_count", "term_freqs"))
+    if tag_terms:
+        tag = F.explode(
+            F.array(
+                F.concat(F.lit("lang:"), F.lower(F.coalesce("lang", F.lit("unknown")))),
+                F.concat(F.lit("type:"), F.lower(F.coalesce("chunk_type", F.lit("chunk")))),
+            )
+        )
+        tag_rows = docs.select(
+            "doc_id",
+            tag.alias("term"),
+            F.lit(1).cast("long").alias("raw_freq"),
+            F.lit(0.0).alias("tf"),
+            F.col("token_count"),
+        )
+        postings = postings.unionByName(tag_rows.select(*postings.columns))
     if cache is True:
         postings = postings.persist()
     stats = compute_stats(tokenized)

@@ -105,6 +105,7 @@ def search(
     exclude_paths: list[str] | None = None,
     analyzer=code_analyze,
     candidate_cap: int | None = None,
+    required_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 chunk search — the indexer.search surface
     (indexer.ts:1165-1365). Returns
@@ -121,6 +122,17 @@ def search(
     asc); SQLite's tie order is unspecified."""
     terms = dedupe_query_tokens(query, analyzer)
     docs = index.docs
+    # posting-list keyword filters (AND semantics): ``required_terms``
+    # restricts results to docs whose postings contain every listed term —
+    # the query surface for tag_terms indexes ("lang:python", "type:fn"),
+    # a Lucene-keyword-field analogue. Applied to the docs side, so BM25
+    # scores are untouched (filter, not scoring signal).
+    for rt in required_terms or []:
+        docs = docs.join(
+            index.postings.filter(F.col("term") == rt).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     # pre-scoring pushed predicates (P2/P3/P4)
     if file_extensions:
         cond = F.lit(False)

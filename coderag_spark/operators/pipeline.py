@@ -222,30 +222,36 @@ def remove_duplicate_substrings(
     key on xxhash64(gram) to shrink the shuffle (collisions only ever
     remove a few extra tokens, never corrupt kept text).
     """
-    from pyspark.sql import Window as W
+    from coderag_spark.operators.dedup import _persist
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("toks")
     )
-    grams_pos = toks.select(
-        "doc_id",
-        F.posexplode_outer(token_ngrams(F.col("toks"), k, distinct=False)).alias(
-            "pos", "gram"
-        ),
-    ).filter(F.col("gram").isNotNull())
-    # cross-doc document frequency WITHOUT a self-join (a join-based form
-    # recomputes the expensive gram build once per branch — measured 5x):
-    # first-occurrence flag per (gram, doc), then a windowed sum per gram
-    # counts distinct docs. Both windows shuffle the positioned stream by
-    # gram-ish keys; the gram build itself runs ONCE.
-    first_in_doc = F.when(
-        F.row_number().over(W.partitionBy("gram", "doc_id").orderBy("pos")) == 1, 1
-    ).otherwise(0)
-    marked = grams_pos.withColumn("_first", first_in_doc).withColumn(
-        "gdf", F.sum("_first").over(W.partitionBy("gram"))
+    # persisted ONCE: the stream feeds both the df aggregate and the
+    # dup-position probe, and rebuilding it per branch measured 5x the
+    # query. A window(partitionBy gram) form would avoid the persist but
+    # cannot partially aggregate — one viral boilerplate gram (a license
+    # header shared by 10^8 docs) would land every occurrence in a single
+    # task. groupBy keeps map-side partials and the gram-keyed semi-join
+    # below is sort-merge, so AQE's skew-join splitting applies — the
+    # scale-safe shape. (dedup.release_persists / clear_suite_caches
+    # frees the persist.)
+    grams_pos = _persist(
+        toks.select(
+            "doc_id",
+            F.posexplode_outer(token_ngrams(F.col("toks"), k, distinct=False)).alias(
+                "pos", "gram"
+            ),
+        ).filter(F.col("gram").isNotNull())
+    )
+    dup_grams = (
+        grams_pos.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("gdf"))
+        .filter(F.col("gdf") >= 2)
+        .select("gram")
     )
     starts = (
-        marked.filter(F.col("gdf") >= 2)
+        grams_pos.join(dup_grams, "gram", "left_semi")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
     )

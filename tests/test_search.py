@@ -90,3 +90,41 @@ def test_path_filters(index, oracle_index):
     want2 = oracle_search(oracle_index, "user", limit=10, exclude_paths=["src/auth", "src/db"])
     key_of = {d.doc_id: d.key for d in oracle_index.docs}
     assert [key_of[r["doc_id"]] for r in rows2] == [k for k, _ in want2]
+
+
+def test_tag_terms_filter_and_rank_parity(spark, corpus_df, index):
+    """tag_terms=True: lang:/type: keyword postings filter via posting-list
+    intersection, and normal-query ranking is BIT-IDENTICAL to the
+    untagged index (tags never enter scoring, stats, or token counts)."""
+    from pyspark.sql import functions as F
+
+    from coderag_spark.engine import build_index
+    from coderag_spark.operators.bm25 import search
+
+    tagged = build_index(corpus_df, tag_terms=True)
+    assert tagged.stats.n_docs == index.stats.n_docs
+    assert tagged.stats.avgdl == index.stats.avgdl
+    tag_rows = tagged.dictionary.filter(F.col("term").startswith("lang:")).count()
+    assert tag_rows >= 2  # fixture corpus has several languages
+    assert index.dictionary.filter(F.col("term").startswith("lang:")).count() == 0
+
+    q = "authenticate user"
+    base = [(r["doc_id"], round(r["score"], 9)) for r in search(index, q, limit=10_000).collect()]
+    same = [(r["doc_id"], round(r["score"], 9)) for r in search(tagged, q, limit=10_000).collect()]
+    assert base == same
+
+    only_py = search(tagged, q, limit=20, required_terms=["lang:python"]).collect()
+    assert only_py and all(r["lang"].lower() == "python" for r in only_py)
+    # filter == post-hoc restriction of the unrestricted ranking
+    py_ids = {
+        r["doc_id"]
+        for r in tagged.docs.filter(F.lower("lang") == "python").select("doc_id").collect()
+    }
+    want = [(d, s) for d, s in base if d in py_ids][: len(only_py)]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in only_py]
+    assert got == want
+
+    # AND semantics across tags; an impossible combination is empty
+    both = search(tagged, q, limit=20, required_terms=["lang:python", "type:function"]).collect()
+    assert all(r["lang"].lower() == "python" for r in both)
+    assert search(tagged, q, limit=5, required_terms=["lang:nonexistent"]).collect() == []
