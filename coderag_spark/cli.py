@@ -104,17 +104,33 @@ def _cmd_query(args) -> int:
         return 0
     idx = load_index(spark, args.index)
     if args.mode in ("prefix", "regex"):
-        if args.hybrid or args.local:
-            print(json.dumps({"error": f"--mode {args.mode} runs the Spark path (no --local/--hybrid)"}))
+        if args.hybrid:
+            print(json.dumps({"error": f"--mode {args.mode} does not combine with --hybrid"}))
             return 2
-        from coderag_spark.operators.bm25 import prefix_search, regex_search
+        if args.local:
+            from coderag_spark.operators.serve import LocalShard
 
-        fn = prefix_search if args.mode == "prefix" else regex_search
-        hits = [
-            (r["doc_id"], r["score"])
-            for r in fn(idx, args.query, limit=args.limit).collect()
-            if r["score"] >= args.min_score
-        ]
+            shard = LocalShard.from_index(idx, with_docs=True)
+            allowed = shard.allowed_docs(
+                file_extensions=_split_flag(args.file_extensions),
+                path_filter=args.path_filter,
+                exclude_paths=_split_flag(args.exclude_paths),
+            )
+            kw = {args.mode: args.query}
+            hits = [
+                (d, s)
+                for d, s in shard.search_expanded(**kw, limit=args.limit, allowed_docs=allowed)
+                if s >= args.min_score
+            ]
+        else:
+            from coderag_spark.operators.bm25 import prefix_search, regex_search
+
+            fn = prefix_search if args.mode == "prefix" else regex_search
+            hits = [
+                (r["doc_id"], r["score"])
+                for r in fn(idx, args.query, limit=args.limit).collect()
+                if r["score"] >= args.min_score
+            ]
     elif args.hybrid:
         # semanticSearch surface (mcp-server index.ts:211-228): vector knn
         # (mock provider) fused with BM25 by max-normalized weighted sum;

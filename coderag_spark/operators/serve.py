@@ -89,6 +89,7 @@ class LocalShard:
         self.avgdl = avgdl
         self.n_docs = n_docs
         self.docs_meta = docs_meta  # pandas DataFrame indexed by doc_id, or None
+        self.positions = None  # term -> {doc_id -> varbyte blob}; attach_positions
 
     # ------------------------------------------------------------ build
 
@@ -300,6 +301,7 @@ class LocalShard:
         analyzer=code_analyze,
         kernel: str = "vector",
         allowed_docs: "np.ndarray | None" = None,
+        terms: list[str] | None = None,
     ) -> list[tuple[int, float]]:
         """Rank-identical BM25 top-k: [(doc_id, score)], (score desc,
         doc_id asc). Same semantics as bm25.search: query tokens deduped,
@@ -321,8 +323,11 @@ class LocalShard:
         vector kernel scores every matched doc anyway, so the filter is a
         free mask; contrast with the reference's post-candidate-cap
         filtering, which is not score-safe — SURVEY §4).
+
+        ``terms`` bypasses the analyzer with an explicit expansion list —
+        the entry point for prefix/regex queries (``search_expanded``).
         """
-        terms = dedupe_query_tokens(query, analyzer)
+        terms = terms if terms is not None else dedupe_query_tokens(query, analyzer)
         if kernel == "wand":
             if allowed_docs is not None:
                 raise ValueError("allowed_docs requires kernel='vector'")
@@ -370,6 +375,94 @@ class LocalShard:
     ) -> list[list[tuple[int, float]]]:
         """Batch serving surface: one result list per query."""
         return [self.search(q, limit, analyzer) for q in queries]
+
+    # ------------------------------------------- expanded-term queries
+
+    def expand_terms(self, prefix: str | None = None, regex: str | None = None) -> list[str]:
+        """Dictionary terms matching a prefix or regex — the in-process
+        mirror of bm25.prefix_search/regex_search's expansion step. The
+        shard's dictionary is in memory, so this is a linear scan over the
+        term list (with the regex's required-literal substrings as a cheap
+        prefilter, same trick as the Spark path)."""
+        if (prefix is None) == (regex is None):
+            raise ValueError("pass exactly one of prefix/regex")
+        if prefix is not None:
+            return sorted(t for t in self.idf if t.startswith(prefix))
+        import re as _re
+
+        from coderag_spark.operators.bm25 import _regex_literal_runs
+
+        runs = _regex_literal_runs(regex)
+        pat = _re.compile(regex)
+        cand = (t for t in self.idf if all(r in t for r in runs))
+        return sorted(t for t in cand if pat.search(t))
+
+    def search_expanded(
+        self,
+        prefix: str | None = None,
+        regex: str | None = None,
+        limit: int = 10,
+        allowed_docs: "np.ndarray | None" = None,
+    ) -> list[tuple[int, float]]:
+        """Prefix/regex BM25 in-process: expand, then the vector kernel —
+        rank-identical to bm25.prefix_search / regex_search."""
+        return self.search(
+            "", limit=limit, allowed_docs=allowed_docs,
+            terms=self.expand_terms(prefix=prefix, regex=regex),
+        )
+
+    # ------------------------------------------------- phrase serving
+
+    def attach_positions(self, compressed_positional) -> int:
+        """Download the compressed positional store for phrase serving:
+        collects (term -> {doc_id -> varbyte position blob}); blobs stay
+        compressed in memory (~1 byte/occurrence) and decode per query.
+        Pass the output of positional.compress_positional (optionally
+        pre-filtered via read_positional_store). Returns blob bytes held."""
+        by_term: dict[str, dict[int, bytes]] = {}
+        total = 0
+        for r in compressed_positional.select("doc_id", "term", "posz").collect():
+            blob = bytes(r["posz"])
+            by_term.setdefault(r["term"], {})[int(r["doc_id"])] = blob
+            total += len(blob)
+        self.positions = by_term
+        return total
+
+    def phrase(self, terms: list[str], limit: int = 10) -> list[tuple[int, int]]:
+        """Exact-sequence phrase top-k from the attached position store:
+        [(doc_id, n_hits)] ordered (hits desc, doc asc) — identical
+        semantics to positional.phrase_hits (verified in tests). Candidate
+        docs are the intersection of the phrase terms' doc sets (smallest
+        set first), positions decode only for candidates."""
+        from coderag_spark.operators.positional import decode_positions
+
+        if not terms:
+            raise ValueError("phrase needs at least one term")
+        pos = getattr(self, "positions", None)
+        if pos is None:
+            raise ValueError("call attach_positions(...) first")
+        maps = []
+        for t in dict.fromkeys(terms):
+            m = pos.get(t)
+            if m is None:
+                return []
+            maps.append(m)
+        cand = set(min(maps, key=len))
+        for m in maps:
+            cand &= m.keys()
+        hits: list[tuple[int, int]] = []
+        for d in cand:
+            first = decode_positions(pos[terms[0]][d])
+            later = [set(decode_positions(pos[t][d])) for t in terms[1:]]
+            n = sum(
+                1
+                for p in first
+                if all(p + i in s for i, s in enumerate(later, start=1))
+            )
+            if n:
+                hits.append((d, n))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:limit]
 
 
 class LocalCluster:

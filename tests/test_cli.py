@@ -162,10 +162,16 @@ def test_query_prefix_and_regex_modes(built, capsys):
     # (prefix also catches digit/underscore-suffixed terms), and on this
     # fixture corpus both rank the same top hit
     assert r1[0]["path"] == r2[0]["path"]
-    # modes reject serving-shard combos
+    # --local serves prefix/regex from the in-process shard, identically
     rc3, out3 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
-                              "--query", "auth", "--mode", "prefix", "--local"])
-    assert rc3 == 2
+                              "--query", "auth", "--mode", "prefix", "--local",
+                              "--limit", "5"])
+    assert rc3 == 0
+    assert json.loads(out3[-1])["results"] == r1
+    # hybrid still rejects the combination
+    rc4, _ = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                           "--query", "auth", "--mode", "prefix", "--hybrid"])
+    assert rc4 == 2
 
 
 def test_query_phrase_mode_greps_corpus(built, capsys):

@@ -182,3 +182,55 @@ def test_cluster_apply_delta_rank_identical(spark):
     fresh = LocalCluster.from_index(new_idx, n_shards=3)
     for q in ("clusterDeltaFn", "authenticate user", "database query"):
         assert cluster.search(q, 10) == fresh.search(q, 10), q
+
+
+def test_shard_prefix_and_regex_rank_identical(spark, index):
+    """search_expanded == the Spark prefix_search/regex_search plans."""
+    from coderag_spark.operators.bm25 import prefix_search, regex_search
+    from coderag_spark.operators.serve import LocalShard
+
+    shard = LocalShard.from_index(index)
+    for kind, kw, spark_df in [
+        ("prefix", {"prefix": "auth"}, prefix_search(index, "auth", limit=15)),
+        ("regex", {"regex": "^auth[a-z]*$"}, regex_search(index, "^auth[a-z]*$", limit=15)),
+    ]:
+        got = [(d, round(s, 6)) for d, s in shard.search_expanded(**kw, limit=15)]
+        want = [(r["doc_id"], round(r["score"], 6)) for r in spark_df.collect()]
+        assert got == want, kind
+    with pytest.raises(ValueError):
+        shard.expand_terms()
+    with pytest.raises(ValueError):
+        shard.expand_terms(prefix="a", regex="b")
+
+
+def test_shard_phrase_serving_matches_spark_plan(spark, index):
+    """attach_positions + phrase == positional.phrase_hits, served
+    in-process off compressed blobs."""
+    from coderag_spark.operators import positional as px
+    from coderag_spark.operators.serve import LocalShard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta alpha beta gamma"),
+            (3, "alpha gamma beta"),
+            (4, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    pos = px.positional_postings(docs)
+    shard = LocalShard.from_index(index)
+    held = shard.attach_positions(px.compress_positional(pos))
+    assert held > 0
+    for terms in (["alpha", "beta"], ["alpha", "beta", "gamma"], ["alpha"]):
+        want = sorted(
+            ((r["doc_id"], r["n_hits"]) for r in px.phrase_hits(pos, terms).collect()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert shard.phrase(terms, limit=10) == want, terms
+    assert shard.phrase(["alpha", "zz"], limit=10) == []
+    with pytest.raises(ValueError):
+        shard.phrase([])
+    fresh = LocalShard.from_index(index)
+    with pytest.raises(ValueError):
+        fresh.phrase(["alpha"])
