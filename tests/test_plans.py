@@ -244,3 +244,47 @@ def test_pmi_topk_plan_broadcast_and_takeordered(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_and_regex_search_plan_shapes(spark, index):
+    """Expansion searches stay JVM-side: broadcast idf slice, global
+    top-k as TakeOrderedAndProject, no Python eval nodes."""
+    from coderag_spark.operators.bm25 import Index, prefix_search, regex_search
+
+    # materialize so the plan under test is the QUERY only (the build
+    # lineage legitimately contains the tokenizer's Arrow stage)
+    mat = Index(
+        postings=spark.createDataFrame(
+            index.postings.collect(), index.postings.schema
+        ),
+        dictionary=spark.createDataFrame(
+            index.dictionary.collect(), index.dictionary.schema
+        ),
+        docs=index.docs,
+        stats=index.stats,
+    )
+    for df in (prefix_search(mat, "auth", limit=10),
+               regex_search(mat, "^auth[a-z]*$", limit=10)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_substr_dedup_bounded_exchanges(spark):
+    """remove_duplicate_substrings: single persisted gram build feeding a
+    partial-agg groupBy and a sort-merge semi-join (AQE-skew-splittable);
+    no cartesian, bounded exchange count, coverage filter Python-free."""
+    from coderag_spark.operators.pipeline import remove_duplicate_substrings
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " + "common words shared by every doc here now") for i in range(6)],
+        "doc_id long, text string",
+    )
+    df = remove_duplicate_substrings(docs, k=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 6
+    # partial aggregation before the gram-df exchange (map-side combine)
+    assert "partial_count" in plan or "partial_" in plan

@@ -162,3 +162,51 @@ def test_local_vector_kernel_matches_naive_bm25(term_postings, query_terms):
     assert [d for d, _ in got] == [d for d, _ in expect]
     for (_, a), (_, e) in zip(got, expect):
         assert abs(a - e) <= 1e-9 * max(1.0, abs(e))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=200_000), min_size=0, max_size=60)
+)
+def test_position_codec_property(positions):
+    """decode(encode(p)) == p for any sorted position list."""
+    from coderag_spark.operators.positional import decode_positions, encode_positions
+
+    ps = sorted(set(positions))
+    assert decode_positions(encode_positions(ps)) == ps
+
+
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_solid_color_exact_property(r, g, b, hm, wm):
+    """Any solid color at any MCU-multiple size round-trips exactly
+    through the baseline JPEG codec (DC-only blocks, quant of 0 AC)."""
+    import numpy as np
+
+    from coderag_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    img = np.full((8 * hm, 8 * wm, 3), [r, g, b], dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(img, quality=90))
+    assert np.array_equal(out, img)
+
+
+@given(st.text(alphabet="ab _", min_size=0, max_size=60), st.integers(2, 4))
+@settings(max_examples=50, deadline=None)
+def test_regex_literal_runs_never_exclude_matches(text, n):
+    """Pruning soundness: for patterns built from the text, every term the
+    regex matches contains all extracted literal runs."""
+    import re
+
+    from coderag_spark.operators.bm25 import _regex_literal_runs
+
+    pattern = ".*".join(re.escape(w) for w in text.split()[:n]) or "abc"
+    runs = _regex_literal_runs(pattern)
+    pat = re.compile(pattern)
+    for probe in ("ab ab ab", text, text + text, "abab_abab"):
+        if pat.search(probe):
+            assert all(r in probe for r in runs), (pattern, runs, probe)
