@@ -1,0 +1,290 @@
+"""MP4 (ISO BMFF) and MP3 metadata extraction in pure stdlib.
+
+A training-data pipeline over 100 TB of web media rarely needs decoded
+pixels/samples for FILTERING — it needs per-file metadata (dimensions,
+duration, codec, frame count/offsets) to drop junk, bucket by shape, and
+sample frames. That layer is a container/framing parse, fully
+implementable from the public specs without ffmpeg:
+
+  * ``mp4_metadata``  — ISO BMFF box walk (ISO/IEC 14496-12): ftyp brand,
+    mvhd timescale/duration, tkhd track dimensions (16.16 fixed), stsd
+    sample-entry fourcc, stsz sample count/sizes, stco chunk offsets.
+  * ``mp4_frame_samples`` — evenly-spaced frame payload extraction via
+    the stsz/stco sample tables — the "frame sample" stage of a video
+    pipeline, real bytes out. Frames stored with the 'rawv' fourcc (our
+    fixture encoder writes uncompressed RGB24) decode to real per-frame
+    features; compressed codecs (avc1/hev1/...) yield payload bytes with
+    decode left explicitly NotImplemented.
+  * ``encode_mp4_raw``  — minimal valid single-track MP4 writer (raw
+    RGB24 frames) so every parse path has deterministic fixtures.
+  * ``mp3_metadata``  — MPEG-1/2 Layer III frame-header walk (ISO/IEC
+    11172-3): bitrate/samplerate tables, per-frame length arithmetic,
+    ID3v2 skip; duration = frames x 1152 / samplerate. VBR-safe because
+    every frame header is visited, not just the first.
+  * ``encode_mp3_frames`` — valid frame-header sequence writer (zeroed
+    audio payload) for fixtures; real audio DECODE stays
+    NotImplementedError (hybrid filterbank + Huffman ~ a codec library).
+
+Wired into multimodal.sniff_modality / decode_media_features so video
+and MP3 audio rows flow through the same Arrow decode stage as images.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------------- MP4
+
+
+def _boxes(b: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", b, pos)
+        kind = b[pos + 4 : pos + 8]
+        header = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header:
+            raise ValueError(f"corrupt MP4 box {kind!r} at {pos}")
+        yield kind, pos + header, pos + size
+        pos += size
+
+
+def _find(b: bytes, start: int, end: int, kind: bytes) -> tuple[int, int] | None:
+    for k, s, e in _boxes(b, start, end):
+        if k == kind:
+            return s, e
+    return None
+
+
+def mp4_metadata(b: bytes) -> dict:
+    """-> {brand, width, height, duration_sec, n_frames, codec,
+    sample_sizes, chunk_offset}. Raises ValueError on non-BMFF input."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4) payload")
+    brand = b[8:12].decode("latin1")
+    moov = _find(b, 0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    out: dict = {"brand": brand, "width": 0, "height": 0, "duration_sec": 0.0,
+                 "n_frames": 0, "codec": None, "sample_sizes": [], "chunk_offset": None}
+    mvhd = _find(b, *moov, b"mvhd")
+    if mvhd is not None:
+        ver = b[mvhd[0]]
+        if ver == 1:
+            timescale, duration = struct.unpack_from(">IQ", b, mvhd[0] + 20)
+        else:
+            timescale, duration = struct.unpack_from(">II", b, mvhd[0] + 12)
+        out["duration_sec"] = duration / timescale if timescale else 0.0
+    trak = _find(b, *moov, b"trak")
+    if trak is None:
+        return out
+    tkhd = _find(b, *trak, b"tkhd")
+    if tkhd is not None:
+        ver = b[tkhd[0]]
+        # width/height are the LAST 8 bytes of tkhd, 16.16 fixed point
+        w_fixed, h_fixed = struct.unpack_from(">II", b, tkhd[1] - 8)
+        out["width"], out["height"] = w_fixed >> 16, h_fixed >> 16
+    mdia = _find(b, *trak, b"mdia")
+    if mdia is None:
+        return out
+    minf = _find(b, *mdia, b"minf")
+    stbl = _find(b, *minf, b"stbl") if minf else None
+    if stbl is None:
+        return out
+    stsd = _find(b, *stbl, b"stsd")
+    if stsd is not None:
+        (n_entries,) = struct.unpack_from(">I", b, stsd[0] + 4)
+        if n_entries:
+            out["codec"] = b[stsd[0] + 12 : stsd[0] + 16].decode("latin1")
+    stsz = _find(b, *stbl, b"stsz")
+    if stsz is not None:
+        fixed, count = struct.unpack_from(">II", b, stsz[0] + 4)
+        out["n_frames"] = count
+        if fixed:
+            out["sample_sizes"] = [fixed] * count
+        else:
+            out["sample_sizes"] = list(
+                struct.unpack_from(f">{count}I", b, stsz[0] + 12)
+            )
+    stco = _find(b, *stbl, b"stco")
+    if stco is not None:
+        (n_chunks,) = struct.unpack_from(">I", b, stco[0] + 4)
+        if n_chunks:
+            (out["chunk_offset"],) = struct.unpack_from(">I", b, stco[0] + 8)
+    return out
+
+
+def mp4_frame_samples(b: bytes, k: int = 4) -> list[bytes]:
+    """k evenly-spaced frame payloads via the stsz/stco sample tables
+    (single-chunk layout, which ``encode_mp4_raw`` writes and most
+    faststart single-track files share). No codec work — this is the
+    'frame sample' pipeline stage; pixels come out only for raw frames."""
+    meta = mp4_metadata(b)
+    sizes = meta["sample_sizes"]
+    off = meta["chunk_offset"]
+    if not sizes or off is None:
+        return []
+    starts = [off]
+    for s in sizes[:-1]:
+        starts.append(starts[-1] + s)
+    n = len(sizes)
+    k_eff = min(k, n)
+    picks = sorted({round(i * (n - 1) / max(k_eff - 1, 1)) for i in range(k_eff)})
+    return [b[starts[i] : starts[i] + sizes[i]] for i in picks]
+
+
+def mp4_frame_features(b: bytes, k: int = 4) -> list[tuple[float, float, float]]:
+    """Per-sampled-frame mean RGB — REAL decode for the 'rawv'
+    (uncompressed RGB24) codec; compressed codecs raise explicitly."""
+    meta = mp4_metadata(b)
+    if meta["codec"] != "rawv":
+        raise NotImplementedError(
+            f"frame decode for codec {meta['codec']!r} needs ffmpeg; "
+            "metadata and frame-payload extraction still work"
+        )
+    w, h = meta["width"], meta["height"]
+    feats = []
+    for payload in mp4_frame_samples(b, k):
+        px = np.frombuffer(payload, np.uint8, w * h * 3).reshape(h, w, 3)
+        m = px.reshape(-1, 3).mean(axis=0)
+        feats.append((float(m[0]), float(m[1]), float(m[2])))
+    return feats
+
+
+def _box(kind: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + kind + payload
+
+
+def encode_mp4_raw(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal valid single-track MP4 holding uncompressed RGB24 frames
+    ((h, w, 3) uint8 each, same shape). Box layout: ftyp + mdat + moov
+    (mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd/stts/stsc/stsz/stco)))))."""
+    h, w, _ = frames[0].shape
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("all frames must share one shape")
+    payload = b"".join(f.astype(np.uint8).tobytes() for f in frames)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    # mdat directly after ftyp: chunk offset is known before moov is built
+    mdat = _box(b"mdat", payload)
+    chunk_off = len(ftyp) + 8
+    n = len(frames)
+    timescale = 1000
+    dur = n * timescale // fps
+    identity = (
+        b"\x00\x01\x00\x00" + b"\x00" * 12
+        + b"\x00\x01\x00\x00" + b"\x00" * 12
+        + b"\x40\x00\x00\x00"
+    )
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)   # ver/flags, times, scale, dur
+        + struct.pack(">IH2x", 0x00010000, 0x0100)          # rate 1.0, volume 1.0
+        + b"\x00" * 8                                        # reserved
+        + identity                                           # matrix
+        + b"\x00" * 24                                       # pre_defined
+        + struct.pack(">I", 2),                              # next_track_ID
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1, 0)  # ver/flags ctime mtime track_id reserved
+        + struct.pack(">I", dur)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, alt_group, volume, reserved
+        + b"\x00\x01\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x00\x00\x01\x00\x00\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x00\x00\x00\x00\x00\x40\x00\x00\x00"  # identity matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, timescale, dur, 0x55C4, 0))
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"raw\x00")
+    entry = _box(
+        b"rawv",
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame count per sample
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),  # depth, color table id
+    )
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, n, timescale // fps))
+    stsc = _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n, 1))
+    frame_bytes = w * h * 3
+    stsz = _box(b"stsz", struct.pack(">B3xII", 0, frame_bytes, n))
+    stco = _box(b"stco", struct.pack(">B3xII", 0, 1, chunk_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(b"dinf", _box(b"dref", struct.pack(">B3xI", 0, 1)
+                              + _box(b"url ", b"\x00\x00\x00\x01")))
+    vmhd = _box(b"vmhd", struct.pack(">B3xHHHH", 0, 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+# ----------------------------------------------------------------- MP3
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
+_MP3_RATES_V1 = [44100, 48000, 32000, 0]
+
+
+def mp3_metadata(b: bytes) -> dict:
+    """Walk every MPEG-1 Layer III frame header ->
+    {n_frames, duration_sec, sample_rate, bitrate_kbps (mean), vbr}.
+    ID3v2 tags are skipped; VBR handled by visiting every header."""
+    pos = 0
+    if b[:3] == b"ID3":
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]  # syncsafe
+        pos = 10 + size
+    n = 0
+    bitrates = []
+    rate = 0
+    while pos + 4 <= len(b):
+        h = struct.unpack_from(">I", b, pos)[0]
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError(f"lost MP3 frame sync at {pos}")
+        version = (h >> 19) & 0x3
+        layer = (h >> 17) & 0x3
+        if version != 3 or layer != 1:  # MPEG-1 Layer III only
+            raise NotImplementedError("only MPEG-1 Layer III framing supported")
+        br = _MP3_BITRATES_V1L3[(h >> 12) & 0xF]
+        rate = _MP3_RATES_V1[(h >> 10) & 0x3]
+        pad = (h >> 9) & 0x1
+        if not br or not rate:
+            raise ValueError("bad/free-format MP3 frame header")
+        frame_len = 144 * br * 1000 // rate + pad
+        bitrates.append(br)
+        n += 1
+        pos += frame_len
+    if not n:
+        raise ValueError("no MP3 frames")
+    return {
+        "n_frames": n,
+        "sample_rate": rate,
+        "duration_sec": n * 1152 / rate,
+        "bitrate_kbps": sum(bitrates) / n,
+        "vbr": len(set(bitrates)) > 1,
+    }
+
+
+def encode_mp3_frames(n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100) -> bytes:
+    """Valid MPEG-1 Layer III frame-header sequence with zeroed payload —
+    a framing fixture, not audible audio (the encoder side of a real MP3
+    needs the full psychoacoustic codec)."""
+    br_idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
+    sr_idx = _MP3_RATES_V1.index(sample_rate)
+    header = 0xFFE00000 | (3 << 19) | (1 << 17) | (1 << 16)  # v1, layer3, no CRC
+    header |= (br_idx << 12) | (sr_idx << 10) | (1 << 6)  # joint stereo bits 0
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = struct.pack(">I", header) + b"\x00" * (frame_len - 4)
+    return frame * n_frames

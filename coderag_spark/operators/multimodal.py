@@ -15,10 +15,15 @@ Decode support comes in two tiers:
     formats (``encode_bmp`` / ``encode_ppm`` / ``encode_wav`` /
     ``encode_png`` / ``jpeg.encode_jpeg``) make the round trip testable
     and synthesize deterministic fixtures.
-  * formats still needing external codecs (progressive JPEG, MP3/MP4,
-    interlaced or paletted PNG) raise ``NotImplementedError`` (or flow
-    through the deterministic fake when requested), keeping the
-    limitation explicit rather than silent.
+  * **MP4** (ISO BMFF box walk: dims, duration, codec, frame count +
+    frame-payload sampling via the sample tables; REAL per-frame pixel
+    features for raw-RGB24 tracks) and **MP3** (frame-header walk:
+    duration/bitrate/VBR) parse at the metadata layer — the layer a
+    filtering pipeline needs — via ``operators/mediameta.py``.
+  * what still needs external codecs (progressive JPEG, compressed
+    video/audio DECODE, interlaced or paletted PNG) raises
+    ``NotImplementedError`` (or flows through the deterministic fake
+    when requested), keeping the limitation explicit rather than silent.
 
 Schema convention for a multimodal corpus row:
   (doc_id long, modality string, payload binary,
@@ -329,6 +334,10 @@ def sniff_modality(b: bytes) -> str | None:
         return "image/png"
     if b[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if len(b) >= 8 and b[4:8] == b"ftyp":
+        return "video/mp4"
+    if b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0):
+        return "audio/mpeg"
     return None
 
 
@@ -336,8 +345,8 @@ def decode_media_features(
     media: DataFrame, batch_rows: int = 256, on_unsupported: str = "error"
 ) -> DataFrame:
     """REAL decode + feature-extract over binary payloads (BMP / PPM /
-    WAV / PNG / baseline JPEG, sniffed per payload). Output schema ==
-    FEATURE_SCHEMA:
+    WAV / PNG / baseline JPEG / MP4 / MP3, sniffed per payload). Output
+    schema == FEATURE_SCHEMA:
       * images: (width, height, n_frames=1, feat=[mean_r, mean_g, mean_b, 0])
       * audio:  (width=0, height=0, n_frames=frames,
                  feat=[rms, peak, duration_sec, sample_rate])
@@ -368,6 +377,35 @@ def decode_media_features(
                         w = h = 0
                         frames = nfr
                         feat = [rms, peak, nfr / rate if rate else 0.0, float(rate)]
+                    elif kind == "video/mp4":
+                        from coderag_spark.operators.mediameta import (
+                            mp4_frame_features,
+                            mp4_metadata,
+                        )
+
+                        meta = mp4_metadata(b)
+                        w, h = meta["width"], meta["height"]
+                        frames = meta["n_frames"]
+                        if meta["codec"] == "rawv":
+                            ff = mp4_frame_features(b, k=3)
+                            mr = sum(f[0] for f in ff) / len(ff)
+                            mg = sum(f[1] for f in ff) / len(ff)
+                            mb = sum(f[2] for f in ff) / len(ff)
+                        else:
+                            mr = mg = mb = 0.0  # metadata-only for compressed codecs
+                        feat = [mr, mg, mb, meta["duration_sec"]]
+                    elif kind == "audio/mpeg":
+                        from coderag_spark.operators.mediameta import mp3_metadata
+
+                        meta = mp3_metadata(b)
+                        w = h = 0
+                        frames = meta["n_frames"]
+                        feat = [
+                            meta["bitrate_kbps"],
+                            1.0 if meta["vbr"] else 0.0,
+                            meta["duration_sec"],
+                            float(meta["sample_rate"]),
+                        ]
                     else:
                         from coderag_spark.operators.jpeg import decode_jpeg
 

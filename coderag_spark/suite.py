@@ -2178,38 +2178,47 @@ FROM b
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end: deterministic BMP / WAV / PNG / JPEG
-    payloads synthesized per doc (format rotating by doc_id mod 4),
-    decoded by the stdlib+numpy codecs inside mapInPandas (PNG pays the
-    full chunk-parse + zlib-inflate + Paeth-unfilter path; JPEG the full
-    Huffman + IDCT baseline path), format sniffed from magic bytes.
-    Rows-only (codec byte-layout math is not SQL-expressible)."""
+    / raw-frame MP4 / MP3 payloads synthesized per doc (format rotating
+    by doc_id mod 6), decoded by the stdlib+numpy codecs inside
+    mapInPandas (PNG pays the full chunk-parse + zlib-inflate +
+    Paeth-unfilter path; JPEG the full Huffman + IDCT baseline path; MP4
+    the BMFF box walk + frame sampling; MP3 the frame-header walk),
+    format sniffed from magic bytes. Rows-only (codec byte-layout math is
+    not SQL-expressible)."""
 
     @F.pandas_udf(T.BinaryType())
     def synth(doc_id: pd.Series) -> pd.Series:
         import numpy as np
 
         from coderag_spark.operators.jpeg import encode_jpeg
+        from coderag_spark.operators.mediameta import encode_mp3_frames, encode_mp4_raw
 
         base = np.arange(6 * 5 * 3, dtype=np.uint64)
         t = np.arange(160) / 8000.0
         out = []
         for d in doc_id:
             d = int(d)
-            if d % 4 == 1:
+            m = d % 6
+            if m == 1:
                 out.append(
                     mm.encode_wav(0.3 * np.sin(2 * np.pi * (100 + d % 50) * t), rate=8000)
                 )
+                continue
+            if m == 5:
+                out.append(encode_mp3_frames(2 + d % 5, bitrate_kbps=128))
                 continue
             # cheap deterministic pixels (multiplicative hash per cell)
             px = (((base + np.uint64(d)) * np.uint64(2654435761)) >> np.uint64(24)).astype(
                 np.uint8
             ).reshape(6, 5, 3)
-            if d % 4 == 0:
+            if m == 0:
                 out.append(mm.encode_bmp(px))
-            elif d % 4 == 2:
+            elif m == 2:
                 out.append(mm.encode_png(px, filter_type=4))
-            else:
+            elif m == 3:
                 out.append(encode_jpeg(px, quality=90))
+            else:
+                out.append(encode_mp4_raw([px, px[::-1].copy()], fps=5))
         return pd.Series(out)
 
     # the documents parquet is a single file -> one partition; spread the

@@ -1,0 +1,102 @@
+"""MP4 (ISO BMFF) + MP3 metadata layer: box/frame-header parsing, frame
+sampling, raw-frame feature decode, sniffing, Spark stage integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from coderag_spark.operators import mediameta as mv
+
+
+def _frames(n: int, h: int = 4, w: int = 6) -> list[np.ndarray]:
+    return [np.full((h, w, 3), [i * 20 % 256, 50, 200], dtype=np.uint8) for i in range(n)]
+
+
+def test_mp4_roundtrip_metadata():
+    b = mv.encode_mp4_raw(_frames(5), fps=10)
+    meta = mv.mp4_metadata(b)
+    assert (meta["width"], meta["height"]) == (6, 4)
+    assert meta["n_frames"] == 5
+    assert meta["codec"] == "rawv"
+    assert abs(meta["duration_sec"] - 0.5) < 1e-9
+    assert meta["brand"] == "isom"
+    assert len(meta["sample_sizes"]) == 5 and all(s == 6 * 4 * 3 for s in meta["sample_sizes"])
+
+
+def test_mp4_frame_sampling_even_spacing():
+    frames = _frames(10)
+    b = mv.encode_mp4_raw(frames, fps=10)
+    samples = mv.mp4_frame_samples(b, k=3)
+    # evenly spaced: first, middle, last
+    assert [np.frombuffer(s, np.uint8)[0] for s in samples] == [0, 80 % 256, 180 % 256]
+    # k > n_frames clamps
+    assert len(mv.mp4_frame_samples(b, k=100)) == 10
+
+
+def test_mp4_frame_features_real_decode():
+    b = mv.encode_mp4_raw(_frames(4), fps=4)
+    feats = mv.mp4_frame_features(b, k=2)
+    assert feats[0] == (0.0, 50.0, 200.0)
+    assert feats[-1] == (60.0, 50.0, 200.0)
+
+
+def test_mp4_compressed_codec_raises_but_metadata_works():
+    b = bytearray(mv.encode_mp4_raw(_frames(2), fps=2))
+    i = b.find(b"rawv")
+    b[i : i + 4] = b"avc1"  # pretend H.264
+    meta = mv.mp4_metadata(bytes(b))
+    assert meta["codec"] == "avc1" and meta["n_frames"] == 2  # metadata still real
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mv.mp4_frame_features(bytes(b))
+
+
+def test_mp4_garbage_raises():
+    with pytest.raises(ValueError):
+        mv.mp4_metadata(b"\x00" * 32)
+
+
+def test_mp3_framing_walk_and_vbr():
+    b = mv.encode_mp3_frames(40, bitrate_kbps=128, sample_rate=44100)
+    meta = mv.mp3_metadata(b)
+    assert meta["n_frames"] == 40
+    assert meta["sample_rate"] == 44100
+    assert abs(meta["duration_sec"] - 40 * 1152 / 44100) < 1e-9
+    assert meta["bitrate_kbps"] == 128.0 and meta["vbr"] is False
+    # VBR: mixed bitrates detected by visiting every header
+    vbr = mv.encode_mp3_frames(3, 128) + mv.encode_mp3_frames(3, 192)
+    m2 = mv.mp3_metadata(vbr)
+    assert m2["n_frames"] == 6 and m2["vbr"] is True
+    # ID3v2 tag skipped
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + mv.encode_mp3_frames(2, 128)
+    assert mv.mp3_metadata(tagged)["n_frames"] == 2
+    with pytest.raises(ValueError):
+        mv.mp3_metadata(b"\x12\x34\x56\x78" * 4)
+
+
+def test_sniff_and_spark_stage(spark):
+    from coderag_spark.operators import multimodal as mm
+
+    mp4 = mv.encode_mp4_raw(_frames(3), fps=3)
+    mp3 = mv.encode_mp3_frames(5, 128)
+    assert mm.sniff_modality(mp4) == "video/mp4"
+    assert mm.sniff_modality(mp3) == "audio/mpeg"
+    # MP3 sync must not swallow JPEG's 0xFFD8 marker
+    from coderag_spark.operators.jpeg import encode_jpeg
+
+    assert mm.sniff_modality(encode_jpeg(_frames(1)[0])) == "image/jpeg"
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(mp4), ("video/mp4", 0, "synth")),
+            (2, "audio", bytearray(mp3), ("audio/mpeg", 0, "synth")),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {r["doc_id"]: r for r in mm.decode_media_features(media).collect()}
+    v = got[1]
+    assert (v["width"], v["height"], v["n_frames"], v["modality"]) == (6, 4, 3, "video/mp4")
+    assert v["feat"][1] == 50.0 and abs(v["feat"][3] - 1.0) < 1e-9  # mean_g, duration
+    a = got[2]
+    assert (a["width"], a["n_frames"], a["modality"]) == (0, 5, "audio/mpeg")
+    assert a["feat"][0] == 128.0  # bitrate
