@@ -49,6 +49,9 @@ __all__ = [
     "decompress_positional",
     "write_positional_store",
     "read_positional_store",
+    "read_positional_store_merged",
+    "append_positional_segment",
+    "compact_positional_store",
     "phrase_hits_compressed",
 ]
 
@@ -270,3 +273,113 @@ def phrase_hits_compressed(compressed: DataFrame, terms: list[str]) -> DataFrame
         raise ValueError("phrase_hits_compressed needs at least one term")
     sub = compressed.filter(F.col("term").isin(sorted(set(terms))))
     return phrase_hits(decompress_positional(sub), terms)
+
+
+# ------------------------------------------- incremental maintenance
+# The positional store gets the same log-structured lifecycle as the tf
+# store (engine.py segments): a maintenance batch APPENDS a segment
+# (tombstones for changed/deleted docs + re-built rows for added/changed
+# docs); readers merge base+segments; compaction folds the log back into
+# the bucketed base. Write cost per batch is proportional to the change,
+# never to the store.
+
+
+def _pos_segment_dirs(path: str) -> list[str]:
+    import os
+
+    seg_root = f"{path}/_segments"
+    if not os.path.isdir(seg_root):
+        return []
+    return [
+        f"{seg_root}/{d}"
+        for d in sorted(os.listdir(seg_root))
+        if d.startswith("seg-")
+    ]
+
+
+def append_positional_segment(
+    spark,
+    path: str,
+    added: DataFrame | None,
+    deleted_doc_ids: list[int],
+    n_buckets: int = 32,
+) -> str:
+    """Commit one maintenance batch: ``added`` is the compressed
+    positional rows for new/changed docs (changed docs must also appear
+    in ``deleted_doc_ids`` — tombstone-then-add, the engine's segment
+    contract)."""
+    seg = f"{path}/_segments/seg-{len(_pos_segment_dirs(path)):06d}"
+    tombs = spark.createDataFrame(
+        [(int(d),) for d in deleted_doc_ids], "doc_id long"
+    )
+    tombs.write.mode("overwrite").parquet(f"{seg}/tombstones")
+    rows = added if added is not None else spark.createDataFrame(
+        [], "doc_id long, term string, n_pos int, posz binary"
+    )
+    rows.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    ).write.mode("overwrite").parquet(f"{seg}/positions")
+    return seg
+
+
+def read_positional_store_merged(
+    spark, path: str, terms: list[str] | None = None, n_buckets: int = 32
+) -> DataFrame:
+    """Merge-on-read over base + segments, flattened to ONE tombstone
+    anti-condition regardless of segment count (same ordinal scheme as
+    engine.load_index: a row survives iff its segment ordinal >= the
+    doc's max tombstone ordinal — a segment tombstones before it adds)."""
+    import functools
+
+    base = read_positional_store(spark, path, terms=terms, n_buckets=n_buckets)
+    segs = _pos_segment_dirs(path)
+    if not segs:
+        return base
+    seg_rows = []
+    tomb_rows = []
+    for k, seg in enumerate(segs):
+        rows = spark.read.parquet(f"{seg}/positions").drop("bucket")
+        if terms is not None:
+            rows = rows.filter(F.col("term").isin(sorted(set(terms))))
+        seg_rows.append(rows.withColumn("_ord", F.lit(k + 1)))
+        tomb_rows.append(
+            spark.read.parquet(f"{seg}/tombstones").select(
+                "doc_id", F.lit(k + 1).alias("_t_ord")
+            )
+        )
+    all_rows = functools.reduce(
+        DataFrame.unionByName,
+        [base.select("doc_id", "term", "n_pos", "posz").withColumn("_ord", F.lit(0))]
+        + [r.select("doc_id", "term", "n_pos", "posz", "_ord") for r in seg_rows],
+    )
+    max_tomb = (
+        functools.reduce(DataFrame.unionByName, tomb_rows)
+        .groupBy("doc_id")
+        .agg(F.max("_t_ord").alias("_max_tomb"))
+    )
+    return (
+        all_rows.join(max_tomb, "doc_id", "left")
+        .filter(F.col("_max_tomb").isNull() | (F.col("_ord") >= F.col("_max_tomb")))
+        .select("doc_id", "term", "n_pos", "posz")
+    )
+
+
+def compact_positional_store(spark, path: str, n_buckets: int = 32) -> int:
+    """Fold segments into the bucketed base (rename-swap like the engine's
+    compact_index); returns the number of segments folded."""
+    import os
+    import shutil
+
+    segs = _pos_segment_dirs(path)
+    if not segs:
+        return 0
+    merged = read_positional_store_merged(spark, path, n_buckets=n_buckets)
+    tmp = f"{path}/.positions.compact"
+    merged.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{tmp}/positions")
+    shutil.rmtree(f"{path}/positions")
+    os.rename(f"{tmp}/positions", f"{path}/positions")
+    shutil.rmtree(f"{path}/_segments")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(segs)

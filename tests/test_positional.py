@@ -243,3 +243,56 @@ def test_positional_store_write_read_prunes(pos, spark, tmp_path):
     # the scan plan carries the bucket partition filter
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_positional_store_incremental_equals_full_rebuild(spark, tmp_path):
+    """Segment append (tombstone-then-add) + merge-on-read == a full
+    rebuild from the updated corpus; compaction folds the log and
+    preserves the result byte-for-byte at the row level."""
+    store = str(tmp_path / "incpos")
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta"), (3, "old doc going away")],
+        "doc_id long, text string",
+    )
+    # v2: doc 2 modified, doc 3 deleted, doc 4 added
+    v2 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta alpha"), (4, "brand new words")],
+        "doc_id long, text string",
+    )
+    px.write_positional_store(px.compress_positional(px.positional_postings(v1)), store, n_buckets=4)
+    changed = v2.filter("doc_id in (2, 4)")
+    px.append_positional_segment(
+        spark, store,
+        px.compress_positional(px.positional_postings(changed)),
+        deleted_doc_ids=[2, 3],
+        n_buckets=4,
+    )
+
+    def snapshot(df):
+        return sorted(
+            (r["doc_id"], r["term"], px.decode_positions(bytes(r["posz"])))
+            for r in df.collect()
+        )
+
+    full = snapshot(px.compress_positional(px.positional_postings(v2)))
+    assert snapshot(px.read_positional_store_merged(spark, store, n_buckets=4)) == full
+    # term-pruned merged read stays consistent
+    pruned = snapshot(px.read_positional_store_merged(spark, store, terms=["beta"], n_buckets=4))
+    assert pruned == [x for x in full if x[1] == "beta"]
+    # a doc re-added by a later segment survives an earlier tombstone
+    px.append_positional_segment(
+        spark, store,
+        px.compress_positional(px.positional_postings(
+            spark.createDataFrame([(3, "resurrected doc")], "doc_id long, text string"))),
+        deleted_doc_ids=[3],
+        n_buckets=4,
+    )
+    merged = snapshot(px.read_positional_store_merged(spark, store, n_buckets=4))
+    assert (3, "resurrected", [0]) in merged
+    # compact: same rows, log folded
+    n = px.compact_positional_store(spark, store, n_buckets=4)
+    assert n == 2
+    assert snapshot(px.read_positional_store_merged(spark, store, n_buckets=4)) == merged
+    import pathlib
+
+    assert not pathlib.Path(store, "_segments").exists()
