@@ -72,6 +72,12 @@ SEARCH_INPUT_SCHEMA = {
             "type": "number",
             "description": "Maximum code blocks per file (default: 4)",
         },
+        "mode": {
+            "type": "string",
+            "enum": ["keyword", "prefix", "regex"],
+            "description": "keyword BM25 (default); prefix/regex expand the"
+            " index dictionary and rank the expansion (beyond-reference)",
+        },
     },
     "required": ["query"],
 }
@@ -192,6 +198,7 @@ class CodebaseSearchBackend:
         context_lines: int = 3,
         max_snippet_chars: int = 2000,
         max_snippet_blocks: int = 4,
+        mode: str = "keyword",
     ) -> str:
         """The codebase_search handler body: BM25 top-k over the shard,
         formatted as the reference's LLM-oriented markdown
@@ -206,7 +213,12 @@ class CodebaseSearchBackend:
             path_filter=path_filter,
             exclude_paths=exclude_paths,
         )
-        hits = self.shard.search(query, limit=limit, allowed_docs=allowed)
+        if mode == "prefix":
+            hits = self.shard.search_expanded(prefix=query, limit=limit, allowed_docs=allowed)
+        elif mode == "regex":
+            hits = self.shard.search_expanded(regex=query, limit=limit, allowed_docs=allowed)
+        else:
+            hits = self.shard.search(query, limit=limit, allowed_docs=allowed)
         if not hits:
             return (
                 f'# Search: "{query}" (0 results)\n\n'
@@ -218,7 +230,14 @@ class CodebaseSearchBackend:
         paired = [
             (d, info) for d, _s in hits if (info := self.shard.doc_info(d)) is not None
         ]
-        terms = dedupe_query_tokens(query)
+        terms = (
+            self.shard.expand_terms(
+                prefix=query if mode == "prefix" else None,
+                regex=query if mode == "regex" else None,
+            )
+            if mode in ("prefix", "regex")
+            else dedupe_query_tokens(query)
+        )
         rows = [info for _d, info in paired]
         snippets = (
             self._snippets_for(rows, terms, context_lines, max_snippet_chars, max_snippet_blocks)
@@ -310,6 +329,7 @@ class McpServer:
                 context_lines=int(args.get("context_lines", 3)),
                 max_snippet_chars=int(args.get("max_snippet_chars", 2000)),
                 max_snippet_blocks=int(args.get("max_snippet_blocks", 4)),
+                mode=str(args.get("mode", "keyword")),
             )
         elif name == "get_indexing_status":
             text = json.dumps(self.backend.status_json())

@@ -55,9 +55,11 @@ def test_tools_list_schema(server):
     schema = tools["codebase_search"]["inputSchema"]
     assert schema["required"] == ["query"]
     # the reference's full option surface (mcp-server index.ts:154-186)
+    # plus the beyond-reference 'mode' (prefix/regex expansion)
     assert set(schema["properties"]) == {
         "query", "limit", "include_content", "file_extensions", "path_filter",
         "exclude_paths", "context_lines", "max_snippet_chars", "max_snippet_blocks",
+        "mode",
     }
 
 
@@ -153,3 +155,25 @@ def test_stdio_loop(server):
     assert resps[0]["id"] == 1 and "result" in resps[0]
     assert resps[1]["error"]["code"] == -32700
     assert resps[2]["id"] == 2 and "# Search:" in resps[2]["result"]["content"][0]["text"]
+
+
+def test_codebase_search_prefix_and_regex_modes(server):
+    """mode=prefix/regex rank-identically to the Spark expansion plans."""
+    from coderag_spark.operators.bm25 import prefix_search, regex_search
+
+    srv, idx = server
+    for mode, q, spark_df in [
+        ("prefix", "auth", prefix_search(idx, "auth", limit=5)),
+        ("regex", "^auth[a-z]*$", regex_search(idx, "^auth[a-z]*$", limit=5)),
+    ]:
+        resp = _call(srv, "tools/call", {
+            "name": "codebase_search",
+            "arguments": {"query": q, "limit": 5, "include_content": False,
+                          "mode": mode},
+        })
+        text = resp["result"]["content"][0]["text"]
+        got = [ln[3:].rsplit(":", 1)[0] for ln in text.splitlines() if ln.startswith("## ")]
+        want_ids = [r["doc_id"] for r in spark_df.collect()]
+        want = [srv.backend.shard.doc_info(d)["path"] for d in want_ids]
+        assert got == want, mode
+        assert resp["result"]["isError"] is False
