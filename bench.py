@@ -89,6 +89,7 @@ SUITE_BENCH = [
     "prefix_bm25",
     "substr_dedup",
     "unigram_lm",
+    "bigram_lm",
     "phrase_compressed",
 ]
 

@@ -370,3 +370,56 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.round(F.exp(-F.coalesce(F.avg("logp"), F.lit(0.0))), 6).alias("ppl"),
         )
     )
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bigram-LM fluency score — the n=2 step from :func:`unigram_logprob`
+    toward the KenLM filter: corpus-trained add-one conditional
+    probabilities, per-doc mean log-prob and perplexity over the doc's
+    bigram stream.
+
+        p(w2 | w1) = (count(w1 w2) + 1) / (count(w1) + V)
+        mean_logp(doc) = avg over the doc's bigrams of ln p
+        ppl(doc) = exp(-mean_logp);  docs with < 2 tokens score (0, 1)
+
+    Shape: the (w1, w2) stream is built by zipping two shifted slices of
+    the token array (never re-tokenizing per element), shuffled once by
+    (w1, w2) for the bigram counts; unigram context counts and V ride a
+    second small aggregate; scoring joins the stream to the model on the
+    pair key and rolls up per doc.
+    """
+    toks = simple_tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    cnt = F.greatest(F.size("_toks") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("_toks", F.lit(1), cnt),
+        F.slice("_toks", F.lit(2), cnt),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    stream = base.select("doc_id", F.explode_outer(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    big = stream.filter(F.col("w1").isNotNull()).groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    )
+    uni = base.select(F.explode("_toks").alias("term")).groupBy("term").agg(
+        F.count("*").alias("c1")
+    )
+    vocab = uni.agg(F.count("*").alias("V"))
+    model = (
+        big.join(uni.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("V"))).alias("logp"),
+        )
+    )
+    return (
+        stream.join(model, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("w1").cast("long").alias("n_bigrams"),
+            F.round(F.coalesce(F.avg("logp"), F.lit(0.0)), 6).alias("mean_logp"),
+            F.round(F.exp(-F.coalesce(F.avg("logp"), F.lit(0.0))), 6).alias("ppl"),
+        )
+    )

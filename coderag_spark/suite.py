@@ -697,6 +697,40 @@ FROM c ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM conditional-probability scoring (the n=2 KenLM-filter
+    step): per-doc mean ln p(w2|w1) + perplexity, add-one smoothing."""
+    return tx.bigram_logprob(_documents(spark, sf_dir))
+
+
+SQL_BIGRAM_LM = f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stream AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tok, unnest(range(1, len(toks))) AS r(i)
+),
+uni AS (
+  SELECT term, count(*) AS c1
+  FROM (SELECT unnest(toks) AS term FROM tok) GROUP BY term
+),
+vocab AS (SELECT count(*) AS V FROM uni),
+big AS (SELECT w1, w2, count(*) AS c12 FROM stream GROUP BY w1, w2),
+model AS (
+  SELECT w1, w2, ln((c12 + 1.0) / (c1 + v.V)) AS logp
+  FROM big JOIN uni ON big.w1 = uni.term, vocab v
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, avg(logp) AS m
+  FROM stream JOIN model USING (w1, w2) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(coalesce(a.m, 0.0), 6) AS mean_logp,
+       round(exp(-coalesce(a.m, 0.0)), 6) AS ppl
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixQuery ('s*') BM25: every dictionary term with the prefix
     scores with its own idf — StartsWith lands on the postings scan."""
@@ -2274,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_bm25": q_regex_bm25,
         "substr_dedup": q_substr_dedup,
         "unigram_lm": q_unigram_lm,
+        "bigram_lm": q_bigram_lm,
         "pq_adc": q_pq_adc,
         "cosine_tfidf": q_cosine_tfidf,
         "match_candidates": q_match_candidates,
@@ -2343,6 +2378,7 @@ def oracle_sql() -> dict[str, str]:
         "regex_bm25": _sql_bm25([], 25, regex=REGEX_Q),
         "substr_dedup": SQL_SUBSTR_DEDUP,
         "unigram_lm": SQL_UNIGRAM_LM,
+        "bigram_lm": SQL_BIGRAM_LM,
         "pq_adc": _sql_pq_adc(),
         "cosine_tfidf": _sql_cosine_tfidf(query_terms(BM25_QUERY_MULTI)),
         "match_candidates": _sql_match_candidates(query_terms(BM25_QUERY_LONG)),

@@ -222,3 +222,25 @@ def test_unigram_logprob_model_math(spark):
     assert got[2]["n_tokens"] == 2 and abs(got[2]["mean_logp"] - want2) < 1e-6
     assert abs(got[1]["ppl"] - math.exp(-want1)) < 1e-4
     assert got[3]["n_tokens"] == 0 and got[3]["mean_logp"] == 0.0 and got[3]["ppl"] == 1.0
+
+
+def test_bigram_logprob_model_math(spark):
+    """Hand-checked add-one bigram LM: p(w2|w1) = (c12+1)/(c1+V); docs
+    with < 2 tokens score (0 bigrams, 0.0, 1.0)."""
+    import math
+
+    from coderag_spark.operators.textops import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "bb aa"), (3, "aa"), (4, "")],
+        "doc_id long, text string",
+    )
+    # unigrams: aa=4 bb=3, V=2; bigrams: (aa,bb)=2 (bb,aa)=2
+    p_ab = (2 + 1) / (4 + 2)
+    p_ba = (2 + 1) / (3 + 2)
+    got = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    want1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert got[1]["n_bigrams"] == 3 and abs(got[1]["mean_logp"] - want1) < 1e-6
+    assert got[2]["n_bigrams"] == 1 and abs(got[2]["mean_logp"] - math.log(p_ba)) < 1e-6
+    assert got[3] == got[3].__class__(doc_id=3, n_bigrams=0, mean_logp=0.0, ppl=1.0)
+    assert got[4]["n_bigrams"] == 0 and got[4]["ppl"] == 1.0
