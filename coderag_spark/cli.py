@@ -274,7 +274,40 @@ def _cmd_dedup(args) -> int:
     spark = get_spark("coderag-dedup", cores=args.cores)
     corpus = spark.read.parquet(args.corpus)
     n_in = corpus.count()
-    if args.method == "exact":
+    extra_report: dict = {}
+    if args.method == "substr":
+        # transformation, not row dedup: strip tokens covered by k-gram
+        # windows shared verbatim across >= 2 docs (Lee et al. 2022);
+        # every row survives with its unique remainder
+        from coderag_spark.operators.pipeline import remove_duplicate_substrings
+
+        with_id = corpus.withColumn(
+            "_did", F.monotonically_increasing_id()
+        ).localCheckpoint()
+        cleaned = remove_duplicate_substrings(
+            with_id, k=args.k, text_col="content", id_col="_did", return_text=True
+        )
+        kept = (
+            with_id.drop("content")
+            .join(
+                cleaned.select(
+                    F.col("doc_id").alias("_did"),
+                    F.col("kept_text").alias("content"),
+                    "n_removed",
+                ),
+                "_did",
+            )
+        )
+        stats = kept.agg(
+            F.sum("n_removed").alias("tok"),
+            F.count(F.when(F.col("n_removed") > 0, 1)).alias("docs"),
+        ).collect()[0]
+        extra_report = {
+            "n_tokens_removed": int(stats["tok"] or 0),
+            "n_docs_touched": int(stats["docs"]),
+        }
+        kept = kept.drop("_did", "n_removed")
+    elif args.method == "exact":
         from pyspark.sql import Window as W
 
         # one shuffle on the content hash; keeper = lexicographic min
@@ -315,17 +348,15 @@ def _cmd_dedup(args) -> int:
         )
     kept.write.mode("overwrite").parquet(args.out)
     n_out = spark.read.parquet(args.out).count()
-    print(
-        json.dumps(
-            {
-                "method": args.method,
-                "n_in": n_in,
-                "n_out": n_out,
-                "n_dropped": n_in - n_out,
-                "out": args.out,
-            }
-        )
-    )
+    report = {
+        "method": args.method,
+        "n_in": n_in,
+        "n_out": n_out,
+        "n_dropped": n_in - n_out,
+        "out": args.out,
+    }
+    report.update(extra_report)
+    print(json.dumps(report))
     return 0
 
 
@@ -383,7 +414,8 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("dedup")
     d.add_argument("--corpus", required=True)
     d.add_argument("--out", required=True)
-    d.add_argument("--method", choices=["exact", "minhash", "ngram"], default="exact")
+    d.add_argument("--method", choices=["exact", "minhash", "ngram", "substr"], default="exact")
+    d.add_argument("--k", type=int, default=8, help="window tokens for --method substr")
     d.add_argument("--threshold", type=float, default=0.8, help="near-dup jaccard threshold")
 
     args = p.parse_args(argv)

@@ -198,6 +198,7 @@ def remove_duplicate_substrings(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    return_text: bool = False,
 ) -> DataFrame:
     """Exact substring dedup, transformation form (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" — public
@@ -262,6 +263,17 @@ def remove_duplicate_substrings(
         F.col("starts"), lambda s: (s <= j) & (j < s + k)
     )
     kept = F.filter(F.col("toks"), lambda x, j: ~covered(j))
+    if return_text:
+        # the transformation output a pipeline writes back out: the doc's
+        # surviving tokens re-joined (token-space text — the analyzer is
+        # lossy, so byte-exact original spacing is not recoverable; a
+        # production pipeline over raw text keys windows on byte offsets)
+        return joined.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("kept_text"),
+        )
     return joined.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),

@@ -188,3 +188,34 @@ def test_query_phrase_mode_greps_corpus(built, capsys):
     rc2, _ = _run(capsys, ["--cores", "4", "query", "--index", index_path,
                            "--query", "const max_retries", "--mode", "phrase"])
     assert rc2 == 2
+
+
+def test_cli_dedup_substr_strips_shared_boilerplate(spark, corpus_df, tmp_path, capsys):
+    import hashlib
+    import json as _json
+
+    from coderag_spark.sources.corpus import CORPUS_SCHEMA
+
+    header = "copyright acme corp all rights reserved license apache"  # 8 tokens
+    planted = spark.createDataFrame(
+        [
+            ("r_s", "src/s_a.py", "c1", "python", header + " unique alpha body",
+             hashlib.sha256(b"a").hexdigest()),
+            ("r_s", "src/s_b.py", "c1", "python", header + " different tail here",
+             hashlib.sha256(b"b").hexdigest()),
+        ],
+        schema=CORPUS_SCHEMA,
+    )
+    corpus_path = str(tmp_path / "cs")
+    out_path = str(tmp_path / "ds")
+    planted.write.mode("overwrite").parquet(corpus_path)
+    rc = main(["--cores", "4", "dedup", "--corpus", corpus_path, "--out", out_path,
+               "--method", "substr", "--k", "8"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # a transformation: every row survives, boilerplate tokens vanish
+    assert rep["n_in"] == rep["n_out"] == 2 and rep["n_dropped"] == 0
+    assert rep["n_docs_touched"] == 2 and rep["n_tokens_removed"] == 16
+    kept = {r["path"]: r["content"] for r in spark.read.parquet(out_path).collect()}
+    assert kept["src/s_a.py"] == "unique alpha body"
+    assert kept["src/s_b.py"] == "different tail here"
