@@ -210,3 +210,49 @@ def test_regex_literal_runs_never_exclude_matches(text, n):
     for probe in ("ab ab ab", text, text + text, "abab_abab"):
         if pat.search(probe):
             assert all(r in probe for r in runs), (pattern, runs, probe)
+
+
+@given(
+    st.integers(min_value=1, max_value=30),
+    st.sampled_from([32, 64, 128, 192, 320]),
+    st.sampled_from([44100, 48000, 32000]),
+)
+@settings(max_examples=25, deadline=None)
+def test_mp3_framing_property(n, br, sr):
+    """Any frame-count/bitrate/samplerate combination round-trips through
+    the framing writer + header walk."""
+    from coderag_spark.operators.mediameta import encode_mp3_frames, mp3_metadata
+
+    meta = mp3_metadata(encode_mp3_frames(n, bitrate_kbps=br, sample_rate=sr))
+    assert meta["n_frames"] == n
+    assert meta["sample_rate"] == sr
+    assert meta["bitrate_kbps"] == float(br)
+
+
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=25, deadline=None)
+def test_mp4_container_property(n_frames, h, w):
+    """Any raw-frame MP4 the writer produces parses back to the same
+    dims/frame-count, and every frame payload round-trips byte-exact."""
+    import numpy as np
+
+    from coderag_spark.operators.mediameta import (
+        encode_mp4_raw,
+        mp4_frame_samples,
+        mp4_metadata,
+    )
+
+    frames = [
+        np.full((h, w, 3), [(i * 37) % 256, 7, 200], dtype=np.uint8)
+        for i in range(n_frames)
+    ]
+    b = encode_mp4_raw(frames, fps=5)
+    meta = mp4_metadata(b)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, n_frames)
+    got = mp4_frame_samples(b, k=n_frames)
+    assert len(got) == n_frames
+    assert all(bytes(g) == f.tobytes() for g, f in zip(got, frames))
