@@ -296,3 +296,48 @@ def test_positional_store_incremental_equals_full_rebuild(spark, tmp_path):
     import pathlib
 
     assert not pathlib.Path(store, "_segments").exists()
+
+
+def test_diff_driven_positional_maintenance(spark, tmp_path):
+    """End-to-end incremental loop: snapshot diff (J6/P7) decides the
+    batch, the positional segment applies it, merged phrase results equal
+    a full rebuild on the new corpus."""
+    from coderag_spark.streaming.incremental import diff_corpus
+
+    def with_sha(df):
+        return df.withColumn("sha256", F.sha2(F.coalesce("text", F.lit("")), 256))
+
+    v1 = with_sha(spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma"), (3, "doomed doc")],
+        "doc_id long, text string",
+    ))
+    v2 = with_sha(spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta now"), (4, "fresh alpha beta")],
+        "doc_id long, text string",
+    ))
+    store = str(tmp_path / "diffpos")
+    px.write_positional_store(
+        px.compress_positional(px.positional_postings(v1)), store, n_buckets=4
+    )
+    ops = {r["doc_id"]: r["op"] for r in diff_corpus(v1, v2, keys=("doc_id",)).collect()}
+    assert ops == {1: "unchanged", 2: "changed", 3: "deleted", 4: "added"}
+    touched = [d for d, op in ops.items() if op in ("changed", "added")]
+    gone = [d for d, op in ops.items() if op in ("changed", "deleted")]
+    px.append_positional_segment(
+        spark, store,
+        px.compress_positional(
+            px.positional_postings(v2.filter(F.col("doc_id").isin(touched)))
+        ),
+        deleted_doc_ids=gone,
+        n_buckets=4,
+    )
+    merged = px.read_positional_store_merged(spark, store, n_buckets=4)
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.phrase_hits_compressed(merged, ["alpha", "beta"]).collect()
+    }
+    want = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.phrase_hits(px.positional_postings(v2), ["alpha", "beta"]).collect()
+    }
+    assert got == want == {1: 1, 2: 1, 4: 1}
