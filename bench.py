@@ -91,6 +91,7 @@ SUITE_BENCH = [
     "unigram_lm",
     "bigram_lm",
     "phrase_compressed",
+    "phrase_bm25",
 ]
 
 

@@ -498,6 +498,59 @@ def q_phrase_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.phrase_hits_compressed(comp, PHRASE_2)
 
 
+def q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase relevance query (Lucene PhraseQuery semantics): docs
+    must contain the exact sequence, ranked by the BM25 score of the
+    phrase's terms — positional filter + scoring join in one plan."""
+    from coderag_spark.operators import positional as px
+
+    hits = px.phrase_hits(_positional(spark, sf_dir), PHRASE_2).select("doc_id")
+    scored = _bm25(spark, sf_dir, list(dict.fromkeys(PHRASE_2)), k=None)
+    return (
+        scored.join(hits, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_phrase_bm25(terms: list[str], k: int) -> str:
+    n = len(terms)
+    conds = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms))
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs, greatest(avg(len(toks) * 1.0), 1.0) AS avgdl FROM tok),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+qt AS ({_terms_sql(list(dict.fromkeys(terms)))}),
+idf AS (
+  SELECT term, ln((s.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM post JOIN qt USING (term), stats s
+  GROUP BY term, s.n_docs
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok),
+ph AS (
+  SELECT doc_id
+  FROM tok
+  WHERE len(toks) >= {n}
+    AND len(list_filter(range(1, len(toks) - {n - 1} + 1), i -> {conds})) > 0
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(i.idf * (p.raw_freq * {BM25_K1 + 1.0}) /
+             (p.raw_freq + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * d.token_count) / s.avgdl))
+            ) AS score_raw
+  FROM post p JOIN qt USING (term) JOIN idf i USING (term)
+       JOIN dl d ON d.doc_id = p.doc_id, stats s
+  WHERE p.doc_id IN (SELECT doc_id FROM ph)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score FROM scored
+ORDER BY 2 DESC, 1 ASC LIMIT {k}
+"""
+
+
 def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity search: 'spark' and 'window' within 5 tokens, pair count
     per doc (codegen fold over the two position lists)."""
@@ -2303,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "phrase_search3": q_phrase_search3,
         "phrase_compressed": q_phrase_compressed,
+        "phrase_bm25": q_phrase_bm25,
         "proximity_search": q_proximity_search,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
@@ -2373,6 +2427,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _sql_phrase(PHRASE_2),
         "phrase_search3": _sql_phrase(PHRASE_3),
         "phrase_compressed": _sql_phrase(PHRASE_2),
+        "phrase_bm25": _sql_phrase_bm25(PHRASE_2, 10),
         "proximity_search": _sql_proximity(*PROX_TERMS, PROX_WINDOW),
         "prefix_bm25": _sql_bm25([], 25, prefix=PREFIX_Q),
         "regex_bm25": _sql_bm25([], 25, regex=REGEX_Q),
