@@ -65,6 +65,8 @@ SUITE_BENCH = [
     "events_quantiles",
     "pricing_summary",
     "nation_revenue",
+    "ship_priority",
+    "big_orders",
     "media_decode",
     "bpe_merges",
     "emb_centroids",

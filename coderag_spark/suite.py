@@ -1565,6 +1565,91 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): segment-filtered customers
+    (broadcast dim) ⋈ pre-date orders ⋈ post-date lineitems, revenue per
+    order, top-10. Both date predicates push to the fact scans; the only
+    shuffles are the orderkey join and the final partial-agg."""
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01"))
+    cust = _tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    return out.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+SQL_SHIP_PRIORITY = """
+SELECT l_orderkey::BIGINT AS l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1998-06-01'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING over a fact
+    aggregate, semi-joined back through orders to customers — the
+    aggregate-then-join pattern where the having-filtered key set is tiny
+    and broadcasts into the dimension joins."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 190)
+    )
+    out = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_name"),
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+    return out.orderBy(F.desc("o_totalprice"), F.asc("l_orderkey")).limit(20)
+
+
+SQL_BIG_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 190
+)
+SELECT c_name, c_custkey::BIGINT AS c_custkey, l_orderkey::BIGINT AS l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, l_orderkey ASC LIMIT 20
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: pricing summary per (returnflag, linestatus) with a
     shipdate predicate pushed to the parquet scan — sums/avgs stay inside
@@ -2387,6 +2472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
+        "ship_priority": q_ship_priority,
+        "big_orders": q_big_orders,
         "minhash_lsh": q_minhash_lsh,
         "emb_centroids": q_emb_centroids,
         "events_dau": q_events_dau,
@@ -2458,6 +2545,8 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "nation_revenue": SQL_NATION_REVENUE,
+        "ship_priority": SQL_SHIP_PRIORITY,
+        "big_orders": SQL_BIG_ORDERS,
         "minhash_lsh": SQL_MINHASH_LSH,
         "emb_centroids": SQL_EMB_CENTROIDS,
         "events_dau": SQL_EVENTS_DAU,
