@@ -103,7 +103,32 @@ def _cmd_query(args) -> int:
         print(json.dumps({"query": args.query, "terms": terms, "results": out}))
         return 0
     idx = load_index(spark, args.index)
-    if args.mode in ("prefix", "regex"):
+    if args.mode == "struct":
+        # Lucene-subset syntax: bare terms, prefix*, "phrases", +required,
+        # -excluded (querylang.py). Phrases need --corpus for positions.
+        from coderag_spark.operators.querylang import execute_query, parse_query
+
+        parsed = parse_query(args.query)
+        positional = None
+        if parsed.phrases:
+            if not args.corpus:
+                print(json.dumps({"error": "quoted phrases need --corpus"}))
+                return 2
+            from coderag_spark.operators.chunking import chunk_corpus
+            from coderag_spark.operators.positional import positional_postings
+
+            positional = positional_postings(
+                chunk_corpus(spark.read.parquet(args.corpus)),
+                text_col="content",
+            )
+        hits = [
+            (r["doc_id"], r["score"])
+            for r in execute_query(
+                idx, parsed, limit=args.limit, positional=positional
+            ).collect()
+            if r["score"] >= args.min_score
+        ]
+    elif args.mode in ("prefix", "regex"):
         if args.hybrid:
             print(json.dumps({"error": f"--mode {args.mode} does not combine with --hybrid"}))
             return 2
@@ -395,10 +420,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--include-content", action="store_true")
     q.add_argument(
         "--mode",
-        choices=["keyword", "prefix", "regex", "phrase"],
+        choices=["keyword", "prefix", "regex", "phrase", "struct"],
         default="keyword",
         help="keyword BM25 (default); prefix/regex expand dictionary terms; "
-        "phrase greps the exact token sequence over --corpus",
+        "phrase greps the exact token sequence over --corpus; struct parses "
+        'the Lucene-subset syntax (terms, prefix*, "phrases", +req, -excl)',
     )
     q.add_argument("--local", action="store_true", help="serve from an in-process shard")
     q.add_argument("--hybrid", action="store_true", help="vector+BM25 fusion (needs --with-vectors build)")

@@ -1,0 +1,141 @@
+"""Structured query syntax over the index — the Lucene-subset surface
+that ties the engine's retrieval primitives into one string:
+
+    auth* "parse config" +lang:python -deprecated token
+
+  * bare words        -> analyzed, BM25-scored (OR retrieval)
+  * ``word*``         -> prefix expansion, every match scores with its idf
+  * ``"two words"``   -> exact token sequence (positional filter;
+                         simple-analyzer token space, like phrase_search)
+  * ``+term``         -> required: doc's postings must contain the term
+                         verbatim (works for tag terms like +lang:python /
+                         +type:function from build_index(tag_terms=True))
+  * ``-term``         -> excluded: docs containing the term are dropped
+
+Execution composes the existing operators — score_terms + prefix
+expansion for scoring, posting-list semi/anti joins for +/- filters,
+phrase_hits for quoted sequences — into ONE DataFrame plan: every filter
+lands BEFORE the top-k, so ranking is score-safe, and nothing here adds a
+new shuffle beyond the primitives' own.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark.functions.tokenize import code_analyze, simple_word_tokenize
+from coderag_spark.operators.bm25 import BM25_B, BM25_K1, Index, bm25_term_score
+from coderag_spark.operators.positional import phrase_hits
+
+
+@dataclass
+class ParsedQuery:
+    terms: list[str] = field(default_factory=list)      # analyzed, scored
+    prefixes: list[str] = field(default_factory=list)   # raw prefixes (no *)
+    phrases: list[list[str]] = field(default_factory=list)
+    required: list[str] = field(default_factory=list)   # verbatim terms
+    excluded: list[str] = field(default_factory=list)   # verbatim terms
+
+
+def parse_query(q: str) -> ParsedQuery:
+    """Split on whitespace outside quotes; classify each clause."""
+    out = ParsedQuery()
+    i, n = 0, len(q)
+    while i < n:
+        if q[i].isspace():
+            i += 1
+            continue
+        if q[i] == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                j = n
+            out.phrases.append(simple_word_tokenize(q[i + 1 : j]))
+            i = j + 1
+            continue
+        j = i
+        while j < n and not q[j].isspace():
+            j += 1
+        tok = q[i:j]
+        i = j
+        if tok.startswith("+") and len(tok) > 1:
+            out.required.append(tok[1:].lower())
+        elif tok.startswith("-") and len(tok) > 1:
+            out.excluded.append(tok[1:].lower())
+        elif tok.endswith("*") and len(tok) > 1:
+            out.prefixes.append(tok[:-1].lower())
+        else:
+            for t in code_analyze(tok):
+                if t not in out.terms:
+                    out.terms.append(t)
+    out.phrases = [p for p in out.phrases if p]
+    return out
+
+
+def execute_query(
+    index: Index,
+    q: str | ParsedQuery,
+    limit: int = 10,
+    positional: DataFrame | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Run a structured query -> (doc_id, score) top-``limit``.
+
+    ``positional`` (from positional.positional_postings over the SAME
+    docs/ids the index scores — e.g. the chunk corpus) is required iff
+    the query contains quoted phrases.
+
+    Pure-filter queries (no scorable clause) rank by doc_id ascending
+    with score 0 — deterministic, like a WHERE-only SQL query.
+    """
+    parsed = parse_query(q) if isinstance(q, str) else q
+    if parsed.phrases and positional is None:
+        raise ValueError("quoted phrases need the positional postings")
+
+    # scoring side: one term predicate covering bare terms and every
+    # prefix expansion (a term matched by both scores once)
+    if parsed.terms or parsed.prefixes:
+        cond = F.lit(False)
+        if parsed.terms:
+            cond = cond | F.col("term").isin(parsed.terms)
+        if parsed.prefixes:
+            cond = cond | _any_prefix(parsed.prefixes)
+        idf_terms = index.dictionary.filter(cond).select("term", "idf")
+        per_term = bm25_term_score(
+            F.col("raw_freq"), F.col("idf"), F.col("token_count"),
+            index.stats.avgdl, k1, b,
+        )
+        scored = (
+            index.postings.filter(cond)
+            .join(F.broadcast(idf_terms), "term", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(per_term).alias("score"))
+        )
+    else:
+        scored = index.docs.select("doc_id", F.lit(0.0).alias("score"))
+
+    for rt in parsed.required:
+        scored = scored.join(
+            index.postings.filter(F.col("term") == rt).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+    for xt in parsed.excluded:
+        scored = scored.join(
+            index.postings.filter(F.col("term") == xt).select("doc_id"),
+            "doc_id", "left_anti",
+        )
+    for ph in parsed.phrases:
+        scored = scored.join(
+            phrase_hits(positional, ph).select("doc_id"), "doc_id", "left_semi"
+        )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
+def _any_prefix(prefixes: list[str]):
+    cond = F.lit(False)
+    for p in prefixes:
+        cond = cond | F.col("term").startswith(p)
+    return cond

@@ -219,3 +219,21 @@ def test_cli_dedup_substr_strips_shared_boilerplate(spark, corpus_df, tmp_path, 
     kept = {r["path"]: r["content"] for r in spark.read.parquet(out_path).collect()}
     assert kept["src/s_a.py"] == "unique alpha body"
     assert kept["src/s_b.py"] == "different tail here"
+
+
+def test_query_struct_mode(built, capsys):
+    corpus_path, index_path = built
+    # terms + exclusion, no phrase: no corpus needed
+    rc, out = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                            "--query", "authenticate -deprecated", "--mode", "struct",
+                            "--limit", "5"])
+    assert rc == 0 and json.loads(out[-1])["results"]
+    # quoted phrase requires the corpus
+    rc2, _ = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                           "--query", '"const max_retries"', "--mode", "struct"])
+    assert rc2 == 2
+    rc3, out3 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                              "--corpus", corpus_path,
+                              "--query", 'const "const max_retries"',
+                              "--mode", "struct", "--limit", "5"])
+    assert rc3 == 0 and json.loads(out3[-1])["results"]

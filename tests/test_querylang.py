@@ -1,0 +1,115 @@
+"""Structured query syntax: parser + composed execution semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.operators import querylang as ql
+
+
+def test_parse_query_clauses():
+    p = ql.parse_query('auth* "parse config" +lang:python -deprecated getUserData')
+    assert p.prefixes == ["auth"]
+    assert p.phrases == [["parse", "config"]]
+    assert p.required == ["lang:python"]
+    assert p.excluded == ["deprecated"]
+    # code analyzer splits the identifier; whole token precedes subtokens
+    assert p.terms[0] == "getuserdata" and "user" in p.terms
+    # unterminated quote swallows the rest as a phrase, never crashes
+    assert ql.parse_query('x "dangling tail').phrases == [["dangling", "tail"]]
+    assert ql.parse_query("").terms == []
+
+
+@pytest.fixture(scope="module")
+def tagged_index(spark, corpus_df):
+    from coderag_spark.engine import build_index
+
+    return build_index(corpus_df, tag_terms=True)
+
+
+@pytest.fixture(scope="module")
+def chunk_positional(spark, corpus_df):
+    from coderag_spark.operators.chunking import chunk_corpus
+    from coderag_spark.operators.positional import positional_postings
+
+    return positional_postings(
+        chunk_corpus(corpus_df), text_col="content", id_col="doc_id"
+    ).persist()
+
+
+def test_terms_only_matches_plain_search(tagged_index):
+    from coderag_spark.operators.bm25 import score_terms, dedupe_query_tokens
+
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in ql.execute_query(tagged_index, "authenticate user", limit=10).collect()
+    ]
+    want_df = score_terms(tagged_index, dedupe_query_tokens("authenticate user"))
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in want_df.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    ]
+    assert got == want
+
+
+def test_prefix_only_matches_prefix_search(tagged_index):
+    from coderag_spark.operators.bm25 import prefix_search
+
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in ql.execute_query(tagged_index, "auth*", limit=10).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in prefix_search(tagged_index, "auth", limit=10).collect()
+    ]
+    assert got == want
+
+
+def test_required_and_excluded_filters(tagged_index):
+    base_ids = {
+        r["doc_id"] for r in ql.execute_query(tagged_index, "authenticate", limit=100).collect()
+    }
+    py = ql.execute_query(tagged_index, "authenticate +lang:python", limit=100).collect()
+    assert py and {r["doc_id"] for r in py} <= base_ids
+    py_ids = {
+        r["doc_id"]
+        for r in tagged_index.docs.filter(F.lower("lang") == "python").collect()
+    }
+    assert {r["doc_id"] for r in py} <= py_ids
+    # exclusion: no surviving doc's postings contain the excluded term
+    ex = ql.execute_query(tagged_index, "authenticate -token", limit=100).collect()
+    with_token = {
+        r["doc_id"]
+        for r in tagged_index.postings.filter(F.col("term") == "token").collect()
+    }
+    assert ex and not ({r["doc_id"] for r in ex} & with_token)
+    # scores are the SAME as unfiltered for surviving docs (filter != signal)
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in ql.execute_query(tagged_index, "authenticate", limit=1000).collect()
+    }
+    assert all(round(r["score"], 6) == base[r["doc_id"]] for r in ex)
+
+
+def test_phrase_clause_filters(tagged_index, chunk_positional):
+    from coderag_spark.operators.positional import phrase_hits
+
+    q = 'authenticate "const max_retries"'
+    out = ql.execute_query(
+        tagged_index, q, limit=100, positional=chunk_positional
+    ).collect()
+    ph_ids = {
+        r["doc_id"] for r in phrase_hits(chunk_positional, ["const", "max_retries"]).collect()
+    }
+    assert out and {r["doc_id"] for r in out} <= ph_ids
+    with pytest.raises(ValueError):
+        ql.execute_query(tagged_index, '"needs positions"')
+
+
+def test_pure_filter_query_is_deterministic(tagged_index):
+    rows = ql.execute_query(tagged_index, "+lang:python", limit=5).collect()
+    assert [r["score"] for r in rows] == [0.0] * len(rows)
+    ids = [r["doc_id"] for r in rows]
+    assert ids == sorted(ids)
