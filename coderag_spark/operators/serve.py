@@ -411,6 +411,68 @@ class LocalShard:
             terms=self.expand_terms(prefix=prefix, regex=regex),
         )
 
+    # --------------------------------------------- structured queries
+
+    def _docs_with_term(self, term: str) -> "np.ndarray":
+        """Sorted doc ids whose postings contain ``term`` verbatim —
+        the in-process posting-list membership primitive behind
+        +required/-excluded filters."""
+        s = self._decode(term)
+        if s is None:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(s.docs)
+
+    def query_struct(self, q, limit: int = 10) -> list[tuple[int, float]]:
+        """Serve a Lucene-subset structured query (querylang.parse_query)
+        fully in-process: BM25 over bare terms + prefix expansions,
+        +term/-term posting-membership filters, quoted phrases against
+        the attached position store. Rank-identical to
+        querylang.execute_query (pinned in tests)."""
+        from coderag_spark.operators.querylang import ParsedQuery, parse_query
+
+        parsed: ParsedQuery = parse_query(q) if isinstance(q, str) else q
+        score_terms = list(parsed.terms)
+        for p in parsed.prefixes:
+            score_terms.extend(t for t in self.idf if t.startswith(p))
+        score_terms = list(dict.fromkeys(score_terms))
+
+        allowed: "np.ndarray | None" = None
+        for rt in parsed.required:
+            ids = self._docs_with_term(rt)
+            allowed = ids if allowed is None else np.intersect1d(allowed, ids)
+        for ph in parsed.phrases:
+            ids = np.sort(np.array([d for d, _ in self.phrase(ph, limit=1 << 30)],
+                                   dtype=np.int64))
+            allowed = ids if allowed is None else np.intersect1d(allowed, ids)
+        excluded: "np.ndarray | None" = None
+        for xt in parsed.excluded:
+            ids = self._docs_with_term(xt)
+            excluded = ids if excluded is None else np.union1d(excluded, ids)
+
+        if not score_terms:
+            # pure filter: deterministic doc_id order, score 0 (same
+            # contract as execute_query)
+            if allowed is None:
+                if self.docs_meta is None:
+                    raise ValueError("a pure-filter query needs with_docs=True")
+                allowed = np.sort(self.docs_meta["doc_id"].to_numpy(np.int64))
+            if excluded is not None:
+                allowed = allowed[~np.isin(allowed, excluded)]
+            return [(int(d), 0.0) for d in allowed[:limit]]
+
+        if excluded is not None:
+            # fold exclusion into the allowed mask the vector kernel takes
+            if allowed is None:
+                universe = np.unique(
+                    np.concatenate(
+                        [self._docs_with_term(t) for t in score_terms]
+                        or [np.empty(0, np.int64)]
+                    )
+                )
+                allowed = universe
+            allowed = allowed[~np.isin(allowed, excluded)]
+        return self.search("", limit=limit, allowed_docs=allowed, terms=score_terms)
+
     # ------------------------------------------------- phrase serving
 
     def attach_positions(self, compressed_positional) -> int:

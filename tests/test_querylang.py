@@ -113,3 +113,30 @@ def test_pure_filter_query_is_deterministic(tagged_index):
     assert [r["score"] for r in rows] == [0.0] * len(rows)
     ids = [r["doc_id"] for r in rows]
     assert ids == sorted(ids)
+
+
+def test_shard_struct_query_rank_identical(spark, tagged_index, chunk_positional):
+    """LocalShard.query_struct == execute_query for every clause type."""
+    from coderag_spark.operators.positional import compress_positional
+    from coderag_spark.operators.serve import LocalShard
+
+    shard = LocalShard.from_index(tagged_index, with_docs=True)
+    shard.attach_positions(compress_positional(chunk_positional))
+
+    for q in [
+        "authenticate user",
+        "auth*",
+        "authenticate +lang:python",
+        "authenticate -token",
+        'authenticate "const max_retries"',
+        "+lang:python",
+        "auth* -deprecated +lang:python",
+    ]:
+        want = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in ql.execute_query(
+                tagged_index, q, limit=10, positional=chunk_positional
+            ).collect()
+        ]
+        got = [(d, round(s, 6)) for d, s in shard.query_struct(q, limit=10)]
+        assert got == want, q
