@@ -94,6 +94,7 @@ SUITE_BENCH = [
     "bigram_lm",
     "phrase_compressed",
     "phrase_bm25",
+    "search_facets",
 ]
 
 

@@ -498,6 +498,57 @@ def q_phrase_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.phrase_hits_compressed(comp, PHRASE_2)
 
 
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (the Elasticsearch aggregations sidebar): for the
+    docs matching >= 1 query term, per-(source, lang) bucket counts and
+    mean BM25 score — the facet pass shares the scored set with the
+    ranking query instead of re-scanning."""
+    scored = _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), k=None)
+    docs = _documents(spark, sf_dir).select("doc_id", "source", "lang")
+    return (
+        scored.join(docs, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            # sum at 4dp, not avg at 6dp: re-rounding an average of
+            # already-rounded doubles can land exactly on a rounding
+            # boundary where a 1-ulp summation-order difference flips the
+            # last digit (hit in this query's first run)
+            F.round(F.sum("score"), 4).alias("sum_score"),
+        )
+    )
+
+
+def _sql_search_facets(terms: list[str]) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs, greatest(avg(len(toks) * 1.0), 1.0) AS avgdl FROM tok),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+qt AS ({_terms_sql(terms)}),
+idf AS (
+  SELECT term, ln((s.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM post JOIN qt USING (term), stats s
+  GROUP BY term, s.n_docs
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(i.idf * (p.raw_freq * {BM25_K1 + 1.0}) /
+             (p.raw_freq + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * d.token_count) / s.avgdl))
+            ), 6) AS score
+  FROM post p JOIN qt USING (term) JOIN idf i USING (term)
+       JOIN dl d ON d.doc_id = p.doc_id, stats s
+  GROUP BY p.doc_id
+)
+SELECT source, lang, count(*)::BIGINT AS n_docs, round(sum(score), 4) AS sum_score
+FROM scored JOIN documents USING (doc_id)
+GROUP BY source, lang
+"""
+
+
 def q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quoted-phrase relevance query (Lucene PhraseQuery semantics): docs
     must contain the exact sequence, ranked by the BM25 score of the
@@ -2442,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search3": q_phrase_search3,
         "phrase_compressed": q_phrase_compressed,
         "phrase_bm25": q_phrase_bm25,
+        "search_facets": q_search_facets,
         "proximity_search": q_proximity_search,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
@@ -2515,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search3": _sql_phrase(PHRASE_3),
         "phrase_compressed": _sql_phrase(PHRASE_2),
         "phrase_bm25": _sql_phrase_bm25(PHRASE_2, 10),
+        "search_facets": _sql_search_facets(query_terms(BM25_QUERY_MULTI)),
         "proximity_search": _sql_proximity(*PROX_TERMS, PROX_WINDOW),
         "prefix_bm25": _sql_bm25([], 25, prefix=PREFIX_Q),
         "regex_bm25": _sql_bm25([], 25, regex=REGEX_Q),
