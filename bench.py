@@ -95,6 +95,8 @@ SUITE_BENCH = [
     "phrase_compressed",
     "phrase_bm25",
     "search_facets",
+    "proximity_ordered",
+    "vocab_stats",
 ]
 
 

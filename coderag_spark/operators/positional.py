@@ -177,6 +177,30 @@ def proximity_hits(
     )
 
 
+def ordered_proximity_hits(
+    positional: DataFrame, first: str, then: str, window: int = 5
+) -> DataFrame:
+    """(doc_id, n_pairs) — DIRECTIONAL proximity: occurrences of ``first``
+    followed by ``then`` within ``window`` tokens (0 < pos_b - pos_a <=
+    window). The ordered variant of :func:`proximity_hits` — same
+    filter-then-single-shuffle plan, an asymmetric fold."""
+    if first == then:
+        raise ValueError("ordered_proximity_hits wants two distinct terms")
+    have = _doc_position_map(positional, [first, then])
+    pa = F.element_at("pmap", F.lit(first))
+    pb = F.element_at("pmap", F.lit(then))
+    n_pairs = F.aggregate(
+        pa,
+        F.lit(0),
+        lambda acc, p: acc
+        + F.size(F.filter(pb, lambda q: (q > p) & (q - p <= F.lit(window)))),
+    )
+    return (
+        have.select("doc_id", n_pairs.cast("long").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
 # ------------------------------------------------- compressed position store
 # Positions within a (doc, term) list are sorted ascending, so they ride
 # the same delta+varbyte scheme as docID gaps in the tf store

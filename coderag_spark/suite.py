@@ -835,6 +835,65 @@ FROM tok t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_proximity_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional proximity: 'spark' followed by 'window' within 5
+    tokens (ordered pair counts per doc)."""
+    from coderag_spark.operators import positional as px
+
+    return px.ordered_proximity_hits(
+        _positional(spark, sf_dir), *PROX_TERMS, window=PROX_WINDOW
+    )
+
+
+def _sql_proximity_ordered(a: str, b: str, window: int) -> str:
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{a}') AS pa,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{b}') AS pb
+  FROM tok
+),
+pairs AS (
+  SELECT doc_id,
+         list_sum(list_transform(pa, p ->
+             len(list_filter(pb, q -> q > p AND q - p <= {window}))))::BIGINT AS n_pairs
+  FROM pos WHERE len(pa) > 0 AND len(pb) > 0
+)
+SELECT doc_id, n_pairs FROM pairs WHERE n_pairs > 0
+"""
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary diagnostics (the Heaps-law / type-token
+    corpus health check): token volume, distinct vocabulary, TTR."""
+    tok = _tokdocs(spark, sf_dir)
+    src = _documents(spark, sf_dir).select("doc_id", "source")
+    stream = tok.join(src, "doc_id").select("source", F.explode("toks").alias("term"))
+    return (
+        stream.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.count_distinct("term").cast("long").alias("n_vocab"),
+        )
+        .select(
+            "source", "n_tokens", "n_vocab",
+            F.round(F.col("n_vocab") / F.col("n_tokens"), 6).alias("ttr"),
+        )
+    )
+
+
+SQL_VOCAB_STATS = f"""
+WITH stream AS (
+  SELECT source, unnest({TOKS_SQL}) AS term FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT term)::BIGINT AS n_vocab,
+       round(count(DISTINCT term) * 1.0 / count(*), 6) AS ttr
+FROM stream GROUP BY source
+"""
+
+
 def q_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixQuery ('s*') BM25: every dictionary term with the prefix
     scores with its own idf — StartsWith lands on the postings scan."""
@@ -2495,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bm25": q_phrase_bm25,
         "search_facets": q_search_facets,
         "proximity_search": q_proximity_search,
+        "proximity_ordered": q_proximity_ordered,
+        "vocab_stats": q_vocab_stats,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
         "substr_dedup": q_substr_dedup,
@@ -2569,6 +2630,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_bm25": _sql_phrase_bm25(PHRASE_2, 10),
         "search_facets": _sql_search_facets(query_terms(BM25_QUERY_MULTI)),
         "proximity_search": _sql_proximity(*PROX_TERMS, PROX_WINDOW),
+        "proximity_ordered": _sql_proximity_ordered(*PROX_TERMS, PROX_WINDOW),
+        "vocab_stats": SQL_VOCAB_STATS,
         "prefix_bm25": _sql_bm25([], 25, prefix=PREFIX_Q),
         "regex_bm25": _sql_bm25([], 25, regex=REGEX_Q),
         "substr_dedup": SQL_SUBSTR_DEDUP,

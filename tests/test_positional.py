@@ -341,3 +341,23 @@ def test_diff_driven_positional_maintenance(spark, tmp_path):
         for r in px.phrase_hits(px.positional_postings(v2), ["alpha", "beta"]).collect()
     }
     assert got == want == {1: 1, 2: 1, 4: 1}
+
+
+def test_ordered_proximity_directional(pos):
+    """Ordered variant counts only first-then-second pairs."""
+    got = {
+        r["doc_id"]: r["n_pairs"]
+        for r in px.ordered_proximity_hits(pos, "alpha", "beta", window=2).collect()
+    }
+    # doc0: alpha@[0,3] beta@[1,4]: ordered pairs (0,1),(3,4) = 2 (the
+    # unordered count is 3 - (3,1) is beta-before-alpha)
+    assert got[0] == 2
+    assert got[3] == 1
+    # reverse direction differs
+    rev = {
+        r["doc_id"]: r["n_pairs"]
+        for r in px.ordered_proximity_hits(pos, "beta", "alpha", window=2).collect()
+    }
+    assert rev[0] == 1  # beta@1 -> alpha@3
+    with pytest.raises(ValueError):
+        px.ordered_proximity_hits(pos, "alpha", "alpha")
