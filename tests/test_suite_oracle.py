@@ -100,3 +100,25 @@ def test_suite_caches_bounded(spark):
     released = suite.clear_suite_caches()
     assert released >= 1
     assert jsc.getPersistentRDDs().size() <= base
+
+
+def test_every_suite_query_plan_is_clean(spark):
+    """Global plan invariant over ALL driver queries: no CartesianProduct,
+    no row-at-a-time Python (BatchEvalPython) anywhere — vectorized Arrow
+    stages (ArrowEvalPython / mapInPandas) are the only Python allowed."""
+    import os
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("driver testdata not mounted")
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        bad = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
