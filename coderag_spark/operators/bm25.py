@@ -297,8 +297,22 @@ def _regex_literal_runs(pattern: str) -> list[str]:
                 j += 2 if pattern[j] == "\\" else 1
             i = j + 1
             continue
+        if ch == "{":
+            # bounded quantifier: the preceding atom may repeat (or vanish
+            # for {0,n}), so drop it, and the quantifier BODY ('10,20') is
+            # syntax, not literal text — skip to the matching '}' so it
+            # never enters a run (it used to, making the trigram prefilter
+            # demand substrings no real match contains).
+            if cur:
+                cur.pop()
+            flush()
+            j = i + 1
+            while j < n and pattern[j] != "}":
+                j += 1
+            i = j + 1
+            continue
         if ch in meta:
-            if ch in "?*{" and cur:
+            if ch in "?*" and cur:
                 cur.pop()  # previous char is optional/repeated-from-zero
             flush()
             i += 1

@@ -509,9 +509,13 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray:
     if len(comps) == 1:
         yp = np.clip(upsampled(comps[0]), 0, 255)
         return np.dstack([yp, yp, yp]).astype(np.uint8)
+    # resolve ALL planes through the scan component ids (Y, Cb, Cr in scan
+    # order per T.81 §B.2.3) — selecting chroma positionally from the SOF
+    # list would swap Cb/Cr on a conformant file whose SOF lists components
+    # in a non-canonical order
     yp = upsampled(by_id[scan[0][0]])
-    cbp = upsampled(comps[1])
-    crp = upsampled(comps[2])
+    cbp = upsampled(by_id[scan[1][0]])
+    crp = upsampled(by_id[scan[2][0]])
     r = yp + 1.402 * (crp - 128.0)
     g = yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0)
     bl = yp + 1.772 * (cbp - 128.0)

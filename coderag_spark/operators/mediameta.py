@@ -252,6 +252,13 @@ def mp3_metadata(b: bytes) -> dict:
     while pos + 4 <= len(b):
         h = struct.unpack_from(">I", b, pos)[0]
         if (h >> 21) & 0x7FF != 0x7FF:
+            # Real web MP3s very commonly carry trailing non-frame bytes —
+            # a 128-byte ID3v1 'TAG' trailer, APEv2, or encoder padding.
+            # Once at least one frame has parsed, treat sync loss as
+            # end-of-stream instead of rejecting the file; a file with NO
+            # valid frame still raises below.
+            if n:
+                break
             raise ValueError(f"lost MP3 frame sync at {pos}")
         version = (h >> 19) & 0x3
         layer = (h >> 17) & 0x3

@@ -402,8 +402,15 @@ def compact_positional_store(spark, path: str, n_buckets: int = 32) -> int:
     merged.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     ).write.mode("overwrite").partitionBy("bucket").parquet(f"{tmp}/positions")
-    shutil.rmtree(f"{path}/positions")
+    # true rename-swap: move the live dir ASIDE first, then rename the
+    # replacement in, then delete the old copy — every crash point leaves
+    # a readable store (either positions or positions.old exists intact;
+    # the old rmtree-then-rename left a window with NO positions dir).
+    old = f"{path}/positions.old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(f"{path}/positions", old)
     os.rename(f"{tmp}/positions", f"{path}/positions")
+    shutil.rmtree(old)
     shutil.rmtree(f"{path}/_segments")
     shutil.rmtree(tmp, ignore_errors=True)
     return len(segs)

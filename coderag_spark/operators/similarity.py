@@ -205,7 +205,13 @@ def ivf_build_centroids(
     """Deterministic mini k-means (IVF coarse quantizer) — sample seeds by
     id hash, Lloyd iterations as DataFrame aggs. Driver holds only the
     centroid list (n_centroids x dim floats)."""
-    first = embeddings.orderBy(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10**9))).limit(
+    first = embeddings.orderBy(
+        # id as secondary key: mod-1e9 hash collisions tie, and Spark's
+        # order among ties is engine-arbitrary — without it the seed set
+        # (hence trained codebooks) is not reproducible across runs
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10**9)),
+        F.col(id_col),
+    ).limit(
         n_centroids
     )
     cents = [list(r[vec_col]) for r in first.collect()]
@@ -283,7 +289,9 @@ def pq_train(
     import numpy as np
 
     first = embeddings.orderBy(
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10**9))
+        # secondary id key: deterministic across runs even on hash ties
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(10**9)),
+        F.col(id_col),
     ).limit(k)
     seeds = np.array([list(r[vec_col]) for r in first.collect()], dtype=np.float64)
     dim = seeds.shape[1]

@@ -72,6 +72,12 @@ def test_mp3_framing_walk_and_vbr():
     assert mv.mp3_metadata(tagged)["n_frames"] == 2
     with pytest.raises(ValueError):
         mv.mp3_metadata(b"\x12\x34\x56\x78" * 4)
+    # trailing non-frame bytes (ID3v1 'TAG' trailer / encoder padding) are
+    # ubiquitous in real web MP3s: end-of-stream, not an error
+    trailer = mv.encode_mp3_frames(4, 128) + b"TAG" + b"\x00" * 125
+    assert mv.mp3_metadata(trailer)["n_frames"] == 4
+    padded = mv.encode_mp3_frames(2, 128) + b"\x00\x00\x00"
+    assert mv.mp3_metadata(padded)["n_frames"] == 2
 
 
 def test_sniff_and_spark_stage(spark):

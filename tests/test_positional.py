@@ -160,6 +160,14 @@ def test_regex_literal_runs_extraction():
     assert _regex_literal_runs("[abcdef]xy") == []
     # escapes break runs
     assert _regex_literal_runs(r"foo\d+barbaz") == ["foo", "barbaz"]
+    # bounded quantifiers: the body ('10,20') is SYNTAX, never a literal
+    # run, and the preceding atom is dropped conservatively (it may repeat
+    # or, for {0,n}, vanish).  Pre-fix this returned ['10,20'], making the
+    # trigram prefilter demand substrings no real match contains.
+    assert _regex_literal_runs("ab{10,20}cd") == []
+    assert _regex_literal_runs("stream{1,3}ing") == ["strea", "ing"]
+    assert _regex_literal_runs(r"abcdef.{3,5}ghijkl") == ["abcdef", "ghijkl"]
+    assert _regex_literal_runs(r"\d{3}abcd") == ["abcd"]
 
 
 def test_regex_search_matches_expanded_terms(index):
