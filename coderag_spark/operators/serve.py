@@ -90,6 +90,7 @@ class LocalShard:
         self.n_docs = n_docs
         self.docs_meta = docs_meta  # pandas DataFrame indexed by doc_id, or None
         self.positions = None  # term -> {doc_id -> varbyte blob}; attach_positions
+        self.store_bytes = 0  # compressed payload bytes recorded at attach time
 
     # ------------------------------------------------------------ build
 
@@ -112,9 +113,12 @@ class LocalShard:
         try:
             total = plists.agg(F.sum(F.length("payload")).alias("b")).collect()[0]["b"] or 0
             if total > max_bytes:
+                n_suggest = -(-total // max_bytes)  # ceil: shards needed at this budget
                 raise MemoryError(
                     f"shard payload {total}B exceeds max_bytes={max_bytes}; "
-                    "use more doc-shards (compact.build_doc_sharded) instead"
+                    f"split across >= {n_suggest} doc-shards instead — "
+                    f"LocalCluster.from_index(index, n_shards={n_suggest}) or "
+                    "compact.build_doc_sharded"
                 )
             rows = plists.collect()
         finally:
@@ -140,7 +144,9 @@ class LocalShard:
             docs_meta = (
                 index.docs.select(*meta_cols).toPandas().set_index("doc_id", drop=False)
             )
-        return cls(lists, idf, index.stats.avgdl, index.stats.n_docs, docs_meta)
+        shard = cls(lists, idf, index.stats.avgdl, index.stats.n_docs, docs_meta)
+        shard.store_bytes = int(total)
+        return shard
 
     # ---------------------------------------------------- attribute filters
 
@@ -247,7 +253,9 @@ class LocalShard:
             r["term"]: float(r["idf"])
             for r in spark.read.parquet(f"{path}/dictionary").collect()
         }
-        return cls(lists, idf, stats.avgdl, stats.n_docs)
+        shard = cls(lists, idf, stats.avgdl, stats.n_docs)
+        shard.store_bytes = sum(len(sl.payload) for sl in lists.values())
+        return shard
 
     # ------------------------------------------------------------ query
 

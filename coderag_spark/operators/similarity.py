@@ -235,8 +235,28 @@ def ivf_assign(embeddings: DataFrame, centroids: list[list[float]], vec_col: str
     return embeddings.withColumn("centroid", best["c"])
 
 
-def ivf_topk(
+def ivf_index(
     embeddings: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Materialize the IVF assignment ONCE, parquet-partitioned by
+    centroid, and return a reader over it.  This is the build/query split
+    every IVF deployment needs: assignment costs one pass at build time,
+    and a query's `centroid IN (probe set)` filter becomes parquet
+    PARTITION PRUNING — at 100 TB a probe reads nprobe/n_centroids of the
+    files instead of rescanning (and re-assigning!) the full table."""
+    assigned = ivf_assign(embeddings, centroids, vec_col).select(
+        id_col, vec_col, "centroid"
+    )
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+    return embeddings.sparkSession.read.parquet(path)
+
+
+def ivf_topk(
+    source: DataFrame,
     centroids: list[list[float]],
     query_vec: list[float],
     k: int = 10,
@@ -245,8 +265,15 @@ def ivf_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF probe: score only rows assigned to the nprobe centroids nearest
-    the query. With the assignment persisted and partitioned by centroid,
-    this is partition pruning at query time."""
+    the query.
+
+    ``source`` should be the frame returned by :func:`ivf_index` (it has a
+    ``centroid`` column backed by a parquet partition key), in which case
+    the probe filter is pure partition pruning and NO assignment runs at
+    query time.  A raw embeddings frame (no ``centroid`` column) is still
+    accepted for ad-hoc use, but it re-assigns the full table per query —
+    a full-table pass that does not survive scale; plan tests pin the
+    indexed path."""
 
     def cos_py(a: list[float], b: list[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))
@@ -256,7 +283,11 @@ def ivf_topk(
 
     order = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i], query_vec))
     probe = order[:nprobe]
-    assigned = ivf_assign(embeddings, centroids, vec_col)
+    assigned = (
+        source
+        if "centroid" in source.columns
+        else ivf_assign(source, centroids, vec_col)
+    )
     cand = assigned.filter(F.col("centroid").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos"))

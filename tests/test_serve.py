@@ -57,8 +57,16 @@ def test_latency_floor(shard):
 
 
 def test_max_bytes_guard(index):
-    with pytest.raises(MemoryError):
+    # the refusal must steer to sharding with a CONCRETE shard count
+    with pytest.raises(MemoryError, match=r"n_shards=\d+"):
         LocalShard.from_index(index, max_bytes=10)
+    with pytest.raises(MemoryError, match="LocalCluster"):
+        LocalShard.from_index(index, max_bytes=10)
+
+
+def test_store_bytes_recorded_at_attach(shard):
+    assert shard.store_bytes > 0
+    assert shard.store_bytes == sum(len(sl.payload) for sl in shard.lists.values())
 
 
 @pytest.mark.parametrize("query", QUERIES)

@@ -74,14 +74,52 @@ def test_knn_join(spark, emb):
         assert all(b != a for _, _, b in lst)
 
 
-def test_ivf_topk_contains_self_and_neighbor(spark, emb):
-    from coderag_spark.operators.similarity import ivf_build_centroids, ivf_topk
+def test_ivf_topk_contains_self_and_neighbor(spark, emb, tmp_path):
+    from coderag_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_index,
+        ivf_topk,
+    )
 
     cents = ivf_build_centroids(emb, n_centroids=4, iters=2)
     rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()]
     q = rows[0][1]
-    got = [r["vec_id"] for r in ivf_topk(emb, cents, q, k=5, nprobe=2).collect()]
+    # build/query split: assignment persisted ONCE, partitioned by centroid
+    indexed = ivf_index(emb, cents, str(tmp_path / "ivf"))
+    got = [r["vec_id"] for r in ivf_topk(indexed, cents, q, k=5, nprobe=2).collect()]
     assert 0 in got and 40 in got  # self + planted near-dup in the probed cells
+    # ad-hoc (unindexed) path must agree
+    adhoc = [r["vec_id"] for r in ivf_topk(emb, cents, q, k=5, nprobe=2).collect()]
+    assert got == adhoc
+
+
+def test_ivf_probe_is_partition_pruned(spark, emb, tmp_path):
+    """The query-time plan must read only the probed centroid partitions —
+    a probe that rescans (and re-assigns) the full embeddings table is a
+    full-table pass per query at 100 TB."""
+    from coderag_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_index,
+        ivf_topk,
+    )
+
+    cents = ivf_build_centroids(emb, n_centroids=4, iters=2)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    indexed = ivf_index(emb, cents, str(tmp_path / "ivf"))
+    plan = (
+        ivf_topk(indexed, cents, q, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the centroid IN (...) probe must land in the scan's PartitionFilters,
+    # and no Python/Arrow eval (ivf_assign is expression-only but must not
+    # even run: the scan reads the stored assignment)
+    assert "PartitionFilters: [" in plan
+    assert "centroid IN" in plan.replace("#", " ").split("PartitionFilters")[1][:200] or (
+        "centroid" in plan.split("PartitionFilters:")[1].split("]")[0]
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_cosine_pairs_threshold(spark, emb):
