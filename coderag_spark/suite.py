@@ -2458,15 +2458,12 @@ FROM b
 """
 
 
-def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode end-to-end: deterministic BMP / WAV / PNG / JPEG
-    / raw-frame MP4 / MP3 payloads synthesized per doc (format rotating
-    by doc_id mod 6), decoded by the stdlib+numpy codecs inside
-    mapInPandas (PNG pays the full chunk-parse + zlib-inflate +
-    Paeth-unfilter path; JPEG the full Huffman + IDCT baseline path; MP4
-    the BMFF box walk + frame sampling; MP3 the frame-header walk),
-    format sniffed from magic bytes. Rows-only (codec byte-layout math is
-    not SQL-expressible)."""
+def _synth_media_udf():
+    """Pandas UDF synthesizing a deterministic per-doc media payload,
+    format rotating by doc_id mod 6: BMP / WAV / PNG / JPEG / raw-RGB24
+    MP4 / MP3.  Shared by q_media_decode (all six formats, rows-only) and
+    q_media_decode_exact (the five losslessly-decodable ones, whose
+    decoded features are pure arithmetic over doc_id — SQL-expressible)."""
 
     @F.pandas_udf(T.BinaryType())
     def synth(doc_id: pd.Series) -> pd.Series:
@@ -2503,6 +2500,21 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append(encode_mp4_raw([px, px[::-1].copy()], fps=5))
         return pd.Series(out)
 
+    return synth
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: deterministic BMP / WAV / PNG / JPEG
+    / raw-frame MP4 / MP3 payloads synthesized per doc (format rotating
+    by doc_id mod 6), decoded by the stdlib+numpy codecs inside
+    mapInPandas (PNG pays the full chunk-parse + zlib-inflate +
+    Paeth-unfilter path; JPEG the full Huffman + IDCT baseline path; MP4
+    the BMFF box walk + frame sampling; MP3 the frame-header walk),
+    format sniffed from magic bytes. Rows-only (codec byte-layout math is
+    not SQL-expressible)."""
+
+    synth = _synth_media_udf()
+
     # the documents parquet is a single file -> one partition; spread the
     # per-payload codec work before the decode stage, sized so each task
     # gets enough payloads to amortize its Python worker (~625/task; a
@@ -2532,6 +2544,101 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("long").alias("n_frames"),
         F.round(F.element_at("feat", 1), 6).alias("feat0"),
     )
+
+
+def q_media_decode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode with an EXACT value oracle: the five losslessly-
+    decodable synthetic formats (BMP, lossless PNG, WAV, raw-RGB24 MP4,
+    MP3 headers) — JPEG (doc_id%6==3) is excluded because its decode is
+    lossy, so its feature values are codec math, not generator math.
+    Every emitted value is pure arithmetic over doc_id (the pixel hash,
+    the sine PCM stream, the frame-header formulas), so DuckDB can
+    recompute width/height/n_frames AND the feature values exactly:
+    the codecs' full encode->decode round trip is what's under test."""
+    synth = _synth_media_udf()
+    docs_all = _documents(spark, sf_dir)
+    n_payloads = docs_all.count()
+    npart = max(1, min(spark.sparkContext.defaultParallelism * 4, n_payloads // 625 or 1))
+    docs = (
+        docs_all.select("doc_id")
+        .filter(F.col("doc_id") % 6 != 3)
+        .repartition(npart)
+    )
+    media = docs.select(
+        "doc_id",
+        F.lit("synth").alias("modality"),
+        synth(F.col("doc_id")).alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(0).cast("long").alias("n_bytes"),
+            F.lit("synth").alias("source"),
+        ).alias("meta"),
+    )
+    feats = mm.decode_media_features(media)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+        F.round(F.element_at("feat", 3), 6).alias("feat2"),
+    )
+
+
+# Oracle: re-derive the decoded features from the payload GENERATORS.
+#   images (m in 0,2: BMP, Paeth-filtered PNG; m=4: 2-frame raw MP4):
+#     pixel byte i of the 6x5x3 image is bits 24..31 of
+#     (i + doc_id) * 2654435761 mod 2^64 — only the product mod 2^32
+#     matters for those bits, and HUGEINT holds it exactly; channel means
+#     average flat indices i%3==c.  The MP4's 2nd frame is a row-reversed
+#     copy (same multiset -> same mean).
+#   WAV (m=1): pcm_i = trunc((0.3*sin(2*pi*(100+d%50)*(i/8000)))*32768)
+#     (numpy .astype(int16) truncates toward zero), x=pcm/32768,
+#     rms = sqrt(mean(x^2)); 160 samples at 8 kHz -> duration 0.02.
+#   MP3 (m=5): n = 2+d%5 frames, CBR 128 kbps, 44.1 kHz ->
+#     duration n*1152/44100.
+# Rounding to 6dp absorbs summation-order ulps (numpy pairwise vs SQL
+# sequential).  Cast float literals ::DOUBLE (bare 1.5 is DECIMAL in
+# DuckDB).
+SQL_MEDIA_DECODE_EXACT = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS m FROM documents WHERE doc_id % 6 <> 3
+),
+img AS (
+  SELECT doc_id, m,
+         list_sum(list_transform(range(0, 30),
+           j -> (((3*j + doc_id)::HUGEINT * 2654435761) % 4294967296 // 16777216)::DOUBLE
+         )) / 30.0::DOUBLE AS mean_r,
+         list_sum(list_transform(range(0, 30),
+           j -> (((3*j + 2 + doc_id)::HUGEINT * 2654435761) % 4294967296 // 16777216)::DOUBLE
+         )) / 30.0::DOUBLE AS mean_b
+  FROM d WHERE m IN (0, 2, 4)
+),
+wav AS (
+  SELECT doc_id,
+         sqrt(list_sum(list_transform(range(0, 160),
+           i -> pow(trunc((0.3::DOUBLE * sin((2*pi()*(100 + doc_id % 50)) * (i / 8000.0::DOUBLE)))
+                          * 32768.0::DOUBLE) / 32768.0::DOUBLE, 2)
+         )) / 160.0::DOUBLE) AS rms
+  FROM d WHERE m = 1
+)
+SELECT d.doc_id,
+       CASE WHEN d.m IN (0, 2, 4) THEN 5 ELSE 0 END::INT AS width,
+       CASE WHEN d.m IN (0, 2, 4) THEN 6 ELSE 0 END::INT AS height,
+       CASE WHEN d.m = 4 THEN 2
+            WHEN d.m = 1 THEN 160
+            WHEN d.m = 5 THEN 2 + d.doc_id % 5
+            ELSE 1 END::BIGINT AS n_frames,
+       round(CASE WHEN d.m IN (0, 2, 4) THEN img.mean_r
+                  WHEN d.m = 1 THEN wav.rms
+                  ELSE 128.0::DOUBLE END, 6) AS feat0,
+       round(CASE WHEN d.m IN (0, 2, 4) THEN img.mean_b
+                  WHEN d.m = 1 THEN 0.02::DOUBLE
+                  ELSE (2 + d.doc_id % 5) * 1152.0::DOUBLE / 44100.0::DOUBLE END, 6) AS feat2
+FROM d
+LEFT JOIN img ON img.doc_id = d.doc_id
+LEFT JOIN wav ON wav.doc_id = d.doc_id
+"""
 
 
 # ----------------------------------------------------------- registry
@@ -2610,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "media_decode_exact": q_media_decode_exact,
     }
 
 
@@ -2675,6 +2783,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher": SQL_GOPHER,
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,
         "media_features": SQL_MEDIA_FEATURES,
+        "media_decode_exact": SQL_MEDIA_DECODE_EXACT,
         "source_mix": _sql_source_mix(),
         "line_stats": SQL_LINE_STATS,
         "dup_ngrams": SQL_DUP_NGRAMS,
