@@ -2,6 +2,8 @@
 that ties the engine's retrieval primitives into one string:
 
     auth* "parse config" +lang:python -deprecated token
+    error +(lang:python OR lang:go) -(legacy OR deprecated)
+    handler +lang:[go TO python] type:[class TO function]
 
   * bare words        -> analyzed, BM25-scored (OR retrieval)
   * ``word*``         -> prefix expansion, every match scores with its idf
@@ -11,16 +13,31 @@ that ties the engine's retrieval primitives into one string:
                          verbatim (works for tag terms like +lang:python /
                          +type:function from build_index(tag_terms=True))
   * ``-term``         -> excluded: docs containing the term are dropped
+  * ``+(a OR b)``     -> required group: doc must contain AT LEAST ONE of
+                         the alternatives (verbatim terms; one level, no
+                         nesting — the Lucene subset users actually type)
+  * ``-(a OR b)``     -> excluded group: doc containing ANY alternative is
+                         dropped (De Morgan: NOT a AND NOT b)
+  * ``(a OR b)``      -> unsigned group: scored OR retrieval — each
+                         alternative is analyzed and scored like a bare
+                         word (bare words already OR-retrieve, so the
+                         parens only group visually)
+  * ``field:[lo TO hi]`` -> inclusive lexicographic range over the tagged
+                         term space ``field:value`` (Lucene range syntax;
+                         ``TO`` must be uppercase). Unsigned or ``+`` is a
+                         required filter, ``-`` excludes the range. Ranges
+                         filter, never score — score-safe like +/-.
 
 Execution composes the existing operators — score_terms + prefix
-expansion for scoring, posting-list semi/anti joins for +/- filters,
-phrase_hits for quoted sequences — into ONE DataFrame plan: every filter
-lands BEFORE the top-k, so ranking is score-safe, and nothing here adds a
-new shuffle beyond the primitives' own.
+expansion for scoring, posting-list semi/anti joins for +/- filters and
+groups/ranges, phrase_hits for quoted sequences — into ONE DataFrame
+plan: every filter lands BEFORE the top-k, so ranking is score-safe, and
+nothing here adds a new shuffle beyond the primitives' own.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -30,6 +47,8 @@ from coderag_spark.functions.tokenize import code_analyze, simple_word_tokenize
 from coderag_spark.operators.bm25 import BM25_B, BM25_K1, Index, bm25_term_score
 from coderag_spark.operators.positional import phrase_hits
 
+_RANGE_RE = re.compile(r"^([A-Za-z_][\w.]*):\[(\S+) TO (\S+)\]$")
+
 
 @dataclass
 class ParsedQuery:
@@ -38,32 +57,74 @@ class ParsedQuery:
     phrases: list[list[str]] = field(default_factory=list)
     required: list[str] = field(default_factory=list)   # verbatim terms
     excluded: list[str] = field(default_factory=list)   # verbatim terms
+    required_groups: list[list[str]] = field(default_factory=list)  # any-of
+    excluded_groups: list[list[str]] = field(default_factory=list)  # none-of
+    required_ranges: list[tuple[str, str, str]] = field(default_factory=list)
+    excluded_ranges: list[tuple[str, str, str]] = field(default_factory=list)
 
 
 def parse_query(q: str) -> ParsedQuery:
-    """Split on whitespace outside quotes; classify each clause."""
+    """Scan clauses left to right; quotes, parens, and ``[.. TO ..]``
+    brackets suspend whitespace splitting. Malformed input never raises:
+    an unterminated quote/paren/bracket swallows the rest of the string."""
     out = ParsedQuery()
     i, n = 0, len(q)
     while i < n:
-        if q[i].isspace():
+        c = q[i]
+        if c.isspace():
             i += 1
             continue
-        if q[i] == '"':
+        if c == '"':
             j = q.find('"', i + 1)
             if j < 0:
                 j = n
             out.phrases.append(simple_word_tokenize(q[i + 1 : j]))
             i = j + 1
             continue
+        sign = ""
+        if c in "+-" and i + 1 < n and not q[i + 1].isspace():
+            sign = c
+            i += 1
+            c = q[i]
+        if c == "(":
+            j = q.find(")", i + 1)
+            if j < 0:
+                j = n
+            alts = [t for t in q[i + 1 : j].split() if t.upper() != "OR"]
+            i = j + 1
+            if not alts:
+                continue
+            if sign == "+":
+                out.required_groups.append([a.lower() for a in alts])
+            elif sign == "-":
+                out.excluded_groups.append([a.lower() for a in alts])
+            else:
+                # unsigned group = scored OR retrieval: analyze with the
+                # ORIGINAL case so camelCase subtoken splitting still fires
+                for a in alts:
+                    for t in code_analyze(a):
+                        if t not in out.terms:
+                            out.terms.append(t)
+            continue
+        # one token; a '[' opens a range literal that may contain spaces
         j = i
         while j < n and not q[j].isspace():
+            if q[j] == "[":
+                k = q.find("]", j)
+                j = (k + 1) if k >= 0 else n
+                break
             j += 1
         tok = q[i:j]
         i = j
-        if tok.startswith("+") and len(tok) > 1:
-            out.required.append(tok[1:].lower())
-        elif tok.startswith("-") and len(tok) > 1:
-            out.excluded.append(tok[1:].lower())
+        m = _RANGE_RE.match(tok)
+        if m:
+            rng = (m.group(1).lower(), m.group(2).lower(), m.group(3).lower())
+            (out.excluded_ranges if sign == "-" else out.required_ranges).append(rng)
+            continue
+        if sign == "+":
+            out.required.append(tok.lower())
+        elif sign == "-":
+            out.excluded.append(tok.lower())
         elif tok.endswith("*") and len(tok) > 1:
             out.prefixes.append(tok[:-1].lower())
         else:
@@ -72,6 +133,18 @@ def parse_query(q: str) -> ParsedQuery:
                     out.terms.append(t)
     out.phrases = [p for p in out.phrases if p]
     return out
+
+
+def _range_cond(fld: str, lo: str, hi: str):
+    """term is a ``field:value`` tag with lo <= value <= hi. Comparing the
+    FULL term against the prefixed bounds is equivalent to comparing the
+    value slice (shared prefix) — and it's a pure column predicate the
+    dictionary/postings scan can push down."""
+    return (
+        F.col("term").startswith(f"{fld}:")
+        & (F.col("term") >= f"{fld}:{lo}")
+        & (F.col("term") <= f"{fld}:{hi}")
+    )
 
 
 def execute_query(
@@ -117,14 +190,38 @@ def execute_query(
     else:
         scored = index.docs.select("doc_id", F.lit(0.0).alias("score"))
 
+    # every filter is a posting-list semi/anti join applied BEFORE top-k:
+    # a +group and a range are each ONE semi-join on an isin/range
+    # predicate (the any-of union never materializes), so filters compose
+    # without blowing up the plan
     for rt in parsed.required:
         scored = scored.join(
             index.postings.filter(F.col("term") == rt).select("doc_id"),
             "doc_id", "left_semi",
         )
+    for grp in parsed.required_groups:
+        scored = scored.join(
+            index.postings.filter(F.col("term").isin(grp)).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+    for fld, lo, hi in parsed.required_ranges:
+        scored = scored.join(
+            index.postings.filter(_range_cond(fld, lo, hi)).select("doc_id"),
+            "doc_id", "left_semi",
+        )
     for xt in parsed.excluded:
         scored = scored.join(
             index.postings.filter(F.col("term") == xt).select("doc_id"),
+            "doc_id", "left_anti",
+        )
+    for grp in parsed.excluded_groups:
+        scored = scored.join(
+            index.postings.filter(F.col("term").isin(grp)).select("doc_id"),
+            "doc_id", "left_anti",
+        )
+    for fld, lo, hi in parsed.excluded_ranges:
+        scored = scored.join(
+            index.postings.filter(_range_cond(fld, lo, hi)).select("doc_id"),
             "doc_id", "left_anti",
         )
     for ph in parsed.phrases:

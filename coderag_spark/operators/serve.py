@@ -433,8 +433,9 @@ class LocalShard:
     def query_struct(self, q, limit: int = 10) -> list[tuple[int, float]]:
         """Serve a Lucene-subset structured query (querylang.parse_query)
         fully in-process: BM25 over bare terms + prefix expansions,
-        +term/-term posting-membership filters, quoted phrases against
-        the attached position store. Rank-identical to
+        +term/-term posting-membership filters, +(a OR b)/-(a OR b)
+        any-of groups, field:[lo TO hi] tag ranges, quoted phrases
+        against the attached position store. Rank-identical to
         querylang.execute_query (pinned in tests)."""
         from coderag_spark.operators.querylang import ParsedQuery, parse_query
 
@@ -444,9 +445,26 @@ class LocalShard:
             score_terms.extend(t for t in self.idf if t.startswith(p))
         score_terms = list(dict.fromkeys(score_terms))
 
+        def _union(terms_list) -> "np.ndarray":
+            arrs = [self._docs_with_term(t) for t in terms_list]
+            return (
+                np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+            )
+
+        def _range_terms(fld: str, lo: str, hi: str) -> list[str]:
+            # same inclusive-lexicographic contract as querylang._range_cond
+            lo_t, hi_t, pre = f"{fld}:{lo}", f"{fld}:{hi}", f"{fld}:"
+            return [t for t in self.idf if t.startswith(pre) and lo_t <= t <= hi_t]
+
         allowed: "np.ndarray | None" = None
         for rt in parsed.required:
             ids = self._docs_with_term(rt)
+            allowed = ids if allowed is None else np.intersect1d(allowed, ids)
+        for grp in parsed.required_groups:
+            ids = _union(grp)
+            allowed = ids if allowed is None else np.intersect1d(allowed, ids)
+        for fld, lo, hi in parsed.required_ranges:
+            ids = _union(_range_terms(fld, lo, hi))
             allowed = ids if allowed is None else np.intersect1d(allowed, ids)
         for ph in parsed.phrases:
             ids = np.sort(np.array([d for d, _ in self.phrase(ph, limit=1 << 30)],
@@ -455,6 +473,12 @@ class LocalShard:
         excluded: "np.ndarray | None" = None
         for xt in parsed.excluded:
             ids = self._docs_with_term(xt)
+            excluded = ids if excluded is None else np.union1d(excluded, ids)
+        for grp in parsed.excluded_groups:
+            ids = _union(grp)
+            excluded = ids if excluded is None else np.union1d(excluded, ids)
+        for fld, lo, hi in parsed.excluded_ranges:
+            ids = _union(_range_terms(fld, lo, hi))
             excluded = ids if excluded is None else np.union1d(excluded, ids)
 
         if not score_terms:

@@ -450,6 +450,104 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), 10)
 
 
+# Lucene-subset structured query exercising the round-4 grammar: an any-of
+# required group, an inclusive lexicographic tag range (src2..src9 sort
+# ABOVE 'src13', so the range admits exactly src1,src10..src13), and a
+# tag exclusion — all pre-top-k, so scores equal the unfiltered BM25.
+STRUCT_QUERY = "table join fast +(lang:en OR lang:de) +src:[src1 TO src13] -src:src10"
+
+
+def q_struct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """querylang.execute_query end-to-end over a real Index assembled from
+    the documents token space plus lang:/src: tag postings (the
+    build_index(tag_terms=True) shape): parses STRUCT_QUERY, scores the
+    bare terms with BM25, applies the OR-group / range / exclusion as
+    posting-list semi/anti joins, and top-10s."""
+    from coderag_spark.operators import querylang as ql
+    from coderag_spark.operators.bm25 import Index
+    from coderag_spark.operators.postings import BuildStats
+
+    tok = _tokdocs(spark, sf_dir)
+    srow = tok.agg(
+        F.count("*").alias("n"),
+        F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n"]), float(srow["avgdl"])
+    dl = tok.select("doc_id", F.size("toks").alias("token_count"))
+    base = _doc_postings(spark, sf_dir).join(dl, "doc_id").select(
+        "doc_id", "term", "raw_freq", F.lit(0.0).alias("tf"), "token_count"
+    )
+    tags = (
+        _documents(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.concat(F.lit("lang:"), F.lower(F.coalesce("lang", F.lit("unknown")))),
+                    F.concat(F.lit("src:"), F.lower(F.coalesce("source", F.lit("unknown")))),
+                )
+            ).alias("term"),
+        )
+        .join(dl, "doc_id")
+        .select(
+            "doc_id", "term", F.lit(1).cast("long").alias("raw_freq"),
+            F.lit(0.0).alias("tf"), "token_count",
+        )
+    )
+    postings = base.unionByName(tags)
+    dictionary = postings.groupBy("term").agg(F.count("*").alias("df")).select(
+        "term", "df",
+        (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+    index = Index(
+        postings=postings, dictionary=dictionary, docs=dl,
+        stats=BuildStats(n_docs, avgdl),
+    )
+    # over-fetch unrounded, then round + re-rank like every bm25_* query so
+    # 6dp ties break by doc_id exactly as the oracle's ORDER BY does
+    out = ql.execute_query(index, STRUCT_QUERY, limit=1_000_000)
+    return (
+        out.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_STRUCT_QUERY = f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs, greatest(avg(len(toks) * 1.0), 1.0) AS avgdl FROM tok),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+qt AS (SELECT unnest(['table', 'join', 'fast']) AS term),
+idf AS (
+  SELECT term, ln((s.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM post JOIN qt USING (term), stats s
+  GROUP BY term, s.n_docs
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok),
+allowed AS (
+  SELECT doc_id FROM documents
+  WHERE lower(coalesce(lang, 'unknown')) IN ('en', 'de')
+    AND lower(coalesce(source, 'unknown')) BETWEEN 'src1' AND 'src13'
+    AND lower(coalesce(source, 'unknown')) <> 'src10'
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(i.idf * (p.raw_freq * {BM25_K1 + 1.0}) /
+             (p.raw_freq + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * d.token_count) / s.avgdl))
+            ) AS score_raw
+  FROM post p JOIN qt USING (term) JOIN idf i USING (term)
+       JOIN dl d ON d.doc_id = p.doc_id, stats s
+  WHERE p.doc_id IN (SELECT doc_id FROM allowed)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score FROM scored
+ORDER BY 2 DESC, 1 ASC LIMIT 10
+"""
+
+
 def q_bm25_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25(spark, sf_dir, query_terms(BM25_QUERY_LONG), 25)
 
@@ -2651,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary": q_dictionary,
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
+        "struct_query": q_struct_query,
         "bm25_long": q_bm25_long,
         "bm25_single": q_bm25_single,
         "bm25_minscore": q_bm25_minscore,
@@ -2728,6 +2827,7 @@ def oracle_sql() -> dict[str, str]:
         "dictionary": SQL_DICTIONARY,
         "corpus_stats": SQL_CORPUS_STATS,
         "bm25_topk": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10),
+        "struct_query": SQL_STRUCT_QUERY,
         "bm25_long": _sql_bm25(query_terms(BM25_QUERY_LONG), 25),
         "bm25_single": _sql_bm25(query_terms(BM25_QUERY_SINGLE), 10),
         "bm25_minscore": _sql_bm25(query_terms(BM25_QUERY_MULTI), 50, min_score=2.0),

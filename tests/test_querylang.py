@@ -21,6 +21,27 @@ def test_parse_query_clauses():
     assert ql.parse_query("").terms == []
 
 
+def test_parse_groups_and_ranges():
+    p = ql.parse_query("error +(lang:python OR lang:go) -(legacy OR deprecated)")
+    assert p.required_groups == [["lang:python", "lang:go"]]
+    assert p.excluded_groups == [["legacy", "deprecated"]]
+    assert p.terms == ["error"]
+    # unsigned group = scored OR retrieval (alternatives analyzed)
+    p2 = ql.parse_query("(getUserData OR token)")
+    assert p2.required_groups == [] and "token" in p2.terms and "user" in p2.terms
+    # ranges: unsigned/+ are required filters, - excludes; TO is uppercase
+    p3 = ql.parse_query("handler +lang:[go TO python] -type:[a TO c] type:[class TO function]")
+    assert p3.required_ranges == [("lang", "go", "python"), ("type", "class", "function")]
+    assert p3.excluded_ranges == [("type", "a", "c")]
+    # lowercase 'to' is NOT range syntax -> falls back to a required term
+    p4 = ql.parse_query("+lang:[go to python]")
+    assert p4.required_ranges == [] and p4.required == ["lang:[go to python]"]
+    # malformed input never raises; OR is dropped case-insensitively in groups
+    assert ql.parse_query("+(dangling or").required_groups == [["dangling"]]
+    assert ql.parse_query("x:[lo TO").required_ranges == []
+    assert ql.parse_query("+()").required_groups == []
+
+
 @pytest.fixture(scope="module")
 def tagged_index(spark, corpus_df):
     from coderag_spark.engine import build_index
@@ -115,6 +136,71 @@ def test_pure_filter_query_is_deterministic(tagged_index):
     assert ids == sorted(ids)
 
 
+def test_or_group_filters(tagged_index):
+    """+(a OR b) admits the union; scores stay identical to unfiltered."""
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in ql.execute_query(tagged_index, "authenticate", limit=1000).collect()
+    }
+    both = ql.execute_query(
+        tagged_index, "authenticate +(lang:python OR lang:go)", limit=1000
+    ).collect()
+    py = {
+        r["doc_id"]
+        for r in ql.execute_query(
+            tagged_index, "authenticate +lang:python", limit=1000
+        ).collect()
+    }
+    go = {
+        r["doc_id"]
+        for r in ql.execute_query(
+            tagged_index, "authenticate +lang:go", limit=1000
+        ).collect()
+    }
+    assert {r["doc_id"] for r in both} == py | go and py and go
+    assert all(round(r["score"], 6) == base[r["doc_id"]] for r in both)
+    # -(a OR b) = complement of the union (De Morgan)
+    neither = {
+        r["doc_id"]
+        for r in ql.execute_query(
+            tagged_index, "authenticate -(lang:python OR lang:go)", limit=1000
+        ).collect()
+    }
+    assert neither == set(base) - (py | go)
+
+
+def test_range_filters_match_tag_membership(tagged_index):
+    """field:[lo TO hi] == union of +field:v for every tagged v in [lo,hi]."""
+    from pyspark.sql import functions as F
+
+    langs = sorted(
+        r["lang"].lower()
+        for r in tagged_index.docs.select(F.lower("lang").alias("lang")).distinct().collect()
+        if r["lang"]
+    )
+    lo, hi = langs[0], langs[len(langs) // 2]
+    in_range = {
+        r["doc_id"]
+        for r in tagged_index.docs.filter(
+            (F.lower("lang") >= lo) & (F.lower("lang") <= hi)
+        ).collect()
+    }
+    got = ql.execute_query(
+        tagged_index, f"authenticate +lang:[{lo} TO {hi}]", limit=10000
+    ).collect()
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in ql.execute_query(tagged_index, "authenticate", limit=10000).collect()
+    }
+    assert {r["doc_id"] for r in got} == set(base) & in_range
+    assert all(round(r["score"], 6) == base[r["doc_id"]] for r in got)
+    # excluded range is the complement
+    inv = ql.execute_query(
+        tagged_index, f"authenticate -lang:[{lo} TO {hi}]", limit=10000
+    ).collect()
+    assert {r["doc_id"] for r in inv} == set(base) - in_range
+
+
 def test_shard_struct_query_rank_identical(spark, tagged_index, chunk_positional):
     """LocalShard.query_struct == execute_query for every clause type."""
     from coderag_spark.operators.positional import compress_positional
@@ -131,6 +217,12 @@ def test_shard_struct_query_rank_identical(spark, tagged_index, chunk_positional
         'authenticate "const max_retries"',
         "+lang:python",
         "auth* -deprecated +lang:python",
+        "authenticate +(lang:python OR lang:go)",
+        "authenticate -(lang:python OR lang:go)",
+        "authenticate +lang:[go TO python]",
+        "authenticate -lang:[go TO python]",
+        "+(lang:python OR lang:go) -type:[a TO c]",
+        'auth* +(lang:python OR lang:go) -deprecated "const max_retries"',
     ]:
         want = [
             (r["doc_id"], round(r["score"], 6))
