@@ -68,6 +68,8 @@ SUITE_BENCH = [
     "ship_priority",
     "big_orders",
     "media_decode",
+    "media_decode_exact",
+    "struct_query",
     "bpe_merges",
     "emb_centroids",
     "events_dau",

@@ -367,41 +367,101 @@ def _split_oversize(
     return spans
 
 
-def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
-    """Structural chunking: definition units (bodies attached) greedily
-    packed to ``max_chunk_size``, 1-based inclusive line ranges."""
-    lines = text.split("\n")
-    # per-file memos of everything the recursive passes would recompute:
-    # stripped lines, def flags (one regex pass per line), length prefix sums
-    code = [_code_text(ln, lang) for ln in lines]
-    flags = [_is_def_code(cl) for cl in code]
-    prefix = [0]
-    for ln in lines:
-        prefix.append(prefix[-1] + len(ln) + 1)
-    if not any(flags):
-        # statement-only file (pure re-exports, describe-callback suites):
-        # tree-sitter would emit statement chunks with real line ranges, so
-        # line-group with 1-based lines and type 'chunk' — strictly closer
-        # to the reference than the char fallback (which is reserved for
-        # unsupported languages, ast-chunking.ts:59-68)
-        spans = _split_oversize(
-            lines, code, flags, prefix, 0, len(lines), lang, max_chunk_size, depth=4
-        )
-        chunks = [
-            _mk_chunk(lines, code, flags, s, e, i) for i, (s, e) in enumerate(spans)
-        ]
-        return [c for c in chunks if c.content.strip()]
-    segs = _segments(lines, code, flags, 0, len(lines), lang)
+# a statement CONTINUES past a depth-0 line when the line ends in an
+# infix/open token, or the next code line begins with one (method chains,
+# ternaries, trailing-else) — the small set that appears in real
+# statement-only files
+_STMT_CONT_END = tuple("+-*/%&|=<>.?:,(") + ("\\", "&&", "||", "=>")
+_STMT_CONT_BEGIN = (
+    ".", "?", ":", ")", "]", "}", "&&", "||", "=>",
+    "else", "catch", "finally", "elif", "except",
+)
 
-    # expand oversize segments before packing (1.6x grace, matching the
-    # reference's tolerance for slightly-over units)
+
+def _statement_spans(
+    lines: list[str], code: list[str], s: int, e: int, lang: str
+) -> list[tuple[int, int]]:
+    """Contiguous top-level STATEMENT spans over lines[s:e) — the
+    statement-node boundaries tree-sitter would report for a
+    statement-only file, recovered with one bracket-depth scan over the
+    comment/string-stripped code text. A statement ends on the line where
+    cumulative ()[]{} depth returns to 0, the line doesn't end in a
+    continuation token, the next code line doesn't begin with one, and
+    (indent languages) the next code line isn't indented deeper than the
+    statement's first line. Spans are contiguous — interstitial blank and
+    comment lines attach forward to the next statement (trailing ones to
+    the last), so the spans partition [s, e) exactly."""
+    indent_lang = lang == "Python"
+    ends: list[int] = []
+    depth = 0
+    start_ind: int | None = None
+    for i in range(s, e):
+        cl = code[i].strip()
+        if not cl:
+            continue
+        if start_ind is None:
+            start_ind = _indent(lines[i])
+        depth += cl.count("(") + cl.count("[") + cl.count("{")
+        depth -= cl.count(")") + cl.count("]") + cl.count("}")
+        if depth > 0:
+            continue
+        depth = max(depth, 0)  # stray closers: resync instead of sticking
+        if cl.endswith(_STMT_CONT_END):
+            continue
+        nxt = next((j for j in range(i + 1, e) if code[j].strip()), None)
+        if nxt is not None:
+            ncl = code[nxt].strip()
+            if ncl.startswith(_STMT_CONT_BEGIN):
+                continue
+            if indent_lang and _indent(lines[nxt]) > start_ind:
+                continue
+        ends.append(i)
+        start_ind = None
     spans: list[tuple[int, int]] = []
-    for s, e in segs:
-        if _seg_len(prefix, s, e) > max_chunk_size * OVERSIZE_TOLERANCE:
-            spans.extend(_split_oversize(lines, code, flags, prefix, s, e, lang, max_chunk_size))
+    pos = s
+    for i in ends:
+        spans.append((pos, i + 1))
+        pos = i + 1
+    if pos < e:
+        if spans and not any(code[j].strip() for j in range(pos, e)):
+            spans[-1] = (spans[-1][0], e)  # trailing blanks/comments attach back
         else:
-            spans.append((s, e))
+            spans.append((pos, e))
+    return spans
 
+
+def _statement_split(
+    lines: list[str], code: list[str], flags: list[bool], prefix: list[int],
+    ss: int, se: int, lang: str, max_chunk_size: int, depth: int = 0
+) -> list[tuple[int, int]]:
+    """Bound one statement: an oversize statement (a whole ``describe()``
+    suite) splits along its NESTED statements — header line with the first
+    inner group, closer with the last — the same shape code-chunk uses
+    when an AST node exceeds maxChunkSize (split along child nodes);
+    line-group only as the final resort."""
+    limit = max_chunk_size * OVERSIZE_TOLERANCE
+    if _seg_len(prefix, ss, se) <= limit:
+        return [(ss, se)]
+    if depth < 4 and se - ss > 2:
+        inner = _statement_spans(lines, code, ss + 1, se - 1, lang)
+        if len(inner) > 1:
+            out: list[tuple[int, int]] = []
+            for cs, ce in [(ss, ss + 1)] + inner + [(se - 1, se)]:
+                out.extend(
+                    _statement_split(lines, code, flags, prefix, cs, ce, lang,
+                                     max_chunk_size, depth + 1)
+                )
+            return out
+    return _split_oversize(lines, code, flags, prefix, ss, se, lang,
+                           max_chunk_size, depth=4)
+
+
+def _pack_spans(
+    lines: list[str], code: list[str], flags: list[bool], prefix: list[int],
+    spans: list[tuple[int, int]], max_chunk_size: int
+) -> list[Chunk]:
+    """Greedy-pack consecutive spans to ``max_chunk_size`` (code-chunk
+    packs sibling nodes the same way)."""
     chunks: list[Chunk] = []
     cur_start: int | None = None
     cur_end = 0
@@ -419,6 +479,44 @@ def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
     if cur_start is not None:
         chunks.append(_mk_chunk(lines, code, flags, cur_start, cur_end, len(chunks)))
     return [c for c in chunks if c.content.strip()]
+
+
+def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
+    """Structural chunking: definition units (bodies attached) greedily
+    packed to ``max_chunk_size``, 1-based inclusive line ranges."""
+    lines = text.split("\n")
+    # per-file memos of everything the recursive passes would recompute:
+    # stripped lines, def flags (one regex pass per line), length prefix sums
+    code = [_code_text(ln, lang) for ln in lines]
+    flags = [_is_def_code(cl) for cl in code]
+    prefix = [0]
+    for ln in lines:
+        prefix.append(prefix[-1] + len(ln) + 1)
+    if not any(flags):
+        # statement-only file (pure re-exports, describe-callback suites):
+        # tree-sitter emits statement chunks, so group at STATEMENT
+        # boundaries (a multi-line describe() block is one statement and
+        # packs/splits as a unit), with 1-based lines and type 'chunk'.
+        # The char fallback stays reserved for unsupported languages,
+        # exactly like the reference (ast-chunking.ts:59-68).
+        stmts = _statement_spans(lines, code, 0, len(lines), lang)
+        spans: list[tuple[int, int]] = []
+        for ss, se in stmts:
+            spans.extend(
+                _statement_split(lines, code, flags, prefix, ss, se, lang, max_chunk_size)
+            )
+        return _pack_spans(lines, code, flags, prefix, spans, max_chunk_size)
+    segs = _segments(lines, code, flags, 0, len(lines), lang)
+
+    # expand oversize segments before packing (1.6x grace, matching the
+    # reference's tolerance for slightly-over units)
+    spans: list[tuple[int, int]] = []
+    for s, e in segs:
+        if _seg_len(prefix, s, e) > max_chunk_size * OVERSIZE_TOLERANCE:
+            spans.extend(_split_oversize(lines, code, flags, prefix, s, e, lang, max_chunk_size))
+        else:
+            spans.append((s, e))
+    return _pack_spans(lines, code, flags, prefix, spans, max_chunk_size)
 
 
 _KIND_MAP = {

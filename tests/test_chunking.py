@@ -248,6 +248,86 @@ import pytest
 
 DIFFERENTIAL_FIXTURES = [
     pytest.param(
+        # statement-only pure re-export barrel (the reference's own
+        # packages/core/src/index.ts shape): tree-sitter emits one
+        # export_statement node per line; code-chunk packs consecutive
+        # statements to maxChunkSize. Hand-derived: lines are 42/36/41/43
+        # chars incl. newline -> 42+36=78 fits 100, +41 would not; then
+        # 41+43=84 fits.
+        "export { buildIndex } from './engine.js'\n"
+        "export { search } from './bm25.js'\n"
+        "export type { Chunk } from './types.js'\n"
+        "export { chunkCode } from './chunking.js'",
+        "TypeScript",
+        100,
+        [("chunk", [], 1, 2), ("chunk", [], 3, 4)],
+        id="ts-pure-reexport-statement-pack",
+    ),
+    pytest.param(
+        # statement-only describe() suite: each top-level describe(...) call
+        # is ONE statement node (129 and 89 chars). At max=300 both pack
+        # into a single chunk — splitting mid-block (the old line-grouping)
+        # would be a divergence from the reference.
+        "describe('math', () => {\n"
+        "\tit('adds', () => {\n"
+        "\t\texpect(1 + 1).toBe(2)\n"
+        "\t})\n"
+        "\tit('subtracts', () => {\n"
+        "\t\texpect(2 - 1).toBe(1)\n"
+        "\t})\n"
+        "})\n"
+        "describe('strings', () => {\n"
+        "\tit('concats', () => {\n"
+        "\t\texpect('a' + 'b').toBe('ab')\n"
+        "\t})\n"
+        "})",
+        "TypeScript",
+        300,
+        [("chunk", [], 1, 13)],
+        id="ts-describe-suite-whole-statements",
+    ),
+    pytest.param(
+        # same file at max=80: describe#1 (129 > 80*1.6) splits along its
+        # NESTED statements — header + it-block(2-4) = 26+50 = 76 chars pack
+        # together, it-block(5-7) + closer = 58 pack together — while
+        # describe#2 (89 <= 128 tolerance) stays whole. Hand-derived from
+        # code-chunk's oversize-node split (child statement nodes, header
+        # with first group, closer with last; ast-chunking.test.ts:129-146
+        # pins the same tolerance).
+        "describe('math', () => {\n"
+        "\tit('adds', () => {\n"
+        "\t\texpect(1 + 1).toBe(2)\n"
+        "\t})\n"
+        "\tit('subtracts', () => {\n"
+        "\t\texpect(2 - 1).toBe(1)\n"
+        "\t})\n"
+        "})\n"
+        "describe('strings', () => {\n"
+        "\tit('concats', () => {\n"
+        "\t\texpect('a' + 'b').toBe('ab')\n"
+        "\t})\n"
+        "})",
+        "TypeScript",
+        80,
+        [("chunk", [], 1, 4), ("chunk", [], 5, 8), ("chunk", [], 9, 13)],
+        id="ts-describe-oversize-splits-at-it-blocks",
+    ),
+    pytest.param(
+        # method-chain continuation: a depth-0 line ending in '.' chains —
+        # the whole pipeline expression is ONE statement (tree-sitter:
+        # one expression_statement), so it must not split mid-chain even
+        # though each line returns to bracket depth 0
+        "const out = items\n"
+        "\t.filter((x) => x.ok)\n"
+        "\t.map((x) => x.value)\n"
+        "\t.join(',')\n"
+        "console.log(out)",
+        "TypeScript",
+        60,
+        [("chunk", [], 1, 4), ("chunk", [], 5, 5)],
+        id="ts-method-chain-one-statement",
+    ),
+    pytest.param(
         # `=>` inside a generic/parameter TYPE position must not end the unit
         "function map<K, V>(\n"
         "  f: (k: K) => V,\n"

@@ -1,0 +1,136 @@
+"""Interleaved A/B bench: round-2 checkout vs the current tree.
+
+Round-3 recorded suite timings regressed vs round-2 on several queries
+(worst: bpe_merges 2.09s -> 5.74s) with no plan-affecting commits in
+between — the hypothesis is host contention between the two recorded
+runs.  The only way to settle it is to alternate fresh-JVM runs of BOTH
+code states on the SAME host back-to-back (r2, cur, r2, cur, ...), so
+each pair sees comparable conditions, and compare distributions.
+
+Usage:  python tools/ab_bench.py [n_pairs]
+Writes AB_INTERLEAVED.json at the repo root: per-side per-run metrics +
+per-query distributions for the suite queries both sides share.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+CUR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+R2 = os.environ.get("AB_R2_DIR", "/tmp/r2ab")
+
+
+def run_side(repo: str, tag: str, idx: int) -> dict:
+    out_file = os.path.join(repo, "BENCH_local_latest.json")
+    if os.path.exists(out_file):
+        os.rename(out_file, out_file + ".bak")
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_SCALING": "0",
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
+            "PYTHONPATH": repo,
+            "SPARK_GRAFT_BENCH_OUT": out_file,  # no-op on r2 (same default path)
+        }
+    )
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        return {"tag": tag, "idx": idx, "error": proc.stderr[-2000:], "wall": wall}
+    rec = None
+    if os.path.exists(out_file):
+        with open(out_file) as f:
+            rec = json.loads(f.read())
+    else:
+        # r2's bench.py predates the durable file write: parse the largest
+        # JSON line from captured stdout
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                try:
+                    cand = json.loads(line)
+                except ValueError:
+                    continue
+                if "queries" in cand:
+                    rec = cand
+        if rec is None:
+            return {"tag": tag, "idx": idx, "error": "no JSON line", "wall": wall}
+    build = rec.get("build", {})
+    return {
+        "tag": tag,
+        "idx": idx,
+        "wall": round(wall, 1),
+        "queries": rec.get("queries", {}),
+        "files_per_sec": build.get("files_per_sec"),
+        "batched_queries_per_sec": build.get("batched_queries_per_sec"),
+        "compact_build_sec": build.get("compact_build_sec"),
+        "local_serve_queries_per_sec": build.get("local_serve_queries_per_sec"),
+        "build_sec": build.get("build_sec"),
+    }
+
+
+def main() -> None:
+    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    runs = []
+    for i in range(n_pairs):
+        for tag, repo in (("r2", R2), ("cur", CUR)):
+            rec = run_side(repo, tag, i)
+            runs.append(rec)
+            print(
+                f"[{time.strftime('%H:%M:%S')}] pair {i} {tag}: "
+                f"wall={rec.get('wall')}s err={'error' in rec}",
+                flush=True,
+            )
+            with open(os.path.join(CUR, "AB_INTERLEAVED.json"), "w") as f:
+                json.dump(runs, f, indent=1)
+
+    # per-query distribution over the shared query set
+    common = None
+    for r in runs:
+        if "queries" in r:
+            qs = set(r["queries"])
+            common = qs if common is None else common & qs
+    summary = {}
+    for q in sorted(common or []):
+        by = {
+            tag: [r["queries"][q] for r in runs if r["tag"] == tag and "queries" in r]
+            for tag in ("r2", "cur")
+        }
+        summary[q] = {
+            "r2": by["r2"],
+            "cur": by["cur"],
+            "r2_min": min(by["r2"]),
+            "cur_min": min(by["cur"]),
+            "ratio_min": round(min(by["cur"]) / max(min(by["r2"]), 1e-9), 3),
+        }
+    for metric in (
+        "batched_queries_per_sec",
+        "compact_build_sec",
+        "files_per_sec",
+        "local_serve_queries_per_sec",
+        "build_sec",
+    ):
+        by = {
+            tag: [r[metric] for r in runs if r["tag"] == tag and r.get(metric) is not None]
+            for tag in ("r2", "cur")
+        }
+        summary[f"__{metric}"] = by
+    with open(os.path.join(CUR, "AB_INTERLEAVED.json"), "w") as f:
+        json.dump({"runs": runs, "summary": summary}, f, indent=1)
+    print("done; summary written to AB_INTERLEAVED.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
