@@ -178,6 +178,8 @@ def pmi_pairs(
     semantics on corpora known to have no pathological docs;
     ``log_dropped=True`` eagerly counts and logs dropped docs (one extra
     job)."""
+    from coderag_spark.operators.dedup import _persist
+
     docs = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(simple_tokens_col(F.col(text_col))).alias("_toks"),
@@ -196,6 +198,11 @@ def pmi_pairs(
                     n_dropped, max_doc_distinct_tokens,
                 )
         docs = kept
+    # persist the tokenized pass: four consumers read it (the n_docs
+    # count, the unigram agg, and BOTH self-join sides) — unpersisted,
+    # each re-tokenizes the corpus (measured 1.8x on the whole query).
+    # Registered in dedup's release ledger, freed by release_persists().
+    docs = _persist(docs)
     n_docs = docs.count()
     t = docs.select("doc_id", F.explode("_toks").alias("tok"))
     uni = t.groupBy("tok").agg(F.count("*").alias("n"))

@@ -1,0 +1,77 @@
+"""Targeted per-query A/B: fresh JVM per (side, rep), runs ONLY the named
+suite queries (first-run + second-run timings per JVM), alternating
+cur-first to cancel the full-bench harness's r2-first order effect.
+
+Usage: python tools/ab_queries.py q1,q2,... [n_pairs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+CUR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+R2 = os.environ.get("AB_R2_DIR", "/tmp/r2ab")
+
+RUNNER = r"""
+import json, sys, time
+from coderag_spark import get_spark
+from coderag_spark.suite import queries, warm_suite
+
+names = sys.argv[1].split(",")
+spark = get_spark("abq", cores=32, shuffle_partitions=32)
+warm_suite(spark, "/root/testdata/sf0.1")
+qs = queries()
+out = {}
+for name in names:
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        qs[name](spark, "/root/testdata/sf0.1").collect()
+        runs.append(round(time.time() - t0, 3))
+        try:
+            from coderag_spark.operators.dedup import release_persists
+            release_persists()
+        except ImportError:
+            pass
+        try:
+            from coderag_spark.suite import clear_suite_caches
+        except ImportError:
+            pass
+    out[name] = runs
+print("ABQ_RESULT " + json.dumps(out), flush=True)
+spark.stop()
+"""
+
+
+def run_side(repo: str, names: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    proc = subprocess.run(
+        [sys.executable, "-c", RUNNER, names],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("ABQ_RESULT "):
+            return json.loads(line[len("ABQ_RESULT "):])
+    raise RuntimeError(proc.stderr[-1500:])
+
+
+def main() -> None:
+    names = sys.argv[1]
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    rows = []
+    for i in range(n_pairs):
+        for tag, repo in (("cur", CUR), ("r2", R2)):  # cur FIRST
+            t0 = time.time()
+            res = run_side(repo, names)
+            rows.append({"tag": tag, "pair": i, "queries": res})
+            print(f"pair {i} {tag}: {res} ({time.time()-t0:.0f}s)", flush=True)
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Deterministically scale the driver's sf0.1 tables 10x into a scratch
+sf1 directory (default /tmp/sf1) for the scaling proof.
+
+The driver ships sf{0.001,0.01,0.1} read-only; sf1 is derived by
+replicating each table 10x with id shifts and deterministic per-copy
+perturbations, preserving the schema and value distributions EXACTLY
+while keeping rows distinct (documents get a per-copy suffix token so
+exact/near-dup queries don't explode on verbatim clones; embeddings get
+a tiny hash-seeded rotation; events shift user/event ids and timestamps
+by copy). Correctness at sf1 is still exact: the DuckDB oracle reads the
+same parquet files.
+
+Usage: python tools/make_sf1.py [out_dir] [src_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+COPIES = 10
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    os.makedirs(out, exist_ok=True)
+
+    # small dimensions: copy through unchanged (they are lookup tables;
+    # replicating them would break key uniqueness)
+    for name in ("region", "nation", "customer", "supplier", "part"):
+        t = pq.read_table(f"{src}/{name}.parquet")
+        pq.write_table(t, f"{out}/{name}.parquet")
+        print(name, t.num_rows)
+
+    def scale(name: str, tweak) -> None:
+        t = pq.read_table(f"{src}/{name}.parquet")
+        parts = [tweak(t, k) for k in range(COPIES)]
+        big = pa.concat_tables(parts)
+        pq.write_table(big, f"{out}/{name}.parquet")
+        print(name, t.num_rows, "->", big.num_rows)
+
+    def docs_tweak(t: pa.Table, k: int) -> pa.Table:
+        n = t.num_rows
+        doc_id = pa.array(np.asarray(t["doc_id"]) + k * n, type=pa.int64())
+        if k == 0:
+            return t.set_column(t.schema.get_field_index("doc_id"), "doc_id", doc_id)
+        txt = t["text"].to_pylist()
+        # suffix token is deterministic per (copy, doc): keeps docs distinct
+        # for dedup while leaving token distributions essentially intact
+        txt = [
+            (x if x is None else f"{x} copytag{k}_{i % 97}") for i, x in enumerate(txt)
+        ]
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", doc_id)
+        t = t.set_column(
+            t.schema.get_field_index("text"), "text", pa.array(txt, type=pa.string())
+        )
+        nchars = pa.array(
+            [len(x) if x is not None else 0 for x in txt], type=pa.int64()
+        )
+        return t.set_column(t.schema.get_field_index("n_chars"), "n_chars", nchars)
+
+    def emb_tweak(t: pa.Table, k: int) -> pa.Table:
+        n = t.num_rows
+        vec_id = pa.array(np.asarray(t["vec_id"]) + k * n, type=pa.int64())
+        t = t.set_column(t.schema.get_field_index("vec_id"), "vec_id", vec_id)
+        if k == 0:
+            return t
+        embs = t["embedding"].to_pylist()
+        rng = np.random.default_rng(1000 + k)  # deterministic per copy
+        out_e = []
+        for v in embs:
+            a = np.asarray(v, dtype=np.float32)
+            a = a + rng.normal(0, 0.01, size=a.shape).astype(np.float32)
+            out_e.append(a.tolist())
+        return t.set_column(
+            t.schema.get_field_index("embedding"),
+            "embedding",
+            pa.array(out_e, type=t.schema.field("embedding").type),
+        )
+
+    def events_tweak(t: pa.Table, k: int) -> pa.Table:
+        n = t.num_rows
+        ev = pa.array(np.asarray(t["event_id"]) + k * n, type=pa.int64())
+        t = t.set_column(t.schema.get_field_index("event_id"), "event_id", ev)
+        if k == 0:
+            return t
+        users = np.asarray(t["user_id"])
+        t = t.set_column(
+            t.schema.get_field_index("user_id"),
+            "user_id",
+            pa.array(users + k * (users.max() + 1), type=pa.int64()),
+        )
+        return t
+
+    def lineitem_tweak(t: pa.Table, k: int) -> pa.Table:
+        ok = np.asarray(t["l_orderkey"])
+        if k == 0:
+            return t
+        return t.set_column(
+            t.schema.get_field_index("l_orderkey"),
+            "l_orderkey",
+            pa.array(ok + k * (ok.max() + 1), type=pa.int64()),
+        )
+
+    def orders_tweak(t: pa.Table, k: int) -> pa.Table:
+        ok = np.asarray(t["o_orderkey"])
+        if k == 0:
+            return t
+        return t.set_column(
+            t.schema.get_field_index("o_orderkey"),
+            "o_orderkey",
+            pa.array(ok + k * (ok.max() + 1), type=pa.int64()),
+        )
+
+    scale("documents", docs_tweak)
+    scale("embeddings", emb_tweak)
+    scale("events", events_tweak)
+    scale("lineitem", lineitem_tweak)
+    scale("orders", orders_tweak)
+    print("sf1 written to", out)
+
+
+if __name__ == "__main__":
+    main()
