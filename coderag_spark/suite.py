@@ -1219,6 +1219,73 @@ SELECT vec_id, round(c, 6) AS cos FROM s ORDER BY 2 DESC, 1 ASC LIMIT 10
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the PERSISTED assignment path: centroids are the
+    first 8 vectors by vec_id (SQL-derivable, so the oracle recomputes the
+    whole index — Lloyd-trained centroids are exercised separately in
+    tests where xxhash64 seeding can't be mirrored in DuckDB), ivf_index
+    writes the assignment parquet partitioned by centroid, and the probe
+    reads only the nprobe=3 pruned partitions (plan-pinned in
+    tests/test_similarity.py::test_ivf_probe_is_partition_pruned)."""
+    import os
+    import tempfile
+
+    emb = _embeddings(spark, sf_dir)
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_suite_{tag}")
+    indexed = sim.ivf_index(emb, cents, path)
+    return sim.ivf_topk(indexed, cents, _query_vec(spark, sf_dir), k=10, nprobe=3)
+
+
+SQL_IVF_TOPK = """
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                 i -> e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))) AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS centroid
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+probe AS (
+  SELECT c.cid
+  FROM cents c, q
+  ORDER BY list_sum(list_transform(range(1, len(c.cv) + 1),
+                                   i -> c.cv[i]::DOUBLE * q.qv[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) DESC,
+           c.cid ASC
+  LIMIT 3
+),
+cand AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+  WHERE a.centroid IN (SELECT cid FROM probe)
+),
+sc AS (
+  SELECT vec_id,
+         round(list_sum(list_transform(range(1, len(embedding) + 1),
+                                       i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+  FROM cand, q
+)
+SELECT vec_id, cos FROM sc ORDER BY 2 DESC, 1 ASC LIMIT 10
+"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
@@ -2777,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
         "media_stats": q_media_stats,
         "bm25_filtered": q_bm25_filtered,
@@ -2855,6 +2923,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": SQL_QUALITY,
         "langid": _sql_langid(),
         "ann_cosine_topk": SQL_ANN_COSINE,
+        "ivf_topk": SQL_IVF_TOPK,
         "events_hourly": SQL_EVENTS_HOURLY,
         "media_stats": SQL_MEDIA_STATS,
         "bm25_filtered": _sql_bm25_filtered(query_terms(BM25_QUERY_MULTI)),
