@@ -226,12 +226,29 @@ def ivf_build_centroids(
 
 
 def ivf_assign(embeddings: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
-    """Assign each row to its nearest centroid (max cosine) as a column."""
-    best = None
-    for ci, c in enumerate(centroids):
-        cc = F.array(*[F.lit(float(x)) for x in c])
-        cur = F.struct(cosine(F.col(vec_col), cc).alias("s"), F.lit(ci).alias("c"))
-        best = cur if best is None else F.when(cur["s"] > best["s"], cur).otherwise(best)
+    """Assign each row to its nearest centroid (max cosine) as a column.
+
+    The centroid table rides as ONE nested-array literal and the argmax
+    is a transform+aggregate HOF fold — the former per-centroid
+    F.when chain inlined k x dim literal nodes into the plan (a 16x128
+    codebook pushed the task binary past 3 MiB and bloated codegen).
+    Tie semantics match the old chain exactly: strictly-greater keeps the
+    earliest centroid index, and the per-centroid score expression is the
+    same cosine() composition, so assignments are bit-identical."""
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            cosine(F.col(vec_col), c).alias("s"), i.alias("c")
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("-inf")).alias("s"), F.lit(-1).cast("int").alias("c")
+        ),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )
     return embeddings.withColumn("centroid", best["c"])
 
 
