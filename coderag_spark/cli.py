@@ -399,6 +399,53 @@ def _cmd_status(args) -> int:
     return 0
 
 
+def _cmd_ann(args) -> int:
+    """ANN top-k over an embeddings parquet: brute-force cosine (exact
+    baseline), hyperplane-LSH multi-probe, IVF with the PERSISTED
+    partition-pruned assignment, or IVF+PQ (coarse cells + m-byte ADC
+    codes). Prints one JSON line per hit. The ivf/ivfpq index artifacts
+    land under --index (reused across invocations at serving time)."""
+    import os
+    import tempfile
+
+    from coderag_spark import get_spark
+    from coderag_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    spark = get_spark("coderag-ann", cores=args.cores)
+    emb = spark.read.parquet(args.embeddings)
+    qrow = emb.filter(F.col(args.id_col) == args.query_id).limit(1).collect()
+    if not qrow:
+        print(json.dumps({"error": f"query id {args.query_id} not found"}))
+        return 1
+    q = [float(x) for x in qrow[0][args.vec_col]]
+    kw = {"vec_col": args.vec_col, "id_col": args.id_col}
+    if args.method == "brute":
+        out = sim.cosine_topk(emb, q, k=args.k, **kw)
+    elif args.method == "lsh":
+        out = sim.hyperplane_lsh_topk(emb, q, k=args.k, **kw)
+    elif args.method == "ivf":
+        cents = sim.ivf_build_centroids(
+            emb, n_centroids=args.n_centroids, iters=args.iters, **kw
+        )
+        path = args.index or os.path.join(tempfile.mkdtemp(), "ivf")
+        indexed = sim.ivf_index(emb, cents, path, **kw)
+        out = sim.ivf_topk(indexed, cents, q, k=args.k, nprobe=args.nprobe, **kw)
+    else:  # ivfpq
+        cents, books, coded = sim.ivfpq_index(
+            emb, n_centroids=args.n_centroids, m=args.m, ksub=args.ksub,
+            iters=args.iters, **kw
+        )
+        out = sim.ivfpq_topk(
+            coded, cents, books, q, k=args.k, nprobe=args.nprobe,
+            id_col=args.id_col,
+        )
+    for r in out.collect():
+        print(json.dumps({k: (round(float(v), 6) if isinstance(v, float) else v)
+                          for k, v in r.asDict().items()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="coderag-spark")
     p.add_argument("--cores", type=int, default=8)
@@ -444,12 +491,27 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--k", type=int, default=8, help="window tokens for --method substr")
     d.add_argument("--threshold", type=float, default=0.8, help="near-dup jaccard threshold")
 
+    a = sub.add_parser("ann")
+    a.add_argument("--embeddings", required=True, help="embeddings parquet")
+    a.add_argument("--query-id", type=int, required=True, help="vec_id of the query row")
+    a.add_argument("--method", choices=["brute", "lsh", "ivf", "ivfpq"], default="brute")
+    a.add_argument("--k", type=int, default=10)
+    a.add_argument("--nprobe", type=int, default=4)
+    a.add_argument("--n-centroids", type=int, default=16)
+    a.add_argument("--m", type=int, default=8, help="PQ subspaces")
+    a.add_argument("--ksub", type=int, default=16, help="PQ centroids per subspace")
+    a.add_argument("--iters", type=int, default=3, help="k-means rounds")
+    a.add_argument("--index", default=None, help="dir for the ivf assignment parquet")
+    a.add_argument("--id-col", default="vec_id")
+    a.add_argument("--vec-col", default="embedding")
+
     args = p.parse_args(argv)
     return {
         "build": _cmd_build,
         "query": _cmd_query,
         "status": _cmd_status,
         "dedup": _cmd_dedup,
+        "ann": _cmd_ann,
     }[args.cmd](args)
 
 

@@ -507,20 +507,34 @@ class LocalShard:
 
     # ------------------------------------------------- phrase serving
 
-    def attach_positions(self, compressed_positional) -> int:
+    def attach_positions(self, compressed_positional, max_bytes: int = 1 << 30) -> int:
         """Download the compressed positional store for phrase serving:
         collects (term -> {doc_id -> varbyte position blob}); blobs stay
         compressed in memory (~1 byte/occurrence) and decode per query.
         Pass the output of positional.compress_positional (optionally
-        pre-filtered via read_positional_store). Returns blob bytes held."""
+        pre-filtered via read_positional_store). Returns blob bytes held.
+
+        Refuses over-budget stores BEFORE collecting (same discipline as
+        ``from_index``'s max_bytes): the size check is one Spark agg, so
+        an oversized positional store never lands on the serving node."""
+        total = (
+            compressed_positional.agg(F.sum(F.length("posz")).alias("b")).collect()[0]["b"]
+            or 0
+        )
+        if total > max_bytes:
+            n_suggest = -(-total // max_bytes)
+            raise MemoryError(
+                f"positional store {total}B exceeds max_bytes={max_bytes}; "
+                f"pre-filter terms via read_positional_store or split across "
+                f">= {n_suggest} doc-shards"
+            )
         by_term: dict[str, dict[int, bytes]] = {}
-        total = 0
         for r in compressed_positional.select("doc_id", "term", "posz").collect():
             blob = bytes(r["posz"])
             by_term.setdefault(r["term"], {})[int(r["doc_id"])] = blob
-            total += len(blob)
         self.positions = by_term
-        return total
+        self.store_bytes += int(total)
+        return int(total)
 
     def phrase(self, terms: list[str], limit: int = 10) -> list[tuple[int, int]]:
         """Exact-sequence phrase top-k from the attached position store:

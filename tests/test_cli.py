@@ -237,3 +237,49 @@ def test_query_struct_mode(built, capsys):
                               "--query", 'const "const max_retries"',
                               "--mode", "struct", "--limit", "5"])
     assert rc3 == 0 and json.loads(out3[-1])["results"]
+
+
+def test_cli_ann_methods(spark, tmp_path, capsys):
+    """ann subcommand: brute is the exact baseline; lsh/ivf/ivfpq results
+    stay inside the plausible neighbor set and include the query row."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in base[i] / np.linalg.norm(base[i])], i % 4)
+            for i in range(40)]
+    emb_path = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int") \
+        .write.mode("overwrite").parquet(emb_path)
+
+    def run(argv):
+        rc = main(argv)
+        out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        return rc, out
+
+    rc, brute = run(["--cores", "4", "ann", "--embeddings", emb_path,
+                     "--query-id", "0", "--method", "brute", "--k", "5"])
+    assert rc == 0 and len(brute) == 5
+    assert brute[0]["vec_id"] == 0 and brute[0]["cos"] == 1.0
+    brute_ids = [r["vec_id"] for r in brute]
+
+    rc, lsh = run(["--cores", "4", "ann", "--embeddings", emb_path,
+                   "--query-id", "0", "--method", "lsh", "--k", "5"])
+    assert rc == 0 and lsh and lsh[0]["vec_id"] == 0
+
+    rc, ivf = run(["--cores", "4", "ann", "--embeddings", emb_path,
+                   "--query-id", "0", "--method", "ivf", "--k", "5",
+                   "--n-centroids", "4", "--nprobe", "2", "--iters", "2",
+                   "--index", str(tmp_path / "ivf")])
+    assert rc == 0 and ivf and ivf[0]["vec_id"] == 0
+    assert len(set(r["vec_id"] for r in ivf) & set(brute_ids)) >= 2
+
+    rc, pq = run(["--cores", "4", "ann", "--embeddings", emb_path,
+                  "--query-id", "0", "--method", "ivfpq", "--k", "5",
+                  "--n-centroids", "4", "--nprobe", "3", "--m", "4",
+                  "--ksub", "8", "--iters", "2"])
+    assert rc == 0 and len(pq) == 5
+
+    rc, err = run(["--cores", "4", "ann", "--embeddings", emb_path,
+                   "--query-id", "9999", "--method", "brute"])
+    assert rc == 1 and "error" in err[-1]

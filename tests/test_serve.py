@@ -228,8 +228,13 @@ def test_shard_phrase_serving_matches_spark_plan(spark, index):
     )
     pos = px.positional_postings(docs)
     shard = LocalShard.from_index(index)
+    # over-budget attach refuses BEFORE collecting, like from_index
+    with pytest.raises(MemoryError, match="positional store"):
+        shard.attach_positions(px.compress_positional(pos), max_bytes=1)
+    assert shard.positions is None
     held = shard.attach_positions(px.compress_positional(pos))
     assert held > 0
+    assert shard.store_bytes >= held  # attach-time accounting includes positions
     for terms in (["alpha", "beta"], ["alpha", "beta", "gamma"], ["alpha"]):
         want = sorted(
             ((r["doc_id"], r["n_hits"]) for r in px.phrase_hits(pos, terms).collect()),
