@@ -351,7 +351,15 @@ def _split_oversize(
                 else:
                     spans.append((cs, ce))
             return spans
-    # flat line grouping
+        # no child definitions: align split points with STATEMENT-node
+        # boundaries (an oversize function body splits along its inner
+        # statements, header with the first group, closer with the last —
+        # the code-chunk oversize-node shape). _statement_split bottoms
+        # out in the flat grouping below via depth=4.
+        return _statement_split(
+            lines, code, flags, prefix, s, e, lang, max_chunk_size, depth + 1
+        )
+    # flat line grouping (final resort: statements with no inner structure)
     spans = []
     cur = s
     cur_len = 0
@@ -443,9 +451,22 @@ def _statement_split(
     if _seg_len(prefix, ss, se) <= limit:
         return [(ss, se)]
     if depth < 4 and se - ss > 2:
-        inner = _statement_spans(lines, code, ss + 1, se - 1, lang)
+        # a multi-statement span (an import/constant run) splits directly
+        # at its statement boundaries; a SINGLE bracketed statement (a
+        # function body, a describe() suite) splits along the statements
+        # one level in, header with the first group, closer with the last
+        inner = _statement_spans(lines, code, ss, se, lang)
         if len(inner) > 1:
             out: list[tuple[int, int]] = []
+            for cs, ce in inner:
+                out.extend(
+                    _statement_split(lines, code, flags, prefix, cs, ce, lang,
+                                     max_chunk_size, depth + 1)
+                )
+            return out
+        inner = _statement_spans(lines, code, ss + 1, se - 1, lang)
+        if len(inner) > 1:
+            out = []
             for cs, ce in [(ss, ss + 1)] + inner + [(se - 1, se)]:
                 out.extend(
                     _statement_split(lines, code, flags, prefix, cs, ce, lang,

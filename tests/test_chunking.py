@@ -313,6 +313,29 @@ DIFFERENTIAL_FIXTURES = [
         id="ts-describe-oversize-splits-at-it-blocks",
     ),
     pytest.param(
+        # oversize FUNCTION with no inner definitions: splits along its
+        # body's statement boundaries (header packs with the first
+        # statements — code-chunk's oversize-node split along child
+        # statement nodes), not at arbitrary char offsets. Hand-derived
+        # packing at max=60: header(25)+a(17)+b(17)=59; c(19)+d(18)+
+        # return(22)=59; closer(2) overflows by 1 and lands alone.
+        "function big(): number {\n"
+        "\tconst a = one()\n"
+        "\tconst b = two()\n"
+        "\tconst c = three()\n"
+        "\tconst d = four()\n"
+        "\treturn a + b + c + d\n"
+        "}",
+        "TypeScript",
+        60,
+        [
+            ("function", ["function:big"], 1, 3),
+            ("chunk", [], 4, 6),
+            ("chunk", [], 7, 7),
+        ],
+        id="ts-oversize-function-splits-at-statements",
+    ),
+    pytest.param(
         # method-chain continuation: a depth-0 line ending in '.' chains —
         # the whole pipeline expression is ONE statement (tree-sitter:
         # one expression_statement), so it must not split mid-chain even
