@@ -91,6 +91,7 @@ SUITE_BENCH = [
     "phrase_search",
     "proximity_search",
     "prefix_bm25",
+    "fuzzy_bm25",
     "substr_dedup",
     "unigram_lm",
     "bigram_lm",

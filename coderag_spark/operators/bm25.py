@@ -257,6 +257,52 @@ def prefix_search(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
 
+def fuzzy_cond(term: str, max_edits: int):
+    """Dictionary predicate for Lucene FuzzyQuery expansion: plain
+    Levenshtein distance <= max_edits, length-band pruned first (an edit
+    changes length by at most 1, so |len(t)-len(q)| > max_edits can never
+    match — the cheap filter runs before the DP). Both sides JVM-native
+    (F.levenshtein), and DuckDB's levenshtein is the same plain
+    (no-transposition) metric, so oracles replay it exactly."""
+    return (
+        (F.abs(F.length("term") - F.lit(len(term))) <= max_edits)
+        & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+    )
+
+
+def fuzzy_search(
+    index: Index,
+    term: str,
+    max_edits: int = 2,
+    limit: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Fuzzy (``term~`` / ``term~1``) BM25 search — every dictionary term
+    within ``max_edits`` Levenshtein edits of ``term`` contributes with
+    its own idf, exactly like ``prefix_search``'s expansion semantics
+    (Lucene FuzzyQuery, default maxEdits=2). Returns
+    (doc_id, score, matched_terms) top-``limit``.
+
+    Scale shape: the edit-distance scan touches only the DICTIONARY
+    (length-band pruned), orders of magnitude smaller than postings; the
+    matched slice broadcasts into the postings join, then one partial-agg
+    shuffle and TakeOrderedAndProject — identical to regex_search's
+    expand-then-score plan."""
+    if not term:
+        raise ValueError("fuzzy_search needs a non-empty term")
+    t = term.lower()
+    matched = index.dictionary.filter(fuzzy_cond(t, max_edits)).select("term", "idf")
+    scored_src = index.postings.join(F.broadcast(matched), "term")
+    per_term = bm25_term_score(
+        F.col("raw_freq"), F.col("idf"), F.col("token_count"), index.stats.avgdl, k1, b
+    )
+    scored = scored_src.groupBy("doc_id").agg(
+        F.sum(per_term).alias("score"), F.count("*").alias("matched_terms")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
 def _regex_literal_runs(pattern: str) -> list[str]:
     """Maximal literal substrings of a regex (the zoekt/Google-codesearch
     trick, Cox 2012 "Regular Expression Matching with a Trigram Index" —

@@ -7,6 +7,9 @@ that ties the engine's retrieval primitives into one string:
 
   * bare words        -> analyzed, BM25-scored (OR retrieval)
   * ``word*``         -> prefix expansion, every match scores with its idf
+  * ``word~`` / ``word~1`` -> fuzzy expansion (Lucene FuzzyQuery): every
+                         dictionary term within maxEdits (default 2)
+                         Levenshtein edits scores with its own idf
   * ``"two words"``   -> exact token sequence (positional filter;
                          simple-analyzer token space, like phrase_search)
   * ``+term``         -> required: doc's postings must contain the term
@@ -44,16 +47,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coderag_spark.functions.tokenize import code_analyze, simple_word_tokenize
-from coderag_spark.operators.bm25 import BM25_B, BM25_K1, Index, bm25_term_score
+from coderag_spark.operators.bm25 import (
+    BM25_B,
+    BM25_K1,
+    Index,
+    bm25_term_score,
+    fuzzy_cond,
+)
 from coderag_spark.operators.positional import phrase_hits
 
 _RANGE_RE = re.compile(r"^([A-Za-z_][\w.]*):\[(\S+) TO (\S+)\]$")
+_FUZZY_RE = re.compile(r"^(.+)~([0-2]?)$")
 
 
 @dataclass
 class ParsedQuery:
     terms: list[str] = field(default_factory=list)      # analyzed, scored
     prefixes: list[str] = field(default_factory=list)   # raw prefixes (no *)
+    fuzzies: list[tuple[str, int]] = field(default_factory=list)  # (term, max_edits)
     phrases: list[list[str]] = field(default_factory=list)
     required: list[str] = field(default_factory=list)   # verbatim terms
     excluded: list[str] = field(default_factory=list)   # verbatim terms
@@ -127,6 +138,10 @@ def parse_query(q: str) -> ParsedQuery:
             out.excluded.append(tok.lower())
         elif tok.endswith("*") and len(tok) > 1:
             out.prefixes.append(tok[:-1].lower())
+        elif (m2 := _FUZZY_RE.match(tok)) is not None:
+            out.fuzzies.append(
+                (m2.group(1).lower(), int(m2.group(2)) if m2.group(2) else 2)
+            )
         else:
             for t in code_analyze(tok):
                 if t not in out.terms:
@@ -170,12 +185,14 @@ def execute_query(
 
     # scoring side: one term predicate covering bare terms and every
     # prefix expansion (a term matched by both scores once)
-    if parsed.terms or parsed.prefixes:
+    if parsed.terms or parsed.prefixes or parsed.fuzzies:
         cond = F.lit(False)
         if parsed.terms:
             cond = cond | F.col("term").isin(parsed.terms)
         if parsed.prefixes:
             cond = cond | _any_prefix(parsed.prefixes)
+        for ft, fd in parsed.fuzzies:
+            cond = cond | fuzzy_cond(ft, fd)
         idf_terms = index.dictionary.filter(cond).select("term", "idf")
         per_term = bm25_term_score(
             F.col("raw_freq"), F.col("idf"), F.col("token_count"),

@@ -65,6 +65,33 @@ class _StoredList:
     blocks_stale: bool = False
 
 
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Plain Levenshtein distance <= k (banded DP, early exit) — the same
+    no-transposition metric as Spark's F.levenshtein and DuckDB's
+    levenshtein, so the in-process fuzzy expansion is term-for-term
+    identical to the Spark plan's dictionary scan."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = cur[0]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
 class LocalShard:
     """One serving node's in-memory shard of the compacted index.
 
@@ -443,6 +470,11 @@ class LocalShard:
         score_terms = list(parsed.terms)
         for p in parsed.prefixes:
             score_terms.extend(t for t in self.idf if t.startswith(p))
+        for ft, fd in parsed.fuzzies:
+            score_terms.extend(
+                t for t in self.idf
+                if abs(len(t) - len(ft)) <= fd and _levenshtein_leq(t, ft, fd)
+            )
         score_terms = list(dict.fromkeys(score_terms))
 
         def _union(terms_list) -> "np.ndarray":

@@ -346,6 +346,7 @@ def _bm25(
     min_score: float = 0.0,
     prefix: str | None = None,
     regex: str | None = None,
+    fuzzy: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Stats (N, avgdl) ride along as a broadcast 1-row cross-join instead
     of a separate collect — the whole query is ONE Spark job (one fewer
@@ -353,7 +354,8 @@ def _bm25(
 
     ``prefix`` switches term selection from an IN list to a StartsWith
     predicate (PrefixQuery expansion — every matching dictionary term
-    scores with its own idf)."""
+    scores with its own idf); ``fuzzy=(term, max_edits)`` to a
+    length-banded Levenshtein predicate (FuzzyQuery expansion)."""
     tok = _tokdocs(spark, sf_dir)
     stats = tok.agg(
         F.count("*").alias("n_docs"),
@@ -364,6 +366,10 @@ def _bm25(
         post = post.filter(F.col("term").startswith(prefix))
     elif regex is not None:
         post = post.filter(F.col("term").rlike(regex))
+    elif fuzzy is not None:
+        from coderag_spark.operators.bm25 import fuzzy_cond
+
+        post = post.filter(fuzzy_cond(fuzzy[0], fuzzy[1]))
     else:
         post = post.filter(F.col("term").isin(terms))
     idf = (
@@ -402,9 +408,16 @@ def _sql_bm25(
     min_score: float = 0.0,
     prefix: str | None = None,
     regex: str | None = None,
+    fuzzy: tuple[str, int] | None = None,
 ) -> str:
     having = f"HAVING round(score_raw, 6) >= {min_score}" if min_score > 0 else ""
-    if prefix is not None:
+    if fuzzy is not None:
+        ft = fuzzy[0].replace("'", "''")
+        qt_sql = (
+            f"SELECT DISTINCT term FROM post WHERE abs(len(term) - {len(fuzzy[0])})"
+            f" <= {fuzzy[1]} AND levenshtein(term, '{ft}') <= {fuzzy[1]}"
+        )
+    elif prefix is not None:
         esc = prefix.replace("'", "''")
         qt_sql = f"SELECT DISTINCT term FROM post WHERE term LIKE '{esc}%'"
     elif regex is not None:
@@ -448,6 +461,17 @@ BM25_QUERY_SINGLE = "spark"
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), 10)
+
+
+FUZZY_QUERY = ("hasb", 2)  # expands to {hash(1 edit), fast(2 edits)}
+
+
+def q_fuzzy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (Lucene FuzzyQuery, term~2) BM25: dictionary expansion by
+    length-banded Levenshtein (JVM F.levenshtein == DuckDB levenshtein,
+    both plain no-transposition), every expansion scoring with its own
+    idf — the typo-tolerant twin of prefix_bm25."""
+    return _bm25(spark, sf_dir, [], 15, fuzzy=FUZZY_QUERY)
 
 
 # Lucene-subset structured query exercising the round-4 grammar: an any-of
@@ -2817,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
         "struct_query": q_struct_query,
+        "fuzzy_bm25": q_fuzzy_bm25,
         "bm25_long": q_bm25_long,
         "bm25_single": q_bm25_single,
         "bm25_minscore": q_bm25_minscore,
@@ -2896,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": SQL_CORPUS_STATS,
         "bm25_topk": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10),
         "struct_query": SQL_STRUCT_QUERY,
+        "fuzzy_bm25": _sql_bm25([], 15, fuzzy=FUZZY_QUERY),
         "bm25_long": _sql_bm25(query_terms(BM25_QUERY_LONG), 25),
         "bm25_single": _sql_bm25(query_terms(BM25_QUERY_SINGLE), 10),
         "bm25_minscore": _sql_bm25(query_terms(BM25_QUERY_MULTI), 50, min_score=2.0),

@@ -36,6 +36,13 @@ def test_parse_groups_and_ranges():
     # lowercase 'to' is NOT range syntax -> falls back to a required term
     p4 = ql.parse_query("+lang:[go to python]")
     assert p4.required_ranges == [] and p4.required == ["lang:[go to python]"]
+    # fuzzy clauses: trailing ~ (maxEdits 2) or ~N
+    pf = ql.parse_query("authenticat~ tabel~1 plain")
+    assert pf.fuzzies == [("authenticat", 2), ("tabel", 1)]
+    assert pf.terms == ["plain"]
+    # a bare '~' or '~3' is not fuzzy syntax
+    assert ql.parse_query("~").fuzzies == []
+    assert ql.parse_query("word~3").fuzzies == []
     # malformed input never raises; OR is dropped case-insensitively in groups
     assert ql.parse_query("+(dangling or").required_groups == [["dangling"]]
     assert ql.parse_query("x:[lo TO").required_ranges == []
@@ -136,6 +143,38 @@ def test_pure_filter_query_is_deterministic(tagged_index):
     assert ids == sorted(ids)
 
 
+def test_fuzzy_clause_matches_fuzzy_search(tagged_index):
+    """term~N inside the query language == bm25.fuzzy_search's expansion
+    (same dictionary scan), and the expansion set is exactly the python
+    Levenshtein ball over the dictionary."""
+    from coderag_spark.operators.bm25 import fuzzy_search
+    from coderag_spark.operators.serve import _levenshtein_leq
+
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in ql.execute_query(tagged_index, "authenticat~1", limit=10).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in fuzzy_search(tagged_index, "authenticat", max_edits=1, limit=10).collect()
+    ]
+    assert got == want and got
+    vocab = [r["term"] for r in tagged_index.dictionary.collect()]
+    expansion = sorted(
+        t for t in vocab
+        if abs(len(t) - len("authenticat")) <= 1 and _levenshtein_leq(t, "authenticat", 1)
+    )
+    assert "authenticate" in expansion
+    from pyspark.sql import functions as F
+    from coderag_spark.operators.bm25 import fuzzy_cond
+
+    spark_exp = sorted(
+        r["term"]
+        for r in tagged_index.dictionary.filter(fuzzy_cond("authenticat", 1)).collect()
+    )
+    assert spark_exp == expansion
+
+
 def test_or_group_filters(tagged_index):
     """+(a OR b) admits the union; scores stay identical to unfiltered."""
     base = {
@@ -217,6 +256,8 @@ def test_shard_struct_query_rank_identical(spark, tagged_index, chunk_positional
         'authenticate "const max_retries"',
         "+lang:python",
         "auth* -deprecated +lang:python",
+        "authenticat~1",
+        "authenticat~ -token",
         "authenticate +(lang:python OR lang:go)",
         "authenticate -(lang:python OR lang:go)",
         "authenticate +lang:[go TO python]",
