@@ -92,6 +92,8 @@ SUITE_BENCH = [
     "proximity_search",
     "prefix_bm25",
     "fuzzy_bm25",
+    "wildcard_bm25",
+    "boosted_bm25",
     "substr_dedup",
     "unigram_lm",
     "bigram_lm",

@@ -31,6 +31,7 @@ rank-safe, and verify rank-identity on the fixtures.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -301,6 +302,38 @@ def fuzzy_search(
         F.sum(per_term).alias("score"), F.count("*").alias("matched_terms")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene WildcardQuery pattern -> anchored regex: ``*`` matches any
+    run (incl. empty), ``?`` exactly one char; everything else is literal
+    (escaped). The result feeds regex_search, so the pattern's literal
+    runs still drive the trigram dictionary prefilter."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_search(
+    index: Index,
+    pattern: str,
+    limit: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Wildcard (``te?t`` / ``con*fig``) BM25 search — Lucene
+    WildcardQuery semantics: every dictionary term matching the whole
+    pattern scores with its own idf. Pure translation onto regex_search,
+    so the expansion stays a trigram-pruned DICTIONARY scan."""
+    if not pattern.strip("*?"):
+        raise ValueError("wildcard_search needs at least one literal char")
+    return regex_search(index, wildcard_to_regex(pattern.lower()), limit=limit, k1=k1, b=b)
 
 
 def _regex_literal_runs(pattern: str) -> list[str]:

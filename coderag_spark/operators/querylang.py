@@ -10,6 +10,12 @@ that ties the engine's retrieval primitives into one string:
   * ``word~`` / ``word~1`` -> fuzzy expansion (Lucene FuzzyQuery): every
                          dictionary term within maxEdits (default 2)
                          Levenshtein edits scores with its own idf
+  * ``te?t`` / ``con*fig`` -> wildcard expansion (Lucene WildcardQuery):
+                         ``*`` any run, ``?`` one char, whole-term match;
+                         trigram-pruned dictionary scan
+  * ``term^2`` / ``term^0.5`` -> boost (Lucene clause boost): the
+                         clause's analyzed tokens score with their BM25
+                         contribution multiplied by the weight
   * ``"two words"``   -> exact token sequence (positional filter;
                          simple-analyzer token space, like phrase_search)
   * ``+term``         -> required: doc's postings must contain the term
@@ -53,11 +59,13 @@ from coderag_spark.operators.bm25 import (
     Index,
     bm25_term_score,
     fuzzy_cond,
+    wildcard_to_regex,
 )
 from coderag_spark.operators.positional import phrase_hits
 
 _RANGE_RE = re.compile(r"^([A-Za-z_][\w.]*):\[(\S+) TO (\S+)\]$")
 _FUZZY_RE = re.compile(r"^(.+)~([0-2]?)$")
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 
 
 @dataclass
@@ -65,6 +73,8 @@ class ParsedQuery:
     terms: list[str] = field(default_factory=list)      # analyzed, scored
     prefixes: list[str] = field(default_factory=list)   # raw prefixes (no *)
     fuzzies: list[tuple[str, int]] = field(default_factory=list)  # (term, max_edits)
+    wildcards: list[str] = field(default_factory=list)  # raw patterns (* and ?)
+    boosts: list[tuple[str, float]] = field(default_factory=list)  # (analyzed token, weight)
     phrases: list[list[str]] = field(default_factory=list)
     required: list[str] = field(default_factory=list)   # verbatim terms
     excluded: list[str] = field(default_factory=list)   # verbatim terms
@@ -136,6 +146,15 @@ def parse_query(q: str) -> ParsedQuery:
             out.required.append(tok.lower())
         elif sign == "-":
             out.excluded.append(tok.lower())
+        elif (m3 := _BOOST_RE.match(tok)) is not None:
+            bw = float(m3.group(2))
+            for t in code_analyze(m3.group(1)):
+                if all(t != bt for bt, _ in out.boosts):
+                    out.boosts.append((t, bw))
+        elif ("?" in tok or "*" in tok[:-1]) and tok.strip("*?"):
+            # mid-pattern wildcard (a pure trailing '*' stays the cheaper
+            # prefix clause below)
+            out.wildcards.append(tok.lower())
         elif tok.endswith("*") and len(tok) > 1:
             out.prefixes.append(tok[:-1].lower())
         elif (m2 := _FUZZY_RE.match(tok)) is not None:
@@ -185,24 +204,34 @@ def execute_query(
 
     # scoring side: one term predicate covering bare terms and every
     # prefix expansion (a term matched by both scores once)
-    if parsed.terms or parsed.prefixes or parsed.fuzzies:
+    if (parsed.terms or parsed.prefixes or parsed.fuzzies or parsed.wildcards
+            or parsed.boosts):
         cond = F.lit(False)
         if parsed.terms:
             cond = cond | F.col("term").isin(parsed.terms)
+        if parsed.boosts:
+            cond = cond | F.col("term").isin([bt for bt, _ in parsed.boosts])
         if parsed.prefixes:
             cond = cond | _any_prefix(parsed.prefixes)
         for ft, fd in parsed.fuzzies:
             cond = cond | fuzzy_cond(ft, fd)
+        for w in parsed.wildcards:
+            cond = cond | F.col("term").rlike(wildcard_to_regex(w))
         idf_terms = index.dictionary.filter(cond).select("term", "idf")
         per_term = bm25_term_score(
             F.col("raw_freq"), F.col("idf"), F.col("token_count"),
             index.stats.avgdl, k1, b,
         )
+        # clause boost: multiply the boosted terms' contributions (a
+        # boost of a term also named bare wins — last-writer when-chain)
+        weight = F.lit(1.0)
+        for bt, bw in parsed.boosts:
+            weight = F.when(F.col("term") == bt, F.lit(float(bw))).otherwise(weight)
         scored = (
             index.postings.filter(cond)
             .join(F.broadcast(idf_terms), "term", "left")
             .groupBy("doc_id")
-            .agg(F.sum(per_term).alias("score"))
+            .agg(F.sum(per_term * weight).alias("score"))
         )
     else:
         scored = index.docs.select("doc_id", F.lit(0.0).alias("score"))

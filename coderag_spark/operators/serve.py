@@ -337,6 +337,7 @@ class LocalShard:
         kernel: str = "vector",
         allowed_docs: "np.ndarray | None" = None,
         terms: list[str] | None = None,
+        term_weights: "dict[str, float] | None" = None,
     ) -> list[tuple[int, float]]:
         """Rank-identical BM25 top-k: [(doc_id, score)], (score desc,
         doc_id asc). Same semantics as bm25.search: query tokens deduped,
@@ -361,21 +362,33 @@ class LocalShard:
 
         ``terms`` bypasses the analyzer with an explicit expansion list —
         the entry point for prefix/regex queries (``search_expanded``).
+
+        ``term_weights`` multiplies a term's score contribution (Lucene
+        boost, ``term^2``); vector kernel only — the stored block maxima
+        don't account for weights, so WAND pruning would be unsafe.
         """
         terms = terms if terms is not None else dedupe_query_tokens(query, analyzer)
         if kernel == "wand":
             if allowed_docs is not None:
                 raise ValueError("allowed_docs requires kernel='vector'")
+            if term_weights:
+                raise ValueError("term_weights requires kernel='vector'")
             lists = [tl for t in terms if (tl := self._term_list(t)) is not None]
             if not lists:
                 return []
             return wand_topk_lists(lists, limit, self.avgdl)
 
-        stored = [s for t in terms if (s := self._decode(t)) is not None]
+        stored = [(t, s) for t in terms if (s := self._decode(t)) is not None]
         if not stored:
             return []
-        docs = np.concatenate([s.docs for s in stored])
-        scores = np.concatenate([s.scores for s in stored])
+        docs = np.concatenate([s.docs for _, s in stored])
+        w = term_weights or {}
+        scores = np.concatenate(
+            [
+                s.scores if w.get(t, 1.0) == 1.0 else s.scores * w[t]
+                for t, s in stored
+            ]
+        )
         order = np.argsort(docs, kind="stable")
         d = docs[order]
         s = scores[order]
@@ -475,6 +488,16 @@ class LocalShard:
                 t for t in self.idf
                 if abs(len(t) - len(ft)) <= fd and _levenshtein_leq(t, ft, fd)
             )
+        if parsed.wildcards:
+            import re as _re
+
+            from coderag_spark.operators.bm25 import wildcard_to_regex
+
+            for w in parsed.wildcards:
+                rx = _re.compile(wildcard_to_regex(w))
+                score_terms.extend(t for t in self.idf if rx.match(t))
+        score_terms.extend(bt for bt, _ in parsed.boosts)
+        weights = {bt: bw for bt, bw in parsed.boosts}
         score_terms = list(dict.fromkeys(score_terms))
 
         def _union(terms_list) -> "np.ndarray":
@@ -535,7 +558,10 @@ class LocalShard:
                 )
                 allowed = universe
             allowed = allowed[~np.isin(allowed, excluded)]
-        return self.search("", limit=limit, allowed_docs=allowed, terms=score_terms)
+        return self.search(
+            "", limit=limit, allowed_docs=allowed, terms=score_terms,
+            term_weights=weights or None,
+        )
 
     # ------------------------------------------------- phrase serving
 

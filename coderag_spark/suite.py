@@ -347,6 +347,7 @@ def _bm25(
     prefix: str | None = None,
     regex: str | None = None,
     fuzzy: tuple[str, int] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Stats (N, avgdl) ride along as a broadcast 1-row cross-join instead
     of a separate collect — the whole query is ONE Spark job (one fewer
@@ -388,6 +389,11 @@ def _bm25(
         F.col("raw_freq")
         + BM25_K1 * (1.0 - BM25_B + (BM25_B * F.col("token_count")) / F.col("avgdl"))
     )
+    if boosts:
+        weight = F.lit(1.0)
+        for bt, bw in sorted(boosts.items()):
+            weight = F.when(F.col("term") == bt, F.lit(float(bw))).otherwise(weight)
+        per_term = per_term * weight
     scored = (
         post.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
@@ -409,8 +415,15 @@ def _sql_bm25(
     prefix: str | None = None,
     regex: str | None = None,
     fuzzy: tuple[str, int] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> str:
     having = f"HAVING round(score_raw, 6) >= {min_score}" if min_score > 0 else ""
+    weight_sql = "1.0"
+    if boosts:
+        cases = " ".join(
+            f"WHEN term = '{t}' THEN {w!r}::DOUBLE" for t, w in sorted(boosts.items())
+        )
+        weight_sql = f"(CASE {cases} ELSE 1.0 END)"
     if fuzzy is not None:
         ft = fuzzy[0].replace("'", "''")
         qt_sql = (
@@ -443,6 +456,7 @@ scored AS (
   SELECT p.doc_id,
          sum(i.idf * (p.raw_freq * {BM25_K1 + 1.0}) /
              (p.raw_freq + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * d.token_count) / s.avgdl))
+             * {weight_sql}
             ) AS score_raw
   FROM post p JOIN qt USING (term) JOIN idf i USING (term)
        JOIN dl d ON d.doc_id = p.doc_id, stats s
@@ -464,6 +478,27 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUZZY_QUERY = ("hasb", 2)  # expands to {hash(1 edit), fast(2 edits)}
+WILDCARD_QUERY = "*ow"  # expands to {row, slow, window}
+BOOST_WEIGHTS = {"table": 3.0, "fast": 0.5}
+
+
+def q_boosted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause-boosted BM25 (Lucene term^w): same retrieval set as
+    bm25_topk but with per-term weights table^3 fast^0.5 multiplying the
+    contributions — re-ranks without changing the match set."""
+    return _bm25(
+        spark, sf_dir, query_terms(BM25_QUERY_MULTI), 10, boosts=BOOST_WEIGHTS
+    )
+
+
+def q_wildcard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard (Lucene WildcardQuery, * / ?) BM25: the pattern translates
+    to an anchored regex over the dictionary (bm25.wildcard_to_regex), so
+    Spark's rlike and DuckDB's regexp_matches replay the identical
+    whole-term match."""
+    from coderag_spark.operators.bm25 import wildcard_to_regex
+
+    return _bm25(spark, sf_dir, [], 15, regex=wildcard_to_regex(WILDCARD_QUERY))
 
 
 def q_fuzzy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2842,6 +2877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "struct_query": q_struct_query,
         "fuzzy_bm25": q_fuzzy_bm25,
+        "wildcard_bm25": q_wildcard_bm25,
+        "boosted_bm25": q_boosted_bm25,
         "bm25_long": q_bm25_long,
         "bm25_single": q_bm25_single,
         "bm25_minscore": q_bm25_minscore,
@@ -2922,6 +2959,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10),
         "struct_query": SQL_STRUCT_QUERY,
         "fuzzy_bm25": _sql_bm25([], 15, fuzzy=FUZZY_QUERY),
+        "wildcard_bm25": _sql_bm25([], 15, regex="^.*ow$"),
+        "boosted_bm25": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10, boosts=BOOST_WEIGHTS),
         "bm25_long": _sql_bm25(query_terms(BM25_QUERY_LONG), 25),
         "bm25_single": _sql_bm25(query_terms(BM25_QUERY_SINGLE), 10),
         "bm25_minscore": _sql_bm25(query_terms(BM25_QUERY_MULTI), 50, min_score=2.0),

@@ -43,6 +43,17 @@ def test_parse_groups_and_ranges():
     # a bare '~' or '~3' is not fuzzy syntax
     assert ql.parse_query("~").fuzzies == []
     assert ql.parse_query("word~3").fuzzies == []
+    # boosts: term^w analyzed, camelCase subtokens each carry the weight
+    pb = ql.parse_query("table^3 getUserData^0.5 plain")
+    assert ("table", 3.0) in pb.boosts and ("user", 0.5) in pb.boosts
+    assert pb.terms == ["plain"]
+    assert ql.parse_query("^2").boosts == []
+    # wildcards: '?' anywhere or a mid-pattern '*'; trailing '*' alone
+    # stays the cheaper prefix clause; all-wildcard tokens are dropped
+    pw = ql.parse_query("te?t con*fig auth* h?sh*")
+    assert pw.wildcards == ["te?t", "con*fig", "h?sh*"]
+    assert pw.prefixes == ["auth"]
+    assert ql.parse_query("**").wildcards == []
     # malformed input never raises; OR is dropped case-insensitively in groups
     assert ql.parse_query("+(dangling or").required_groups == [["dangling"]]
     assert ql.parse_query("x:[lo TO").required_ranges == []
@@ -175,6 +186,37 @@ def test_fuzzy_clause_matches_fuzzy_search(tagged_index):
     assert spark_exp == expansion
 
 
+def test_wildcard_clause_matches_wildcard_search(tagged_index):
+    from coderag_spark.operators.bm25 import wildcard_search
+
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in ql.execute_query(tagged_index, "auth?nticate", limit=10).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in wildcard_search(tagged_index, "auth?nticate", limit=10).collect()
+    ]
+    assert got == want and got
+
+
+def test_boost_scales_term_contribution(tagged_index):
+    """score(a^w b) == w*score_a + score_b, per doc, exactly."""
+    a = {
+        r["doc_id"]: r["score"]
+        for r in ql.execute_query(tagged_index, "authenticate", limit=10000).collect()
+    }
+    b = {
+        r["doc_id"]: r["score"]
+        for r in ql.execute_query(tagged_index, "user", limit=10000).collect()
+    }
+    boosted = ql.execute_query(tagged_index, "authenticate^3 user", limit=10000).collect()
+    assert boosted
+    for r in boosted:
+        want = 3.0 * a.get(r["doc_id"], 0.0) + b.get(r["doc_id"], 0.0)
+        assert r["score"] == pytest.approx(want, rel=1e-9), r["doc_id"]
+
+
 def test_or_group_filters(tagged_index):
     """+(a OR b) admits the union; scores stay identical to unfiltered."""
     base = {
@@ -257,6 +299,10 @@ def test_shard_struct_query_rank_identical(spark, tagged_index, chunk_positional
         "+lang:python",
         "auth* -deprecated +lang:python",
         "authenticat~1",
+        "auth?nticate",
+        "authenticate^2 user",
+        "authenticate^0.5 user -token",
+        "auth*cate -token",
         "authenticat~ -token",
         "authenticate +(lang:python OR lang:go)",
         "authenticate -(lang:python OR lang:go)",
