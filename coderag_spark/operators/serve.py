@@ -674,6 +674,36 @@ class LocalCluster:
         merged.sort(key=lambda e: (-e[1], e[0]))
         return merged[:limit]
 
+    def query_struct(self, q, limit: int = 10) -> list[tuple[int, float]]:
+        """Structured (Lucene-subset) query across the doc-sharded
+        cluster: every clause type is doc-local under doc-hash sharding —
+        a doc's postings (and tag terms) all live in its own shard, and
+        term expansion (prefix/fuzzy/wildcard) runs against the GLOBAL
+        dictionary every shard holds — so per-shard query_struct + k-way
+        top-k merge is exact, the same fan-in as ``search``. Phrases need
+        ``attach_positions`` to have sharded the position store first."""
+        from coderag_spark.operators.querylang import parse_query
+
+        parsed = parse_query(q) if isinstance(q, str) else q
+        merged: list[tuple[int, float]] = []
+        for sh in self.shards:
+            merged.extend(sh.query_struct(parsed, limit))
+        merged.sort(key=lambda e: (-e[1], e[0]))
+        return merged[:limit]
+
+    def attach_positions(self, compressed_positional, max_bytes: int = 1 << 30) -> int:
+        """Shard the compressed positional store by the SAME doc hash as
+        the postings, so each node's phrase filter sees exactly its own
+        docs. Returns total blob bytes held across shards."""
+        n = len(self.shards)
+        total = 0
+        for i, sh in enumerate(self.shards):
+            part = compressed_positional.filter(
+                F.pmod(F.xxhash64("doc_id"), F.lit(n)) == i
+            )
+            total += sh.attach_positions(part, max_bytes=max_bytes)
+        return total
+
     def apply_delta(self, index: Index, delta, **kw) -> int:
         """Cluster-wide incremental refresh: every doc-shard recompacts
         only ITS slice of the affected terms' postings (same doc-hash

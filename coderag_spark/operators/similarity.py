@@ -531,6 +531,7 @@ def ivfpq_index(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    path: str | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
     """IVF+PQ index build (the FAISS IVFPQ architecture, minus residual
     encoding — codes quantize the raw vectors, which keeps pq_train
@@ -539,15 +540,20 @@ def ivfpq_index(
     32x-compressed in-cell scoring.
 
     Returns (centroids, codebooks, DataFrame(vec_id, centroid, code)).
-    At scale the returned frame is what you persist, PARTITIONED BY
-    centroid — a query then reads nprobe/n_centroids of the data and
-    scans only m-byte codes, never float vectors."""
+    ``path`` materializes the coded frame parquet-PARTITIONED BY centroid
+    and returns a reader over it, so ``ivfpq_topk``'s centroid-IN probe
+    becomes pure partition pruning (the ivf_index build/query split) — a
+    query then reads nprobe/n_centroids of the files and scans only
+    m-byte codes, never float vectors."""
     cents = ivf_build_centroids(embeddings, n_centroids=n_centroids, iters=iters,
                                 vec_col=vec_col, id_col=id_col)
     books = pq_train(embeddings, m=m, k=ksub, iters=iters, vec_col=vec_col, id_col=id_col)
     assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
     enc = pq_encode(assigned, books, vec_col=vec_col, id_col=id_col)
     coded = assigned.select(id_col, "centroid").join(enc, id_col)
+    if path is not None:
+        coded.write.mode("overwrite").partitionBy("centroid").parquet(path)
+        coded = embeddings.sparkSession.read.parquet(path)
     return cents, books, coded
 
 

@@ -282,6 +282,32 @@ def test_range_filters_match_tag_membership(tagged_index):
     assert {r["doc_id"] for r in inv} == set(base) - in_range
 
 
+def test_cluster_struct_query_rank_identical(spark, tagged_index, chunk_positional):
+    """Doc-sharded LocalCluster.query_struct == single-shard == Spark plan
+    for every clause type (incl. phrases via the doc-hash-sharded
+    position store)."""
+    from coderag_spark.operators.positional import compress_positional
+    from coderag_spark.operators.serve import LocalCluster, LocalShard
+
+    cluster = LocalCluster.from_index(tagged_index, n_shards=3)
+    cluster.attach_positions(compress_positional(chunk_positional))
+    single = LocalShard.from_index(tagged_index)
+    single.attach_positions(compress_positional(chunk_positional))
+    for q in [
+        "authenticate user",
+        "auth* -deprecated +lang:python",
+        "authenticat~1",
+        "auth?nticate",
+        "authenticate^2 user",
+        "authenticate +(lang:python OR lang:go)",
+        "authenticate +lang:[go TO python]",
+        'authenticate "const max_retries"',
+    ]:
+        want = [(d, round(s, 6)) for d, s in single.query_struct(q, limit=10)]
+        got = [(d, round(s, 6)) for d, s in cluster.query_struct(q, limit=10)]
+        assert got == want, q
+
+
 def test_shard_struct_query_rank_identical(spark, tagged_index, chunk_positional):
     """LocalShard.query_struct == execute_query for every clause type."""
     from coderag_spark.operators.positional import compress_positional

@@ -211,6 +211,23 @@ def test_pq_encode_expr_matches_arrow_encoder(spark, emb_df):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivfpq_persisted_probe_is_partition_pruned(spark, emb_df, tmp_path):
+    """With path= the coded frame is parquet-partitioned by centroid and
+    the ADC probe's centroid-IN filter is pure partition pruning."""
+    from coderag_spark.operators import similarity as sim
+
+    cents, books, coded = sim.ivfpq_index(
+        emb_df, n_centroids=8, m=8, ksub=16, iters=2, path=str(tmp_path / "ivfpq")
+    )
+    q = [float(x) for x in emb_df.orderBy("vec_id").first()["embedding"]]
+    out = sim.ivfpq_topk(coded, cents, books, q, k=10, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "centroid" in plan.split("PartitionFilters:")[1].split("]")[0]
+    rows = out.collect()
+    assert len(rows) == 10 and rows[0]["vec_id"] == 0
+
+
 def test_ivfpq_index_and_probe(spark, emb_df):
     """FAISS-style IVF+PQ: coarse cells prune the scan, ADC scores only
     probed cells' codes; nearest-to-self recovery and useful recall."""
