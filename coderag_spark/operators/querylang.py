@@ -6,6 +6,12 @@ that ties the engine's retrieval primitives into one string:
     handler +lang:[go TO python] type:[class TO function]
 
   * bare words        -> analyzed, BM25-scored (OR retrieval)
+  * ``a AND b``       -> conjunction: both words are REQUIRED (posting
+                         membership) and both score — Lucene MUST
+                         semantics. ``OR`` between bare words is a no-op
+                         (bare retrieval is already OR); ``NOT x``
+                         excludes like ``-x``. Operators bind the two
+                         adjacent simple words, uppercase only.
   * ``word*``         -> prefix expansion, every match scores with its idf
   * ``word~`` / ``word~1`` -> fuzzy expansion (Lucene FuzzyQuery): every
                          dictionary term within maxEdits (default 2)
@@ -90,6 +96,9 @@ def parse_query(q: str) -> ParsedQuery:
     an unterminated quote/paren/bracket swallows the rest of the string."""
     out = ParsedQuery()
     i, n = 0, len(q)
+    prev_bare: str | None = None  # last bare word, for infix AND
+    pending_and = False
+    pending_not = False
     while i < n:
         c = q[i]
         if c.isspace():
@@ -137,6 +146,15 @@ def parse_query(q: str) -> ParsedQuery:
             j += 1
         tok = q[i:j]
         i = j
+        if not sign and tok in ("AND", "OR", "NOT"):
+            # Lucene boolean keywords between simple words (uppercase
+            # only — lowercase 'and' stays a searchable term). OR is the
+            # default retrieval mode, so only AND/NOT carry state.
+            if tok == "AND":
+                pending_and = bool(prev_bare)
+            elif tok == "NOT":
+                pending_not = True
+            continue
         m = _RANGE_RE.match(tok)
         if m:
             rng = (m.group(1).lower(), m.group(2).lower(), m.group(3).lower())
@@ -162,9 +180,20 @@ def parse_query(q: str) -> ParsedQuery:
                 (m2.group(1).lower(), int(m2.group(2)) if m2.group(2) else 2)
             )
         else:
+            if pending_not:
+                out.excluded.append(tok.lower())
+                pending_not = False
+                prev_bare = None
+                continue
             for t in code_analyze(tok):
                 if t not in out.terms:
                     out.terms.append(t)
+            if pending_and and prev_bare:
+                for rt in (prev_bare, tok.lower()):
+                    if rt not in out.required:
+                        out.required.append(rt)
+            pending_and = False
+            prev_bare = tok.lower()
     out.phrases = [p for p in out.phrases if p]
     return out
 

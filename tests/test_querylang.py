@@ -43,6 +43,17 @@ def test_parse_groups_and_ranges():
     # a bare '~' or '~3' is not fuzzy syntax
     assert ql.parse_query("~").fuzzies == []
     assert ql.parse_query("word~3").fuzzies == []
+    # Lucene boolean keywords: uppercase AND requires both neighbors
+    # (still scored), NOT excludes the next word, OR is a no-op; lowercase
+    # and/or/not stay searchable terms
+    pa = ql.parse_query("alpha AND beta gamma NOT delta")
+    assert pa.terms == ["alpha", "beta", "gamma"]
+    assert pa.required == ["alpha", "beta"] and pa.excluded == ["delta"]
+    assert ql.parse_query("x AND y AND z").required == ["x", "y", "z"]
+    assert ql.parse_query("alpha OR beta").required == []
+    assert "or" in ql.parse_query("this or that").terms
+    # dangling operators never crash
+    assert ql.parse_query("AND trailing NOT").required == []
     # boosts: term^w analyzed, camelCase subtokens each carry the weight
     pb = ql.parse_query("table^3 getUserData^0.5 plain")
     assert ("table", 3.0) in pb.boosts and ("user", 0.5) in pb.boosts
@@ -200,6 +211,33 @@ def test_wildcard_clause_matches_wildcard_search(tagged_index):
     assert got == want and got
 
 
+def test_and_is_required_and_scored(tagged_index):
+    """a AND b: docs must contain BOTH, scores equal the plain OR query's
+    (Lucene MUST: conjunctive retrieval, disjunctive scoring sum)."""
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in ql.execute_query(tagged_index, "authenticate user", limit=10000).collect()
+    }
+    both = ql.execute_query(tagged_index, "authenticate AND user", limit=10000).collect()
+    assert both
+    has_a = {
+        r["doc_id"]
+        for r in tagged_index.postings.filter(F.col("term") == "authenticate").collect()
+    }
+    has_b = {
+        r["doc_id"]
+        for r in tagged_index.postings.filter(F.col("term") == "user").collect()
+    }
+    assert {r["doc_id"] for r in both} == (has_a & has_b) & set(base)
+    assert all(round(r["score"], 6) == base[r["doc_id"]] for r in both)
+    # NOT x == -x
+    n1 = [(r["doc_id"], round(r["score"], 6))
+          for r in ql.execute_query(tagged_index, "authenticate NOT token", limit=100).collect()]
+    n2 = [(r["doc_id"], round(r["score"], 6))
+          for r in ql.execute_query(tagged_index, "authenticate -token", limit=100).collect()]
+    assert n1 == n2 and n1
+
+
 def test_boost_scales_term_contribution(tagged_index):
     """score(a^w b) == w*score_a + score_b, per doc, exactly."""
     a = {
@@ -328,6 +366,8 @@ def test_shard_struct_query_rank_identical(spark, tagged_index, chunk_positional
         "auth?nticate",
         "authenticate^2 user",
         "authenticate^0.5 user -token",
+        "authenticate AND user",
+        "authenticate NOT token",
         "auth*cate -token",
         "authenticat~ -token",
         "authenticate +(lang:python OR lang:go)",
