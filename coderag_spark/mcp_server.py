@@ -74,9 +74,11 @@ SEARCH_INPUT_SCHEMA = {
         },
         "mode": {
             "type": "string",
-            "enum": ["keyword", "prefix", "regex"],
+            "enum": ["keyword", "prefix", "regex", "struct"],
             "description": "keyword BM25 (default); prefix/regex expand the"
-            " index dictionary and rank the expansion (beyond-reference)",
+            " index dictionary and rank the expansion; struct parses the"
+            " Lucene subset (terms, prefix*, term~, te?t, term^w, AND/NOT,"
+            " +req, -excl, +(a OR b), field:[lo TO hi]) (beyond-reference)",
         },
     },
     "required": ["query"],
@@ -217,6 +219,8 @@ class CodebaseSearchBackend:
             hits = self.shard.search_expanded(prefix=query, limit=limit, allowed_docs=allowed)
         elif mode == "regex":
             hits = self.shard.search_expanded(regex=query, limit=limit, allowed_docs=allowed)
+        elif mode == "struct":
+            hits = self.shard.query_struct(query, limit=limit, allowed_docs=allowed)
         else:
             hits = self.shard.search(query, limit=limit, allowed_docs=allowed)
         if not hits:
@@ -230,14 +234,20 @@ class CodebaseSearchBackend:
         paired = [
             (d, info) for d, _s in hits if (info := self.shard.doc_info(d)) is not None
         ]
-        terms = (
-            self.shard.expand_terms(
+        if mode in ("prefix", "regex"):
+            terms = self.shard.expand_terms(
                 prefix=query if mode == "prefix" else None,
                 regex=query if mode == "regex" else None,
             )
-            if mode in ("prefix", "regex")
-            else dedupe_query_tokens(query)
-        )
+        elif mode == "struct":
+            from coderag_spark.operators.querylang import parse_query
+
+            parsed = parse_query(query)
+            terms = list(parsed.terms) + [
+                t for p in parsed.prefixes for t in self.shard.idf if t.startswith(p)
+            ]
+        else:
+            terms = dedupe_query_tokens(query)
         rows = [info for _d, info in paired]
         snippets = (
             self._snippets_for(rows, terms, context_lines, max_snippet_chars, max_snippet_blocks)

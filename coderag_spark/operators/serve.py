@@ -470,13 +470,17 @@ class LocalShard:
             return np.empty(0, dtype=np.int64)
         return np.sort(s.docs)
 
-    def query_struct(self, q, limit: int = 10) -> list[tuple[int, float]]:
+    def query_struct(
+        self, q, limit: int = 10, allowed_docs: "np.ndarray | None" = None
+    ) -> list[tuple[int, float]]:
         """Serve a Lucene-subset structured query (querylang.parse_query)
         fully in-process: BM25 over bare terms + prefix expansions,
         +term/-term posting-membership filters, +(a OR b)/-(a OR b)
         any-of groups, field:[lo TO hi] tag ranges, quoted phrases
         against the attached position store. Rank-identical to
-        querylang.execute_query (pinned in tests)."""
+        querylang.execute_query (pinned in tests). ``allowed_docs``
+        (sorted int64 ids, e.g. from :meth:`allowed_docs`) intersects the
+        result set — attribute filters compose with the query's own."""
         from coderag_spark.operators.querylang import ParsedQuery, parse_query
 
         parsed: ParsedQuery = parse_query(q) if isinstance(q, str) else q
@@ -511,7 +515,9 @@ class LocalShard:
             lo_t, hi_t, pre = f"{fld}:{lo}", f"{fld}:{hi}", f"{fld}:"
             return [t for t in self.idf if t.startswith(pre) and lo_t <= t <= hi_t]
 
-        allowed: "np.ndarray | None" = None
+        allowed: "np.ndarray | None" = (
+            None if allowed_docs is None else np.asarray(allowed_docs, dtype=np.int64)
+        )
         for rt in parsed.required:
             ids = self._docs_with_term(rt)
             allowed = ids if allowed is None else np.intersect1d(allowed, ids)

@@ -177,3 +177,22 @@ def test_codebase_search_prefix_and_regex_modes(server):
         want = [srv.backend.shard.doc_info(d)["path"] for d in want_ids]
         assert got == want, mode
         assert resp["result"]["isError"] is False
+
+
+def test_codebase_search_struct_mode(server):
+    """mode=struct rank-identically to querylang.execute_query."""
+    from coderag_spark.operators import querylang as ql
+
+    srv, idx = server
+    q = "auth* -deprecated authenticate^2"
+    resp = _call(srv, "tools/call", {
+        "name": "codebase_search",
+        "arguments": {"query": q, "limit": 5, "include_content": False,
+                      "mode": "struct"},
+    })
+    text = resp["result"]["content"][0]["text"]
+    got = [ln[3:].rsplit(":", 1)[0] for ln in text.splitlines() if ln.startswith("## ")]
+    want_ids = [r["doc_id"] for r in ql.execute_query(idx, q, limit=5).collect()]
+    want = [srv.backend.shard.doc_info(d)["path"] for d in want_ids]
+    assert got == want
+    assert resp["result"]["isError"] is False
