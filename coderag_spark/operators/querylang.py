@@ -23,7 +23,9 @@ that ties the engine's retrieval primitives into one string:
                          clause's analyzed tokens score with their BM25
                          contribution multiplied by the weight
   * ``"two words"``   -> exact token sequence (positional filter;
-                         simple-analyzer token space, like phrase_search)
+                         simple-analyzer token space, like phrase_search);
+                         ``-"two words"`` EXCLUDES docs containing the
+                         sequence (prohibited phrase)
   * ``+term``         -> required: doc's postings must contain the term
                          verbatim (works for tag terms like +lang:python /
                          +type:function from build_index(tag_terms=True))
@@ -82,6 +84,7 @@ class ParsedQuery:
     wildcards: list[str] = field(default_factory=list)  # raw patterns (* and ?)
     boosts: list[tuple[str, float]] = field(default_factory=list)  # (analyzed token, weight)
     phrases: list[list[str]] = field(default_factory=list)
+    excluded_phrases: list[list[str]] = field(default_factory=list)
     required: list[str] = field(default_factory=list)   # verbatim terms
     excluded: list[str] = field(default_factory=list)   # verbatim terms
     required_groups: list[list[str]] = field(default_factory=list)  # any-of
@@ -116,6 +119,17 @@ def parse_query(q: str) -> ParsedQuery:
             sign = c
             i += 1
             c = q[i]
+        if c == '"':
+            # signed phrase: +"a b" is the same required filter as bare
+            # quotes; -"a b" prohibits the sequence
+            j = q.find('"', i + 1)
+            if j < 0:
+                j = n
+            ph = simple_word_tokenize(q[i + 1 : j])
+            i = j + 1
+            if ph:
+                (out.excluded_phrases if sign == "-" else out.phrases).append(ph)
+            continue
         if c == "(":
             j = q.find(")", i + 1)
             if j < 0:
@@ -228,7 +242,7 @@ def execute_query(
     with score 0 — deterministic, like a WHERE-only SQL query.
     """
     parsed = parse_query(q) if isinstance(q, str) else q
-    if parsed.phrases and positional is None:
+    if (parsed.phrases or parsed.excluded_phrases) and positional is None:
         raise ValueError("quoted phrases need the positional postings")
 
     # scoring side: one term predicate covering bare terms and every
@@ -302,6 +316,10 @@ def execute_query(
     for ph in parsed.phrases:
         scored = scored.join(
             phrase_hits(positional, ph).select("doc_id"), "doc_id", "left_semi"
+        )
+    for ph in parsed.excluded_phrases:
+        scored = scored.join(
+            phrase_hits(positional, ph).select("doc_id"), "doc_id", "left_anti"
         )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 

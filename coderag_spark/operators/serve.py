@@ -532,6 +532,10 @@ class LocalShard:
                                    dtype=np.int64))
             allowed = ids if allowed is None else np.intersect1d(allowed, ids)
         excluded: "np.ndarray | None" = None
+        for ph in parsed.excluded_phrases:
+            ids = np.sort(np.array([d for d, _ in self.phrase(ph, limit=1 << 30)],
+                                   dtype=np.int64))
+            excluded = ids if excluded is None else np.union1d(excluded, ids)
         for xt in parsed.excluded:
             ids = self._docs_with_term(xt)
             excluded = ids if excluded is None else np.union1d(excluded, ids)

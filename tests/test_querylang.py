@@ -158,6 +158,31 @@ def test_phrase_clause_filters(tagged_index, chunk_positional):
         ql.execute_query(tagged_index, '"needs positions"')
 
 
+def test_excluded_phrase_prohibits_sequence(tagged_index, chunk_positional):
+    """-"a b" drops exactly the docs the phrase filter would keep; +"a b"
+    parses identically to bare quotes."""
+    from coderag_spark.operators.positional import phrase_hits
+
+    p = ql.parse_query('+"const max_retries"')
+    assert p.phrases == [["const", "max_retries"]] and p.excluded_phrases == []
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in ql.execute_query(tagged_index, "authenticate", limit=10000).collect()
+    }
+    kept = ql.execute_query(
+        tagged_index, 'authenticate -"const max_retries"', limit=10000,
+        positional=chunk_positional,
+    ).collect()
+    ph_ids = {
+        r["doc_id"]
+        for r in phrase_hits(chunk_positional, ["const", "max_retries"]).collect()
+    }
+    assert {r["doc_id"] for r in kept} == set(base) - ph_ids
+    assert all(round(r["score"], 6) == base[r["doc_id"]] for r in kept)
+    with pytest.raises(ValueError):
+        ql.execute_query(tagged_index, '-"needs positions"')
+
+
 def test_pure_filter_query_is_deterministic(tagged_index):
     rows = ql.execute_query(tagged_index, "+lang:python", limit=5).collect()
     assert [r["score"] for r in rows] == [0.0] * len(rows)
@@ -376,6 +401,7 @@ def test_shard_struct_query_rank_identical(spark, tagged_index, chunk_positional
         "authenticate -lang:[go TO python]",
         "+(lang:python OR lang:go) -type:[a TO c]",
         'auth* +(lang:python OR lang:go) -deprecated "const max_retries"',
+        'authenticate -"const max_retries"',
     ]:
         want = [
             (r["doc_id"], round(r["score"], 6))
