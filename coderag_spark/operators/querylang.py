@@ -26,6 +26,12 @@ that ties the engine's retrieval primitives into one string:
                          simple-analyzer token space, like phrase_search);
                          ``-"two words"`` EXCLUDES docs containing the
                          sequence (prohibited phrase)
+  * ``"a b"~3``       -> sloppy phrase (Lucene slop, TWO-term subset):
+                         both terms within 3 tokens of each other in
+                         either order (positional.proximity_hits);
+                         ``-"a b"~3`` prohibits the co-occurrence.
+                         Slop on 3+-term phrases raises — full SpanNear
+                         move semantics are out of scope
   * ``+term``         -> required: doc's postings must contain the term
                          verbatim (works for tag terms like +lang:python /
                          +type:function from build_index(tag_terms=True))
@@ -69,7 +75,7 @@ from coderag_spark.operators.bm25 import (
     fuzzy_cond,
     wildcard_to_regex,
 )
-from coderag_spark.operators.positional import phrase_hits
+from coderag_spark.operators.positional import phrase_hits, proximity_hits
 
 _RANGE_RE = re.compile(r"^([A-Za-z_][\w.]*):\[(\S+) TO (\S+)\]$")
 _FUZZY_RE = re.compile(r"^(.+)~([0-2]?)$")
@@ -85,6 +91,8 @@ class ParsedQuery:
     boosts: list[tuple[str, float]] = field(default_factory=list)  # (analyzed token, weight)
     phrases: list[list[str]] = field(default_factory=list)
     excluded_phrases: list[list[str]] = field(default_factory=list)
+    prox_phrases: list[tuple[str, str, int]] = field(default_factory=list)
+    excluded_prox: list[tuple[str, str, int]] = field(default_factory=list)
     required: list[str] = field(default_factory=list)   # verbatim terms
     excluded: list[str] = field(default_factory=list)   # verbatim terms
     required_groups: list[list[str]] = field(default_factory=list)  # any-of
@@ -107,13 +115,6 @@ def parse_query(q: str) -> ParsedQuery:
         if c.isspace():
             i += 1
             continue
-        if c == '"':
-            j = q.find('"', i + 1)
-            if j < 0:
-                j = n
-            out.phrases.append(simple_word_tokenize(q[i + 1 : j]))
-            i = j + 1
-            continue
         sign = ""
         if c in "+-" and i + 1 < n and not q[i + 1].isspace():
             sign = c
@@ -121,13 +122,33 @@ def parse_query(q: str) -> ParsedQuery:
             c = q[i]
         if c == '"':
             # signed phrase: +"a b" is the same required filter as bare
-            # quotes; -"a b" prohibits the sequence
+            # quotes; -"a b" prohibits the sequence; a ~N suffix turns the
+            # quote into a sloppy (proximity) clause
             j = q.find('"', i + 1)
             if j < 0:
                 j = n
             ph = simple_word_tokenize(q[i + 1 : j])
             i = j + 1
-            if ph:
+            slop = None
+            if i < n and q[i] == "~":
+                k = i + 1
+                while k < n and q[k].isdigit():
+                    k += 1
+                if k > i + 1:
+                    slop = int(q[i + 1 : k])
+                    i = k
+            if not ph:
+                continue
+            if slop is not None:
+                if len(ph) != 2:
+                    raise ValueError(
+                        "phrase slop supports exactly two terms "
+                        f"(got {len(ph)}: {ph}); full SpanNear move "
+                        "semantics are out of scope"
+                    )
+                tgt = out.excluded_prox if sign == "-" else out.prox_phrases
+                tgt.append((ph[0], ph[1], slop))
+            else:
                 (out.excluded_phrases if sign == "-" else out.phrases).append(ph)
             continue
         if c == "(":
@@ -242,7 +263,8 @@ def execute_query(
     with score 0 — deterministic, like a WHERE-only SQL query.
     """
     parsed = parse_query(q) if isinstance(q, str) else q
-    if (parsed.phrases or parsed.excluded_phrases) and positional is None:
+    if (parsed.phrases or parsed.excluded_phrases or parsed.prox_phrases
+            or parsed.excluded_prox) and positional is None:
         raise ValueError("quoted phrases need the positional postings")
 
     # scoring side: one term predicate covering bare terms and every
@@ -320,6 +342,16 @@ def execute_query(
     for ph in parsed.excluded_phrases:
         scored = scored.join(
             phrase_hits(positional, ph).select("doc_id"), "doc_id", "left_anti"
+        )
+    for a, b_, w in parsed.prox_phrases:
+        scored = scored.join(
+            proximity_hits(positional, a, b_, window=w).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+    for a, b_, w in parsed.excluded_prox:
+        scored = scored.join(
+            proximity_hits(positional, a, b_, window=w).select("doc_id"),
+            "doc_id", "left_anti",
         )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 

@@ -470,6 +470,30 @@ class LocalShard:
             return np.empty(0, dtype=np.int64)
         return np.sort(s.docs)
 
+    def proximity(self, a: str, b: str, window: int = 5) -> list[tuple[int, int]]:
+        """Unordered two-term proximity from the attached position store:
+        [(doc_id, n_pairs)] for docs where |pos_a - pos_b| <= window —
+        identical semantics to positional.proximity_hits (pinned)."""
+        from coderag_spark.operators.positional import decode_positions
+
+        if a == b:
+            raise ValueError("proximity wants two distinct terms")
+        pos = getattr(self, "positions", None)
+        if pos is None:
+            raise ValueError("call attach_positions(...) first")
+        ma, mb = pos.get(a), pos.get(b)
+        if not ma or not mb:
+            return []
+        out: list[tuple[int, int]] = []
+        for d in ma.keys() & mb.keys():
+            pa = decode_positions(ma[d])
+            pb = decode_positions(mb[d])
+            n = sum(1 for p in pa for q in pb if abs(q - p) <= window)
+            if n > 0:
+                out.append((int(d), n))
+        out.sort(key=lambda e: (-e[1], e[0]))
+        return out
+
     def query_struct(
         self, q, limit: int = 10, allowed_docs: "np.ndarray | None" = None
     ) -> list[tuple[int, float]]:
@@ -531,9 +555,17 @@ class LocalShard:
             ids = np.sort(np.array([d for d, _ in self.phrase(ph, limit=1 << 30)],
                                    dtype=np.int64))
             allowed = ids if allowed is None else np.intersect1d(allowed, ids)
+        for a, b, w in parsed.prox_phrases:
+            ids = np.sort(np.array([d for d, _ in self.proximity(a, b, w)],
+                                   dtype=np.int64))
+            allowed = ids if allowed is None else np.intersect1d(allowed, ids)
         excluded: "np.ndarray | None" = None
         for ph in parsed.excluded_phrases:
             ids = np.sort(np.array([d for d, _ in self.phrase(ph, limit=1 << 30)],
+                                   dtype=np.int64))
+            excluded = ids if excluded is None else np.union1d(excluded, ids)
+        for a, b, w in parsed.excluded_prox:
+            ids = np.sort(np.array([d for d, _ in self.proximity(a, b, w)],
                                    dtype=np.int64))
             excluded = ids if excluded is None else np.union1d(excluded, ids)
         for xt in parsed.excluded:

@@ -183,6 +183,34 @@ def test_excluded_phrase_prohibits_sequence(tagged_index, chunk_positional):
         ql.execute_query(tagged_index, '-"needs positions"')
 
 
+def test_sloppy_phrase_is_proximity_filter(tagged_index, chunk_positional):
+    """"a b"~N == proximity_hits(a, b, N) as a required filter; -"a b"~N
+    is the complement; 3+-term slop raises (documented subset)."""
+    from coderag_spark.operators.positional import proximity_hits
+
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in ql.execute_query(tagged_index, "authenticate", limit=10000).collect()
+    }
+    near = ql.execute_query(
+        tagged_index, 'authenticate "const max_retries"~4', limit=10000,
+        positional=chunk_positional,
+    ).collect()
+    prox_ids = {
+        r["doc_id"]
+        for r in proximity_hits(chunk_positional, "const", "max_retries", window=4).collect()
+    }
+    assert {r["doc_id"] for r in near} == set(base) & prox_ids and near
+    assert all(round(r["score"], 6) == base[r["doc_id"]] for r in near)
+    far = ql.execute_query(
+        tagged_index, 'authenticate -"const max_retries"~4', limit=10000,
+        positional=chunk_positional,
+    ).collect()
+    assert {r["doc_id"] for r in far} == set(base) - prox_ids
+    with pytest.raises(ValueError, match="two terms"):
+        ql.parse_query('"alpha beta gamma"~2')
+
+
 def test_pure_filter_query_is_deterministic(tagged_index):
     rows = ql.execute_query(tagged_index, "+lang:python", limit=5).collect()
     assert [r["score"] for r in rows] == [0.0] * len(rows)
@@ -402,6 +430,8 @@ def test_shard_struct_query_rank_identical(spark, tagged_index, chunk_positional
         "+(lang:python OR lang:go) -type:[a TO c]",
         'auth* +(lang:python OR lang:go) -deprecated "const max_retries"',
         'authenticate -"const max_retries"',
+        'authenticate "const max_retries"~4',
+        'authenticate -"const max_retries"~4',
     ]:
         want = [
             (r["doc_id"], round(r["score"], 6))
