@@ -481,3 +481,87 @@ def tfidf_cosine_search(
         (F.col("dot") / (F.lit(qmag) * F.col("magnitude"))).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
+def more_like_this(
+    index: Index,
+    doc_id: int,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    limit: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """MoreLikeThis: retrieve docs similar to a source doc (Lucene
+    MoreLikeThis semantics; the reference has no MLT surface, so this is
+    a beyond-reference fulltext op in the wildcard/fuzzy family).
+
+    Term selection follows Lucene's defaults: from the source doc's
+    postings keep terms with raw_freq >= minTermFreq whose df >=
+    minDocFreq, rank by interestingness tf*idf (Lucene's
+    createQueue score with its flat-prior length norm dropped — idf here
+    already carries the corpus prior), keep the top maxQueryTerms
+    (deterministic tie-break: rounded interest desc, term asc). The
+    selected terms then run standard OR-retrieval BM25; the source doc
+    itself is excluded from the results.
+
+    Scale shape: the term-selection subplan touches one doc's postings
+    (doc_id-pushed filter on the postings scan) joined to the broadcast
+    dictionary slice — tiny, and it BROADCASTS into the scoring join, so
+    the whole query is the same single partial-agg shuffle +
+    TakeOrderedAndProject as search(); no driver round-trip between
+    selection and scoring.
+    """
+    src = (
+        index.postings.filter(
+            (F.col("doc_id") == doc_id) & (F.col("raw_freq") >= min_term_freq)
+        )
+        .join(index.dictionary.filter(F.col("df") >= min_doc_freq), "term")
+        .select(
+            "term", "idf",
+            F.round(F.col("raw_freq") * F.col("idf"), 6).alias("interest"),
+        )
+        .orderBy(F.desc("interest"), F.asc("term"))
+        .limit(max_query_terms)
+    )
+    cand = index.postings.filter(F.col("doc_id") != doc_id).join(
+        F.broadcast(src.select("term", "idf")), "term"
+    )
+    per_term = bm25_term_score(
+        F.col("raw_freq"), F.col("idf"), F.col("token_count"), index.stats.avgdl, k1, b
+    )
+    scored = cand.groupBy("doc_id").agg(
+        F.sum(per_term).alias("score"), F.count("*").alias("matched_terms")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
+def spell_suggest(
+    index: Index, word: str, max_edits: int = 2, k: int = 8
+) -> DataFrame:
+    """Did-you-mean: the dictionary terms closest to ``word`` by plain
+    Levenshtein distance, popular-first (Lucene DirectSpellChecker's
+    suggestSimilar contract: candidates within maxEdits, ranked by
+    distance then docFreq). Returns (term, distance, df) top-``k``,
+    tie-broken (distance asc, df desc, term asc) so the suggestion list
+    is deterministic.
+
+    Scale shape: a pure DICTIONARY scan (length-band short-circuits the
+    DP exactly like fuzzy_search) — postings are never touched, so the
+    query costs O(|dictionary|) regardless of corpus size, and the
+    dictionary itself is the one table that grows sublinearly with the
+    corpus (Heaps' law)."""
+    if not word:
+        raise ValueError("spell_suggest needs a non-empty word")
+    w = word.lower()
+    return (
+        index.dictionary.filter(fuzzy_cond(w, max_edits))
+        .select(
+            "term",
+            F.levenshtein(F.col("term"), F.lit(w)).cast("long").alias("distance"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

@@ -509,6 +509,155 @@ def q_fuzzy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25(spark, sf_dir, [], 15, fuzzy=FUZZY_QUERY)
 
 
+# MoreLikeThis constants: source doc, Lucene-default-shaped thresholds
+# scaled to the synthetic vocabulary (29 common terms), and the retrieval
+# cutoff. Term selection is deterministic: (rounded interest DESC, term
+# ASC) is a total order in both engines.
+MLT_DOC = 42
+MLT_MAX_TERMS = 8
+MLT_MIN_TF = 2
+MLT_MIN_DF = 2
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis (Lucene MLT): the source doc's most interesting terms
+    by tf*idf (raw_freq >= minTermFreq, df >= minDocFreq, top
+    maxQueryTerms) become an OR-retrieval BM25 query; the source doc is
+    excluded from the results. Mirrors bm25.more_like_this over the
+    documents token space — the term-selection subplan touches one doc's
+    postings and BROADCASTS into the scoring join, so the whole query
+    stays one partial-agg shuffle + TakeOrderedAndProject."""
+    tok = _tokdocs(spark, sf_dir)
+    stats = tok.agg(
+        F.count("*").alias("n_docs"),
+        F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl"),
+    )
+    post = _doc_postings(spark, sf_dir)
+    src = post.filter(
+        (F.col("doc_id") == MLT_DOC) & (F.col("raw_freq") >= MLT_MIN_TF)
+    ).select("term", F.col("raw_freq").alias("src_freq"))
+    idf = (
+        post.join(F.broadcast(src.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= MLT_MIN_DF)
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    sel = (
+        src.join(idf, "term")
+        .orderBy(
+            F.desc(F.round(F.col("src_freq") * F.col("idf"), 6)), F.asc("term")
+        )
+        .limit(MLT_MAX_TERMS)
+        .select("term", "idf")
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("token_count"))
+    per_term = F.col("idf") * (
+        F.col("raw_freq") * (BM25_K1 + 1.0)
+    ) / (
+        F.col("raw_freq")
+        + BM25_K1 * (1.0 - BM25_B + (BM25_B * F.col("token_count")) / F.col("avgdl"))
+    )
+    scored = (
+        post.filter(F.col("doc_id") != MLT_DOC)
+        .join(F.broadcast(sel), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(per_term), 6).alias("score"),
+            F.count("*").cast("long").alias("matched_terms"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
+
+
+SQL_MLT_TOPK = f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs, greatest(avg(len(toks) * 1.0), 1.0) AS avgdl FROM tok),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+src AS (
+  SELECT term, raw_freq AS src_freq FROM post
+  WHERE doc_id = {MLT_DOC} AND raw_freq >= {MLT_MIN_TF}
+),
+idf AS (
+  SELECT p.term, ln((s.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM post p JOIN src USING (term), stats s
+  GROUP BY p.term, s.n_docs
+  HAVING count(*) >= {MLT_MIN_DF}
+),
+sel AS (
+  SELECT s.term, i.idf FROM src s JOIN idf i USING (term)
+  ORDER BY round(s.src_freq * i.idf, 6) DESC, s.term ASC LIMIT {MLT_MAX_TERMS}
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok),
+scored AS (
+  SELECT p.doc_id,
+         sum(sel.idf * (p.raw_freq * {BM25_K1 + 1.0}) /
+             (p.raw_freq + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * d.token_count) / s.avgdl))
+            ) AS score_raw,
+         count(*) AS matched_terms
+  FROM post p JOIN sel USING (term) JOIN dl d ON d.doc_id = p.doc_id, stats s
+  WHERE p.doc_id <> {MLT_DOC}
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score, matched_terms::BIGINT AS matched_terms
+FROM scored ORDER BY 2 DESC, 1 ASC LIMIT 15
+"""
+
+
+# Spell suggestion: "quey" is 1 edit from 'query' and 2 from 'key', so the
+# suggestion list exercises both the distance ranking and the df
+# popularity tie-break.
+SPELL_WORD = "quey"
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean (Lucene DirectSpellChecker.suggestSimilar): dictionary
+    terms within 2 plain-Levenshtein edits of the misspelling, ranked
+    (distance ASC, df DESC, term ASC). Pure dictionary scan — postings
+    are never touched, so the cost is O(|vocabulary|) at any corpus
+    size. Mirrors bm25.spell_suggest."""
+    from coderag_spark.operators.bm25 import fuzzy_cond
+
+    dic = (
+        _doc_postings(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        dic.filter(fuzzy_cond(SPELL_WORD, 2))
+        .select(
+            "term",
+            F.levenshtein(F.col("term"), F.lit(SPELL_WORD)).cast("long").alias("distance"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(8)
+    )
+
+
+SQL_SPELL_SUGGEST = f"""
+WITH post AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+  GROUP BY 1, 2
+),
+dict AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+SELECT term, levenshtein(term, '{SPELL_WORD}')::BIGINT AS distance, df::BIGINT AS df
+FROM dict
+WHERE abs(len(term) - {len(SPELL_WORD)}) <= 2 AND levenshtein(term, '{SPELL_WORD}') <= 2
+ORDER BY 2 ASC, 3 DESC, 1 ASC LIMIT 8
+"""
+
+
 # Lucene-subset structured query exercising the round-4 grammar: an any-of
 # required group, an inclusive lexicographic tag range (src2..src9 sort
 # ABOVE 'src13', so the range admits exactly src1,src10..src13), and a
@@ -2879,6 +3028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25": q_fuzzy_bm25,
         "wildcard_bm25": q_wildcard_bm25,
         "boosted_bm25": q_boosted_bm25,
+        "mlt_topk": q_mlt_topk,
+        "spell_suggest": q_spell_suggest,
         "bm25_long": q_bm25_long,
         "bm25_single": q_bm25_single,
         "bm25_minscore": q_bm25_minscore,
@@ -2961,6 +3112,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_bm25": _sql_bm25([], 15, fuzzy=FUZZY_QUERY),
         "wildcard_bm25": _sql_bm25([], 15, regex="^.*ow$"),
         "boosted_bm25": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10, boosts=BOOST_WEIGHTS),
+        "mlt_topk": SQL_MLT_TOPK,
+        "spell_suggest": SQL_SPELL_SUGGEST,
         "bm25_long": _sql_bm25(query_terms(BM25_QUERY_LONG), 25),
         "bm25_single": _sql_bm25(query_terms(BM25_QUERY_SINGLE), 10),
         "bm25_minscore": _sql_bm25(query_terms(BM25_QUERY_MULTI), 50, min_score=2.0),

@@ -128,3 +128,78 @@ def test_tag_terms_filter_and_rank_parity(spark, corpus_df, index):
     both = search(tagged, q, limit=20, required_terms=["lang:python", "type:function"]).collect()
     assert all(r["lang"].lower() == "python" for r in both)
     assert search(tagged, q, limit=5, required_terms=["lang:nonexistent"]).collect() == []
+
+
+# ------------------------------------------------------ MoreLikeThis
+
+
+def test_more_like_this_matches_manual_expansion(index):
+    """MLT == manually selecting the source doc's top tf*idf terms and
+    scoring them with score_terms, minus the source doc itself."""
+    from pyspark.sql import functions as F
+
+    from coderag_spark.operators import bm25 as bm
+
+    src_id = index.postings.groupBy("doc_id").count().orderBy(
+        F.desc("count"), F.asc("doc_id")
+    ).first()["doc_id"]
+    got = bm.more_like_this(
+        index, src_id, max_query_terms=10, min_term_freq=1, min_doc_freq=2, limit=15
+    ).collect()
+    assert got, "fixture corpus should yield MLT matches"
+    assert all(r["doc_id"] != src_id for r in got)
+
+    # manual selection with the same thresholds + tie-break
+    cand = (
+        index.postings.filter(F.col("doc_id") == src_id)
+        .join(index.dictionary.filter(F.col("df") >= 2), "term")
+        .select("term", F.round(F.col("raw_freq") * F.col("idf"), 6).alias("i"))
+        .collect()
+    )
+    sel = [r["term"] for r in sorted(cand, key=lambda r: (-r["i"], r["term"]))[:10]]
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm.score_terms(index, sel)
+        .filter(F.col("doc_id") != src_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+        .collect()
+    ]
+    assert [(r["doc_id"], round(r["score"], 6)) for r in got] == want
+
+
+def test_more_like_this_source_similar_to_itself_family(index, corpus_df):
+    """A doc's nearest MLT neighbour shares vocabulary with it: every
+    result must contain at least one of the selected query terms
+    (matched_terms >= 1 by construction — sanity on the join shape)."""
+    from coderag_spark.operators import bm25 as bm
+
+    src_id = index.postings.first()["doc_id"]
+    rows = bm.more_like_this(index, src_id, min_term_freq=1, limit=5).collect()
+    assert all(r["matched_terms"] >= 1 for r in rows)
+
+
+# ------------------------------------------------------ spell suggest
+
+
+def test_spell_suggest_finds_misspelled_term(index):
+    """Perturbing one char of a real dictionary term surfaces that term
+    at distance 1, and the list is sorted (distance, -df, term)."""
+    from pyspark.sql import functions as F
+
+    from coderag_spark.operators import bm25 as bm
+
+    term = (
+        index.dictionary.filter(F.length("term") >= 5)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .first()["term"]
+    )
+    typo = term[:-1] + ("x" if term[-1] != "x" else "z")
+    rows = bm.spell_suggest(index, typo, max_edits=2, k=10).collect()
+    assert term in [r["term"] for r in rows]
+    by_term = {r["term"]: r for r in rows}
+    assert by_term[term]["distance"] == 1
+    keys = [(r["distance"], -r["df"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+    with pytest.raises(ValueError):
+        bm.spell_suggest(index, "")
