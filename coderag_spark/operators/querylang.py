@@ -32,6 +32,13 @@ that ties the engine's retrieval primitives into one string:
                          ``-"a b"~3`` prohibits the co-occurrence.
                          Slop on 3+-term phrases raises — full SpanNear
                          move semantics are out of scope
+  * ``/pat/``         -> regexp term (Lucene RegexpQuery): every
+                         dictionary term matching the WHOLE pattern scores
+                         with its own idf (same expansion contract as
+                         wildcards); ``+/pat/`` is a required filter
+                         (membership, score-safe), ``-/pat/`` excludes.
+                         Term space has no whitespace, so a pattern never
+                         needs a space; one with a space won't parse
   * ``+term``         -> required: doc's postings must contain the term
                          verbatim (works for tag terms like +lang:python /
                          +type:function from build_index(tag_terms=True))
@@ -99,6 +106,9 @@ class ParsedQuery:
     excluded_groups: list[list[str]] = field(default_factory=list)  # none-of
     required_ranges: list[tuple[str, str, str]] = field(default_factory=list)
     excluded_ranges: list[tuple[str, str, str]] = field(default_factory=list)
+    regexps: list[str] = field(default_factory=list)            # scored expansions
+    required_regexps: list[str] = field(default_factory=list)   # membership filters
+    excluded_regexps: list[str] = field(default_factory=list)
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -171,10 +181,12 @@ def parse_query(q: str) -> ParsedQuery:
                         if t not in out.terms:
                             out.terms.append(t)
             continue
-        # one token; a '[' opens a range literal that may contain spaces
+        # one token; a '[' opens a range literal that may contain spaces —
+        # unless the token is a /regexp/, where '[' is a character class
+        is_regexp_tok = c == "/"
         j = i
         while j < n and not q[j].isspace():
-            if q[j] == "[":
+            if q[j] == "[" and not is_regexp_tok:
                 k = q.find("]", j)
                 j = (k + 1) if k >= 0 else n
                 break
@@ -194,6 +206,18 @@ def parse_query(q: str) -> ParsedQuery:
         if m:
             rng = (m.group(1).lower(), m.group(2).lower(), m.group(3).lower())
             (out.excluded_ranges if sign == "-" else out.required_ranges).append(rng)
+            continue
+        if len(tok) > 2 and tok.startswith("/") and tok.endswith("/"):
+            # Lucene RegexpQuery: pattern kept as typed (lowercasing a
+            # regex would corrupt classes like [A-Z]); matching is
+            # whole-term via regexp_anchor on both serving paths
+            pat = tok[1:-1]
+            if sign == "+":
+                out.required_regexps.append(pat)
+            elif sign == "-":
+                out.excluded_regexps.append(pat)
+            else:
+                out.regexps.append(pat)
             continue
         if sign == "+":
             out.required.append(tok.lower())
@@ -233,6 +257,13 @@ def parse_query(q: str) -> ParsedQuery:
     return out
 
 
+def regexp_anchor(pat: str) -> str:
+    """Whole-term anchoring for a ``/pat/`` clause — Lucene RegexpQuery
+    matches the entire term, but rlike/re.search are contains-matches, so
+    both serving paths wrap the pattern identically."""
+    return "^(?:" + pat + ")$"
+
+
 def _range_cond(fld: str, lo: str, hi: str):
     """term is a ``field:value`` tag with lo <= value <= hi. Comparing the
     FULL term against the prefixed bounds is equivalent to comparing the
@@ -270,7 +301,7 @@ def execute_query(
     # scoring side: one term predicate covering bare terms and every
     # prefix expansion (a term matched by both scores once)
     if (parsed.terms or parsed.prefixes or parsed.fuzzies or parsed.wildcards
-            or parsed.boosts):
+            or parsed.regexps or parsed.boosts):
         cond = F.lit(False)
         if parsed.terms:
             cond = cond | F.col("term").isin(parsed.terms)
@@ -282,6 +313,8 @@ def execute_query(
             cond = cond | fuzzy_cond(ft, fd)
         for w in parsed.wildcards:
             cond = cond | F.col("term").rlike(wildcard_to_regex(w))
+        for rx in parsed.regexps:
+            cond = cond | F.col("term").rlike(regexp_anchor(rx))
         idf_terms = index.dictionary.filter(cond).select("term", "idf")
         per_term = bm25_term_score(
             F.col("raw_freq"), F.col("idf"), F.col("token_count"),
@@ -320,6 +353,13 @@ def execute_query(
             index.postings.filter(_range_cond(fld, lo, hi)).select("doc_id"),
             "doc_id", "left_semi",
         )
+    for rx in parsed.required_regexps:
+        scored = scored.join(
+            index.postings.filter(
+                F.col("term").rlike(regexp_anchor(rx))
+            ).select("doc_id"),
+            "doc_id", "left_semi",
+        )
     for xt in parsed.excluded:
         scored = scored.join(
             index.postings.filter(F.col("term") == xt).select("doc_id"),
@@ -333,6 +373,13 @@ def execute_query(
     for fld, lo, hi in parsed.excluded_ranges:
         scored = scored.join(
             index.postings.filter(_range_cond(fld, lo, hi)).select("doc_id"),
+            "doc_id", "left_anti",
+        )
+    for rx in parsed.excluded_regexps:
+        scored = scored.join(
+            index.postings.filter(
+                F.col("term").rlike(regexp_anchor(rx))
+            ).select("doc_id"),
             "doc_id", "left_anti",
         )
     for ph in parsed.phrases:

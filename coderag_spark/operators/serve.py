@@ -524,6 +524,14 @@ class LocalShard:
             for w in parsed.wildcards:
                 rx = _re.compile(wildcard_to_regex(w))
                 score_terms.extend(t for t in self.idf if rx.match(t))
+        if parsed.regexps:
+            import re as _re
+
+            from coderag_spark.operators.querylang import regexp_anchor
+
+            for r in parsed.regexps:
+                rx = _re.compile(regexp_anchor(r))
+                score_terms.extend(t for t in self.idf if rx.match(t))
         score_terms.extend(bt for bt, _ in parsed.boosts)
         weights = {bt: bw for bt, bw in parsed.boosts}
         score_terms = list(dict.fromkeys(score_terms))
@@ -539,6 +547,14 @@ class LocalShard:
             lo_t, hi_t, pre = f"{fld}:{lo}", f"{fld}:{hi}", f"{fld}:"
             return [t for t in self.idf if t.startswith(pre) and lo_t <= t <= hi_t]
 
+        def _regexp_terms(pat: str) -> list[str]:
+            import re as _re
+
+            from coderag_spark.operators.querylang import regexp_anchor
+
+            rx = _re.compile(regexp_anchor(pat))
+            return [t for t in self.idf if rx.match(t)]
+
         allowed: "np.ndarray | None" = (
             None if allowed_docs is None else np.asarray(allowed_docs, dtype=np.int64)
         )
@@ -550,6 +566,9 @@ class LocalShard:
             allowed = ids if allowed is None else np.intersect1d(allowed, ids)
         for fld, lo, hi in parsed.required_ranges:
             ids = _union(_range_terms(fld, lo, hi))
+            allowed = ids if allowed is None else np.intersect1d(allowed, ids)
+        for pat in parsed.required_regexps:
+            ids = _union(_regexp_terms(pat))
             allowed = ids if allowed is None else np.intersect1d(allowed, ids)
         for ph in parsed.phrases:
             ids = np.sort(np.array([d for d, _ in self.phrase(ph, limit=1 << 30)],
@@ -576,6 +595,9 @@ class LocalShard:
             excluded = ids if excluded is None else np.union1d(excluded, ids)
         for fld, lo, hi in parsed.excluded_ranges:
             ids = _union(_range_terms(fld, lo, hi))
+            excluded = ids if excluded is None else np.union1d(excluded, ids)
+        for pat in parsed.excluded_regexps:
+            ids = _union(_regexp_terms(pat))
             excluded = ids if excluded is None else np.union1d(excluded, ids)
 
         if not score_terms:

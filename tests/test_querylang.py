@@ -441,3 +441,74 @@ def test_shard_struct_query_rank_identical(spark, tagged_index, chunk_positional
         ]
         got = [(d, round(s, 6)) for d, s in shard.query_struct(q, limit=10)]
         assert got == want, q
+
+
+def test_parse_regexp_clauses():
+    p = ql.parse_query("/auth.*/ +/h[a-z]sh/ -/tok(en)?/ plain")
+    assert p.regexps == ["auth.*"]
+    assert p.required_regexps == ["h[a-z]sh"]
+    assert p.excluded_regexps == ["tok(en)?"]
+    assert p.terms == ["plain"]
+    # '//' and '/' are not regexp syntax; pattern case is preserved
+    assert ql.parse_query("//").regexps == []
+    assert ql.parse_query("/").terms == []
+    assert ql.parse_query("/[A-Z]x/").regexps == ["[A-Z]x"]
+
+
+def test_regexp_clause_matches_regex_search(tagged_index):
+    """Scored /pat/ == regex_search with the anchored pattern."""
+    from coderag_spark.operators.bm25 import regex_search
+
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in ql.execute_query(tagged_index, "/auth[a-z]*/", limit=10).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in regex_search(tagged_index, "^(?:auth[a-z]*)$", limit=10).collect()
+    ]
+    assert got == want and got
+
+
+def test_regexp_filters_are_score_safe(tagged_index):
+    """+/pat/ keeps exactly the docs holding a matching term, scores
+    unchanged; -/pat/ is the complement."""
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in ql.execute_query(tagged_index, "authenticate", limit=10000).collect()
+    }
+    import re as _re
+
+    rx = _re.compile(ql.regexp_anchor("tok[a-z]n"))
+    have = {
+        r["doc_id"]
+        for r in tagged_index.postings.filter(
+            F.col("term").rlike(ql.regexp_anchor("tok[a-z]n"))
+        ).select("doc_id").distinct().collect()
+    }
+    kept = ql.execute_query(tagged_index, "authenticate +/tok[a-z]n/", limit=10000).collect()
+    assert {r["doc_id"] for r in kept} == set(base) & have and kept
+    assert all(round(r["score"], 6) == base[r["doc_id"]] for r in kept)
+    dropped = ql.execute_query(tagged_index, "authenticate -/tok[a-z]n/", limit=10000).collect()
+    assert {r["doc_id"] for r in dropped} == set(base) - have
+
+
+def test_shard_regexp_rank_identical(spark, tagged_index):
+    """LocalShard.query_struct serves /pat/ clauses rank-identically to
+    the Spark plan (scored + both filter polarities)."""
+    from coderag_spark.operators.serve import LocalShard
+
+    shard = LocalShard.from_index(tagged_index)
+    for q, must_hit in (
+        ("/auth[a-z]*/", True),
+        ("authenticate +/tok[a-z]n/", True),
+        ("authenticate +/tok[a-z]n/ -/us.r/", False),  # may legally be empty
+    ):
+        want = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in ql.execute_query(tagged_index, q, limit=10).collect()
+        ]
+        got = [(d, round(s, 6)) for d, s in shard.query_struct(q, limit=10)]
+        assert got == want, q
+        if must_hit:
+            assert got, q
