@@ -565,3 +565,88 @@ def spell_suggest(
         .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def bm25f_search(
+    field_tokens: DataFrame,
+    terms: list[str],
+    weights: dict[str, float],
+    k1: float = BM25_K1,
+    b: float | dict[str, float] = BM25_B,
+    limit: int | None = 10,
+) -> DataFrame:
+    """BM25F multi-field ranking (Zaragoza et al., CIKM'04 — the simple
+    weighted variant Lucene exposes as BM25FQuery/combined-fields and
+    Elasticsearch as multi_match type=most_fields with per-field boosts).
+
+    ``field_tokens`` is (doc_id, field, toks array<string>) — one row per
+    (doc, field); callers choose the decomposition (path vs content for
+    code search, title vs body for web docs). Per term t and doc d the
+    field-normalized pseudo-frequency
+
+        tf~(t,d) = sum_f  w_f * tf_f / (1 - b_f + b_f * len_f / avgl_f)
+
+    saturates ONCE across fields — score = sum_t idf_t * tf~ / (k1 + tf~)
+    — which is what distinguishes BM25F from naively summing per-field
+    BM25 scores (a term stuffed into a boosted short field cannot
+    dominate). idf is document-level (df counts docs containing t in ANY
+    field), smoothed like the engine's standard idf.
+
+    Scale shape: the explode is filtered to the query terms BEFORE the
+    (doc, field, term) partial-agg shuffle; field lengths ride the same
+    source; the per-field avgl and per-term idf frames are broadcast.
+    One real shuffle + TakeOrderedAndProject, same as search().
+    """
+    if not terms:
+        raise ValueError("bm25f_search needs at least one query term")
+    bmap = {f: (b if isinstance(b, float) else b.get(f, BM25_B)) for f in weights}
+    ft = field_tokens.select("doc_id", "field", F.col("toks").alias("toks"))
+    flen = ft.select("doc_id", "field", F.size("toks").alias("flen"))
+    avgl = flen.groupBy("field").agg(F.avg("flen").alias("avgl"))
+    stats = ft.agg(F.count_distinct("doc_id").alias("n_docs"))
+    tf = (
+        ft.select("doc_id", "field", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "field", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    w_col = F.lit(None).cast("double")
+    b_col = F.lit(None).cast("double")
+    for f_name in sorted(weights):
+        w_col = F.when(F.col("field") == f_name, F.lit(float(weights[f_name]))).otherwise(w_col)
+        b_col = F.when(F.col("field") == f_name, F.lit(float(bmap[f_name]))).otherwise(b_col)
+    contrib = (
+        tf.join(flen, ["doc_id", "field"])
+        .join(F.broadcast(avgl), "field")
+        .select(
+            "doc_id", "term",
+            (
+                w_col * F.col("tf")
+                / (1.0 - b_col + b_col * F.col("flen") / F.col("avgl"))
+            ).alias("wtf"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.sum("wtf").alias("pseudo_tf"))
+    )
+    scored = (
+        contrib.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf") * F.col("pseudo_tf") / (F.lit(float(k1)) + F.col("pseudo_tf"))
+            ).alias("score"),
+            F.count("*").alias("matched_terms"),
+        )
+    )
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ordered if limit is None else ordered.limit(limit)

@@ -613,6 +613,85 @@ FROM scored ORDER BY 2 DESC, 1 ASC LIMIT 15
 """
 
 
+# BM25F fields: the synthetic docs are single-line, so the decomposition
+# is a lead window (first LEAD tokens ~ the title/anchor field web
+# engines boost) vs the remainder. Weighted title 2x, shared b.
+BM25F_LEAD = 8
+BM25F_W = {"title": 2.0, "body": 1.0}
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F multi-field ranking (bm25.bm25f_search): lead-window 'title'
+    field boosted 2x over 'body', field-normalized pseudo-tf saturating
+    once across fields — Lucene combined-fields / ES multi_match
+    most_fields semantics over the documents corpus."""
+    from coderag_spark.operators.bm25 import bm25f_search
+
+    tok = _tokdocs(spark, sf_dir)
+    ft = tok.select(
+        "doc_id", F.lit("title").alias("field"),
+        F.slice("toks", 1, BM25F_LEAD).alias("toks"),
+    ).unionByName(
+        tok.select(
+            "doc_id", F.lit("body").alias("field"),
+            F.expr(f"slice(toks, {BM25F_LEAD + 1}, greatest(size(toks) - {BM25F_LEAD}, 0))").alias("toks"),
+        )
+    )
+    out = bm25f_search(ft, query_terms(BM25_QUERY_MULTI), BM25F_W, limit=None)
+    return (
+        out.select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.col("matched_terms").cast("long").alias("matched_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_bm25f(terms: list[str], k: int) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+ft AS (
+  SELECT doc_id, 'title' AS field, list_slice(toks, 1, {BM25F_LEAD}) AS toks FROM tok
+  UNION ALL
+  SELECT doc_id, 'body', list_slice(toks, {BM25F_LEAD + 1}, len(toks)) FROM tok
+),
+flen AS (SELECT doc_id, field, len(toks) AS flen FROM ft),
+avgl AS (SELECT field, avg(flen)::DOUBLE AS avgl FROM flen GROUP BY field),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ft),
+qt AS ({_terms_sql(terms)}),
+tf AS (
+  SELECT doc_id, field, term, count(*) AS tf
+  FROM (SELECT doc_id, field, unnest(toks) AS term FROM ft)
+  JOIN qt USING (term)
+  GROUP BY 1, 2, 3
+),
+idf AS (
+  SELECT term, ln((s.n_docs + 1.0) / (count(DISTINCT doc_id) + 1.0)) + 1.0 AS idf
+  FROM tf, stats s GROUP BY term, s.n_docs
+),
+pseudo AS (
+  SELECT tf.doc_id, tf.term,
+         sum((CASE WHEN tf.field = 'title' THEN {BM25F_W['title']!r}::DOUBLE
+                   ELSE {BM25F_W['body']!r}::DOUBLE END) * tf.tf
+             / (1.0 - {BM25_B}::DOUBLE + {BM25_B}::DOUBLE * fl.flen / a.avgl)) AS pseudo_tf
+  FROM tf
+  JOIN flen fl ON fl.doc_id = tf.doc_id AND fl.field = tf.field
+  JOIN avgl a ON a.field = tf.field
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(i.idf * p.pseudo_tf / ({BM25_K1}::DOUBLE + p.pseudo_tf)) AS score_raw,
+         count(*) AS matched_terms
+  FROM pseudo p JOIN idf i USING (term) GROUP BY 1
+)
+SELECT doc_id, round(score_raw, 6) AS score, matched_terms::BIGINT AS matched_terms
+FROM scored ORDER BY 2 DESC, 1 ASC LIMIT {k}
+"""
+
+
 # Spell suggestion: "quey" is 1 edit from 'query' and 2 from 'key', so the
 # suggestion list exercises both the distance ranking and the df
 # popularity tie-break.
@@ -3030,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_bm25": q_boosted_bm25,
         "mlt_topk": q_mlt_topk,
         "spell_suggest": q_spell_suggest,
+        "bm25f_topk": q_bm25f_topk,
         "bm25_long": q_bm25_long,
         "bm25_single": q_bm25_single,
         "bm25_minscore": q_bm25_minscore,
@@ -3114,6 +3194,7 @@ def oracle_sql() -> dict[str, str]:
         "boosted_bm25": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10, boosts=BOOST_WEIGHTS),
         "mlt_topk": SQL_MLT_TOPK,
         "spell_suggest": SQL_SPELL_SUGGEST,
+        "bm25f_topk": _sql_bm25f(query_terms(BM25_QUERY_MULTI), 10),
         "bm25_long": _sql_bm25(query_terms(BM25_QUERY_LONG), 25),
         "bm25_single": _sql_bm25(query_terms(BM25_QUERY_SINGLE), 10),
         "bm25_minscore": _sql_bm25(query_terms(BM25_QUERY_MULTI), 50, min_score=2.0),

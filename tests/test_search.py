@@ -203,3 +203,53 @@ def test_spell_suggest_finds_misspelled_term(index):
     assert keys == sorted(keys)
     with pytest.raises(ValueError):
         bm.spell_suggest(index, "")
+
+
+# ------------------------------------------------------ BM25F
+
+
+def _ft(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, field string, toks array<string>"
+    )
+
+
+def test_bm25f_title_boost_outranks_body_hit(spark):
+    """Same term, same field lengths: a hit in the 2x-boosted title field
+    must outrank a body hit (the whole point of field weights)."""
+    from coderag_spark.operators.bm25 import bm25f_search
+
+    ft = _ft(spark, [
+        (1, "title", ["auth", "x"]), (1, "body", ["pad", "pad", "pad"]),
+        (2, "title", ["pad", "x"]), (2, "body", ["auth", "pad", "pad"]),
+    ])
+    rows = bm25f_search(ft, ["auth"], {"title": 2.0, "body": 1.0}).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["score"] > rows[1]["score"]
+
+
+def test_bm25f_saturates_across_fields(spark):
+    """BM25F != sum of per-field BM25: the pseudo-tf saturates ONCE, so a
+    doc repeating the term in both fields scores LESS than the sum of two
+    single-field scores would give."""
+    from coderag_spark.operators.bm25 import bm25f_search
+
+    w = {"title": 1.0, "body": 1.0}
+    both = _ft(spark, [
+        (1, "title", ["auth", "x"]), (1, "body", ["auth", "pad"]),
+        (2, "title", ["pad", "x"]), (2, "body", ["pad", "pad"]),
+    ])
+    only_title = _ft(spark, [
+        (1, "title", ["auth", "x"]), (1, "body", ["pad", "pad"]),
+        (2, "title", ["pad", "x"]), (2, "body", ["pad", "pad"]),
+    ])
+    s_both = bm25f_search(both, ["auth"], w).collect()[0]["score"]
+    s_one = bm25f_search(only_title, ["auth"], w).collect()[0]["score"]
+    # more evidence still scores higher...
+    assert s_both > s_one
+    # ...but sub-additively: doubling the evidence < doubling the score
+    assert s_both < 2 * s_one
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bm25f_search(both, [], w)
