@@ -107,6 +107,7 @@ def search(
     analyzer=code_analyze,
     candidate_cap: int | None = None,
     required_terms: list[str] | None = None,
+    min_match: int = 0,
 ) -> DataFrame:
     """Top-k BM25 chunk search — the indexer.search surface
     (indexer.ts:1165-1365). Returns
@@ -120,7 +121,14 @@ def search(
     default here scores exhaustively — rank-safe and verified
     rank-identical on the fixtures; the flag exists for bug-for-bug
     comparisons. Tie-break for the cap is pinned (matched desc, doc_id
-    asc); SQLite's tie order is unspecified."""
+    asc); SQLite's tie order is unspecified.
+
+    ``min_match`` is Lucene's BooleanQuery.setMinimumNumberShouldMatch:
+    a doc must match at least that many DISTINCT query terms to be
+    returned (0/1 = plain OR retrieval; len(terms) = pure conjunction).
+    Score-safe — the surviving docs keep their full OR-retrieval scores,
+    and the filter is a predicate on the already-aggregated
+    matched_terms count, so it adds nothing to the plan."""
     terms = dedupe_query_tokens(query, analyzer)
     docs = index.docs
     # posting-list keyword filters (AND semantics): ``required_terms``
@@ -163,6 +171,8 @@ def search(
         scores = score_terms(capped, terms)
     else:
         scores = score_terms(index, terms)
+    if min_match > 0:
+        scores = scores.filter(F.col("matched_terms") >= F.lit(min_match))
     if min_score > 0:
         scores = scores.filter(F.col("score") >= F.lit(min_score))
     out = scores.join(

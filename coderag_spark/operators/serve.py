@@ -338,6 +338,7 @@ class LocalShard:
         allowed_docs: "np.ndarray | None" = None,
         terms: list[str] | None = None,
         term_weights: "dict[str, float] | None" = None,
+        min_match: int = 0,
     ) -> list[tuple[int, float]]:
         """Rank-identical BM25 top-k: [(doc_id, score)], (score desc,
         doc_id asc). Same semantics as bm25.search: query tokens deduped,
@@ -366,6 +367,11 @@ class LocalShard:
         ``term_weights`` multiplies a term's score contribution (Lucene
         boost, ``term^2``); vector kernel only — the stored block maxima
         don't account for weights, so WAND pruning would be unsafe.
+
+        ``min_match`` is minimumNumberShouldMatch (bm25.search): docs
+        matching fewer distinct query terms are masked out after the
+        sort-aggregate (each per-term doc array holds a doc once, so the
+        group size IS the distinct-match count); vector kernel only.
         """
         terms = terms if terms is not None else dedupe_query_tokens(query, analyzer)
         if kernel == "wand":
@@ -373,6 +379,8 @@ class LocalShard:
                 raise ValueError("allowed_docs requires kernel='vector'")
             if term_weights:
                 raise ValueError("term_weights requires kernel='vector'")
+            if min_match > 0:
+                raise ValueError("min_match requires kernel='vector'")
             lists = [tl for t in terms if (tl := self._term_list(t)) is not None]
             if not lists:
                 return []
@@ -399,6 +407,11 @@ class LocalShard:
         idx = np.flatnonzero(starts)
         uniq = d[idx]
         agg = np.add.reduceat(s, idx)
+        if min_match > 0:
+            counts = np.diff(np.append(idx, d.size))
+            keep = counts >= min_match
+            uniq = uniq[keep]
+            agg = agg[keep]
         if allowed_docs is not None:
             mask = np.isin(uniq, allowed_docs)
             uniq = uniq[mask]

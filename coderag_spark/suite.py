@@ -348,6 +348,7 @@ def _bm25(
     regex: str | None = None,
     fuzzy: tuple[str, int] | None = None,
     boosts: dict[str, float] | None = None,
+    min_match: int = 0,
 ) -> DataFrame:
     """Stats (N, avgdl) ride along as a broadcast 1-row cross-join instead
     of a separate collect — the whole query is ONE Spark job (one fewer
@@ -399,8 +400,15 @@ def _bm25(
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(per_term), 6).alias("score"))
+        .agg(
+            F.round(F.sum(per_term), 6).alias("score"),
+            F.count("*").cast("long").alias("matched_terms"),
+        )
     )
+    if min_match > 0:
+        scored = scored.filter(F.col("matched_terms") >= F.lit(min_match))
+    else:
+        scored = scored.drop("matched_terms")
     if min_score > 0:
         scored = scored.filter(F.col("score") >= F.lit(min_score))
     if k is None:
@@ -416,8 +424,15 @@ def _sql_bm25(
     regex: str | None = None,
     fuzzy: tuple[str, int] | None = None,
     boosts: dict[str, float] | None = None,
+    min_match: int = 0,
 ) -> str:
-    having = f"HAVING round(score_raw, 6) >= {min_score}" if min_score > 0 else ""
+    conds = []
+    if min_score > 0:
+        conds.append(f"round(score_raw, 6) >= {min_score}")
+    if min_match > 0:
+        conds.append(f"count(*) >= {min_match}")
+    having = ("HAVING " + " AND ".join(conds)) if conds else ""
+    matched_sel = ", matched_terms::BIGINT AS matched_terms" if min_match > 0 else ""
     weight_sql = "1.0"
     if boosts:
         cases = " ".join(
@@ -457,13 +472,14 @@ scored AS (
          sum(i.idf * (p.raw_freq * {BM25_K1 + 1.0}) /
              (p.raw_freq + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * d.token_count) / s.avgdl))
              * {weight_sql}
-            ) AS score_raw
+            ) AS score_raw,
+         count(*) AS matched_terms
   FROM post p JOIN qt USING (term) JOIN idf i USING (term)
        JOIN dl d ON d.doc_id = p.doc_id, stats s
   GROUP BY p.doc_id
   {having}
 )
-SELECT doc_id, round(score_raw, 6) AS score FROM scored
+SELECT doc_id, round(score_raw, 6) AS score{matched_sel} FROM scored
 ORDER BY 2 DESC, 1 ASC LIMIT {k}
 """
 
@@ -611,6 +627,14 @@ scored AS (
 SELECT doc_id, round(score_raw, 6) AS score, matched_terms::BIGINT AS matched_terms
 FROM scored ORDER BY 2 DESC, 1 ASC LIMIT 15
 """
+
+
+def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match (Lucene BooleanQuery msm): OR retrieval over
+    the 5-term query but only docs matching >= 3 distinct terms survive
+    — score-safe (survivors keep full OR scores), the middle ground
+    between OR and AND retrieval."""
+    return _bm25(spark, sf_dir, query_terms(BM25_QUERY_LONG), 20, min_match=3)
 
 
 # BM25F fields: the synthetic docs are single-line, so the decomposition
@@ -3110,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": q_mlt_topk,
         "spell_suggest": q_spell_suggest,
         "bm25f_topk": q_bm25f_topk,
+        "bm25_msm": q_bm25_msm,
         "bm25_long": q_bm25_long,
         "bm25_single": q_bm25_single,
         "bm25_minscore": q_bm25_minscore,
@@ -3195,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
         "mlt_topk": SQL_MLT_TOPK,
         "spell_suggest": SQL_SPELL_SUGGEST,
         "bm25f_topk": _sql_bm25f(query_terms(BM25_QUERY_MULTI), 10),
+        "bm25_msm": _sql_bm25(query_terms(BM25_QUERY_LONG), 20, min_match=3),
         "bm25_long": _sql_bm25(query_terms(BM25_QUERY_LONG), 25),
         "bm25_single": _sql_bm25(query_terms(BM25_QUERY_SINGLE), 10),
         "bm25_minscore": _sql_bm25(query_terms(BM25_QUERY_MULTI), 50, min_score=2.0),

@@ -253,3 +253,45 @@ def test_bm25f_saturates_across_fields(spark):
 
     with _pt.raises(ValueError):
         bm25f_search(both, [], w)
+
+
+# ------------------------------------------------ minimum_should_match
+
+
+def test_min_match_semantics_and_shard_parity(index):
+    """min_match=m keeps exactly the OR-retrieval docs with >= m distinct
+    matched terms, scores unchanged; m = len(terms) degenerates to pure
+    conjunction; the LocalShard vector kernel serves it identically."""
+    from pyspark.sql import functions as F
+
+    from coderag_spark.operators.serve import LocalShard
+
+    q = "user authentication token"
+    base = {
+        (r["doc_id"]): (round(r["score"], 6), r["matched_terms"])
+        for r in search(index, q, limit=100000).collect()
+    }
+    got = search(index, q, limit=100000, min_match=2).collect()
+    want_ids = {d for d, (_, m) in base.items() if m >= 2}
+    assert {r["doc_id"] for r in got} == want_ids and want_ids
+    assert all(round(r["score"], 6) == base[r["doc_id"]][0] for r in got)
+
+    # m = #terms == conjunction
+    from coderag_spark.operators.bm25 import dedupe_query_tokens as ddq
+
+    nt = len(ddq(q))
+    conj = {r["doc_id"] for r in search(index, q, limit=100000, min_match=nt).collect()}
+    assert conj == {d for d, (_, m) in base.items() if m >= nt}
+
+    # shard parity (vector kernel)
+    shard = LocalShard.from_index(index)
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search(index, q, limit=10, min_match=2).collect()
+    ]
+    got_sh = [(d, round(s, 6)) for d, s in shard.search(q, limit=10, min_match=2)]
+    assert got_sh == want and got_sh
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shard.search(q, limit=10, kernel="wand", min_match=2)
