@@ -128,6 +128,21 @@ def _cmd_query(args) -> int:
             ).collect()
             if r["score"] >= args.min_score
         ]
+    elif args.mode == "mlt":
+        # MoreLikeThis: --query is the source doc_id; term selection +
+        # retrieval is one Spark plan (bm25.more_like_this)
+        from coderag_spark.operators.bm25 import more_like_this
+
+        try:
+            src_id = int(args.query)
+        except ValueError:
+            print(json.dumps({"error": "--mode mlt takes a doc_id as --query"}))
+            return 2
+        hits = [
+            (r["doc_id"], r["score"])
+            for r in more_like_this(idx, src_id, limit=args.limit).collect()
+            if r["score"] >= args.min_score
+        ]
     elif args.mode in ("prefix", "regex"):
         if args.hybrid:
             print(json.dumps({"error": f"--mode {args.mode} does not combine with --hybrid"}))
@@ -199,7 +214,10 @@ def _cmd_query(args) -> int:
         )
         hits = [
             (d, s)
-            for d, s in shard.search(args.query, limit=args.limit, allowed_docs=allowed)
+            for d, s in shard.search(
+                args.query, limit=args.limit, allowed_docs=allowed,
+                min_match=args.min_match,
+            )
             if s >= args.min_score
         ]
     else:
@@ -213,6 +231,7 @@ def _cmd_query(args) -> int:
                 file_extensions=_split_flag(args.file_extensions),
                 path_filter=args.path_filter,
                 exclude_paths=_split_flag(args.exclude_paths),
+                min_match=args.min_match,
             ).collect()
         ]
     if args.local:
@@ -399,6 +418,30 @@ def _cmd_status(args) -> int:
     return 0
 
 
+def _cmd_suggest(args) -> int:
+    """Did-you-mean over the index dictionary (bm25.spell_suggest):
+    prints the top-k terms by (edit distance, popularity)."""
+    from coderag_spark import get_spark
+    from coderag_spark.engine import load_index
+    from coderag_spark.operators.bm25 import spell_suggest
+
+    spark = get_spark("coderag-suggest", cores=args.cores)
+    idx = load_index(spark, args.index)
+    rows = spell_suggest(idx, args.word, max_edits=args.max_edits, k=args.k).collect()
+    print(
+        json.dumps(
+            {
+                "word": args.word,
+                "suggestions": [
+                    {"term": r["term"], "distance": r["distance"], "df": r["df"]}
+                    for r in rows
+                ],
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_ann(args) -> int:
     """ANN top-k over an embeddings parquet: brute-force cosine (exact
     baseline), hyperplane-LSH multi-probe, IVF with the PERSISTED
@@ -467,11 +510,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--include-content", action="store_true")
     q.add_argument(
         "--mode",
-        choices=["keyword", "prefix", "regex", "phrase", "struct"],
+        choices=["keyword", "prefix", "regex", "phrase", "struct", "mlt"],
         default="keyword",
         help="keyword BM25 (default); prefix/regex expand dictionary terms; "
         "phrase greps the exact token sequence over --corpus; struct parses "
-        'the Lucene-subset syntax (terms, prefix*, "phrases", +req, -excl)',
+        'the Lucene-subset syntax (terms, prefix*, "phrases", +req, -excl); '
+        "mlt retrieves docs similar to the doc_id given as --query",
+    )
+    q.add_argument(
+        "--min-match", type=int, default=0,
+        help="minimumNumberShouldMatch: docs must match >= N distinct query terms",
     )
     q.add_argument("--local", action="store_true", help="serve from an in-process shard")
     q.add_argument("--hybrid", action="store_true", help="vector+BM25 fusion (needs --with-vectors build)")
@@ -490,6 +538,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--method", choices=["exact", "minhash", "ngram", "substr"], default="exact")
     d.add_argument("--k", type=int, default=8, help="window tokens for --method substr")
     d.add_argument("--threshold", type=float, default=0.8, help="near-dup jaccard threshold")
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--word", required=True)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--k", type=int, default=8)
 
     a = sub.add_parser("ann")
     a.add_argument("--embeddings", required=True, help="embeddings parquet")
@@ -511,6 +565,7 @@ def main(argv: list[str] | None = None) -> int:
         "query": _cmd_query,
         "status": _cmd_status,
         "dedup": _cmd_dedup,
+        "suggest": _cmd_suggest,
         "ann": _cmd_ann,
     }[args.cmd](args)
 

@@ -283,3 +283,62 @@ def test_cli_ann_methods(spark, tmp_path, capsys):
     rc, err = run(["--cores", "4", "ann", "--embeddings", emb_path,
                    "--query-id", "9999", "--method", "brute"])
     assert rc == 1 and "error" in err[-1]
+
+
+def test_query_min_match_spark_vs_local(built, capsys):
+    """--min-match filters to docs matching >= N distinct terms; Spark
+    plan and --local shard agree."""
+    _, index_path = built
+    base = ["--cores", "4", "query", "--index", index_path,
+            "--query", "user authentication token", "--limit", "5",
+            "--min-match", "2"]
+    rc1, out1 = _run(capsys, base)
+    rc2, out2 = _run(capsys, base + ["--local"])
+    assert rc1 == rc2 == 0
+    r1 = json.loads(out1[-1])["results"]
+    assert r1 == json.loads(out2[-1])["results"]
+    # msm is a restriction of the unfiltered result set
+    rc3, out3 = _run(capsys, base[:-2])
+    loose = {(r["path"], r["startLine"]) for r in json.loads(out3[-1])["results"]}
+    assert {(r["path"], r["startLine"]) for r in r1} <= loose
+
+
+def test_query_mlt_mode(built, capsys):
+    """--mode mlt retrieves similar docs for a doc_id and never returns
+    the source doc itself."""
+    _, index_path = built
+    rc, out = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                            "--query", "authenticate user", "--limit", "1"])
+    assert rc == 0
+    # grab a real doc_id via a keyword query's metadata-free path: use
+    # suggest's sibling surface instead — load the index is overkill here,
+    # so reuse the struct-ranked hit via a second keyword query JSON
+    res = json.loads(out[-1])["results"]
+    assert res
+    # doc_id is not in the JSON payload; drive mlt straight from the index
+    from coderag_spark import get_spark
+    from coderag_spark.engine import load_index
+
+    spark = get_spark("t", cores=4)
+    idx = load_index(spark, index_path)
+    src_id = idx.postings.first()["doc_id"]
+    rc2, out2 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                              "--query", str(src_id), "--mode", "mlt",
+                              "--limit", "5"])
+    assert rc2 == 0
+    assert json.loads(out2[-1])["results"]
+    # non-integer query in mlt mode errors cleanly
+    rc3, out3 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                              "--query", "not-an-id", "--mode", "mlt"])
+    assert rc3 == 2 and "error" in json.loads(out3[-1])
+
+
+def test_cli_suggest(built, capsys):
+    _, index_path = built
+    rc, out = _run(capsys, ["--cores", "4", "suggest", "--index", index_path,
+                            "--word", "authenticte", "--k", "5"])
+    assert rc == 0
+    sg = json.loads(out[-1])["suggestions"]
+    assert sg and sg[0]["term"] == "authenticate" and sg[0]["distance"] == 1
+    keys = [(s["distance"], -s["df"], s["term"]) for s in sg]
+    assert keys == sorted(keys)
