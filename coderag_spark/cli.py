@@ -110,7 +110,9 @@ def _cmd_query(args) -> int:
 
         parsed = parse_query(args.query)
         positional = None
-        if parsed.phrases:
+        if (parsed.phrases or parsed.excluded_phrases or parsed.prox_phrases
+                or parsed.excluded_prox or parsed.span_phrases
+                or parsed.excluded_span):
             if not args.corpus:
                 print(json.dumps({"error": "quoted phrases need --corpus"}))
                 return 2

@@ -201,6 +201,96 @@ def ordered_proximity_hits(
     )
 
 
+_SPAN_INF = 1 << 30  # sentinel "no window" (positions are ints << 2^30)
+
+
+def span_near_hits(
+    positional: DataFrame, terms: list[str], slop: int, ordered: bool = False
+) -> DataFrame:
+    """N-term SpanNearQuery (Lucene SpanNearQuery(clauses, slop, inOrder)):
+    (doc_id, min_span) for docs where some occurrence of every term fits
+    in a window of ``len(terms) + slop`` tokens — i.e. at most ``slop``
+    non-matching positions intervene (min_span - k <= slop, the minimal
+    covering window form of Lucene's slop contract). ``ordered=True``
+    additionally requires the occurrences to appear in clause order
+    (strictly increasing positions, so a repeated term needs distinct
+    occurrences).
+
+    Exactness: a minimal covering window starts at an occurrence of SOME
+    term, so minimizing over every anchor (term t, position p) of
+    [p .. max_u min{q in positions(u): q >= p}] visits the optimum; for
+    the ordered variant the greedy chain (each next term takes its
+    smallest position after the previous pick) is end-minimal for a fixed
+    start, hence exact too.
+
+    Scale shape: identical to phrase_hits — the isin filter keeps only
+    the k query terms' posting lists, ONE groupBy(doc_id) shuffle builds
+    the per-doc position map, and the window search is a pure-JVM
+    higher-order fold over per-doc frequency-sized arrays (no UDF, no
+    extra shuffle, cost O(sum_t tf_t * k) per doc).
+    """
+    uniq = sorted(set(terms))
+    if len(terms) < 2:
+        raise ValueError("span_near_hits needs at least two terms")
+    if not ordered and len(uniq) != len(terms):
+        raise ValueError(
+            "unordered span_near treats terms as a set; repeated terms "
+            "need ordered=True (distinct-occurrence chaining)"
+        )
+    k = len(terms)
+    have = _doc_position_map(positional, terms)
+
+    def plist(t: str) -> Column:
+        return F.element_at("pmap", F.lit(t))
+
+    if ordered:
+        def span_at(p: Column) -> Column:
+            # greedy chain: strictly-after minimum per successive term
+            end = p
+            valid = F.lit(True)
+            for t in terms[1:]:
+                prev = end
+                end = F.array_min(F.filter(plist(t), lambda q: q > prev))
+                valid = valid & end.isNotNull()
+            return F.when(valid, end - p + 1).otherwise(F.lit(_SPAN_INF))
+
+        min_span = F.aggregate(
+            plist(terms[0]),
+            F.lit(_SPAN_INF),
+            lambda acc, p: F.least(acc, span_at(p)),
+        )
+    else:
+        def span_from(anchor_t: str, p: Column) -> Column:
+            ends = [
+                F.array_min(F.filter(plist(u), lambda q: q >= p))
+                for u in uniq
+                if u != anchor_t
+            ]
+            valid = F.lit(True)
+            for e in ends:
+                valid = valid & e.isNotNull()
+            return F.when(valid, F.greatest(*ends, p) - p + 1).otherwise(
+                F.lit(_SPAN_INF)
+            )
+
+        def anchored_min(t: str) -> Column:
+            # closure factory: HOF lambdas must be exactly binary (PySpark
+            # arity-inspects them), so the anchor term binds here
+            return F.aggregate(
+                plist(t),
+                F.lit(_SPAN_INF),
+                lambda acc, p: F.least(acc, span_from(t, p)),
+            )
+
+        min_span = F.lit(_SPAN_INF)
+        for t in uniq:
+            min_span = F.least(min_span, anchored_min(t))
+    return (
+        have.select("doc_id", min_span.cast("long").alias("min_span"))
+        .filter(F.col("min_span") <= F.lit(k + slop))
+    )
+
+
 # ------------------------------------------------- compressed position store
 # Positions within a (doc, term) list are sorted ascending, so they ride
 # the same delta+varbyte scheme as docID gaps in the tf store

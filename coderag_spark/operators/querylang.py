@@ -26,12 +26,15 @@ that ties the engine's retrieval primitives into one string:
                          simple-analyzer token space, like phrase_search);
                          ``-"two words"`` EXCLUDES docs containing the
                          sequence (prohibited phrase)
-  * ``"a b"~3``       -> sloppy phrase (Lucene slop, TWO-term subset):
-                         both terms within 3 tokens of each other in
-                         either order (positional.proximity_hits);
-                         ``-"a b"~3`` prohibits the co-occurrence.
-                         Slop on 3+-term phrases raises — full SpanNear
-                         move semantics are out of scope
+  * ``"a b"~3``       -> sloppy phrase (Lucene slop): two terms within 3
+                         tokens of each other in either order
+                         (positional.proximity_hits window semantics);
+                         ``-"a b"~3`` prohibits the co-occurrence
+  * ``"a b c"~3``     -> 3+-term sloppy phrase -> unordered SpanNear
+                         (positional.span_near_hits): all terms fit a
+                         minimal covering window of <= k + slop tokens;
+                         a phrase with REPEATED terms chains ordered
+                         (distinct occurrences). ``-"..."~N`` prohibits
   * ``/pat/``         -> regexp term (Lucene RegexpQuery): every
                          dictionary term matching the WHOLE pattern scores
                          with its own idf (same expansion contract as
@@ -82,7 +85,11 @@ from coderag_spark.operators.bm25 import (
     fuzzy_cond,
     wildcard_to_regex,
 )
-from coderag_spark.operators.positional import phrase_hits, proximity_hits
+from coderag_spark.operators.positional import (
+    phrase_hits,
+    proximity_hits,
+    span_near_hits,
+)
 
 _RANGE_RE = re.compile(r"^([A-Za-z_][\w.]*):\[(\S+) TO (\S+)\]$")
 _FUZZY_RE = re.compile(r"^(.+)~([0-2]?)$")
@@ -109,6 +116,8 @@ class ParsedQuery:
     regexps: list[str] = field(default_factory=list)            # scored expansions
     required_regexps: list[str] = field(default_factory=list)   # membership filters
     excluded_regexps: list[str] = field(default_factory=list)
+    span_phrases: list[tuple[list[str], int]] = field(default_factory=list)  # (terms, slop)
+    excluded_span: list[tuple[list[str], int]] = field(default_factory=list)
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -150,14 +159,13 @@ def parse_query(q: str) -> ParsedQuery:
             if not ph:
                 continue
             if slop is not None:
-                if len(ph) != 2:
-                    raise ValueError(
-                        "phrase slop supports exactly two terms "
-                        f"(got {len(ph)}: {ph}); full SpanNear move "
-                        "semantics are out of scope"
-                    )
-                tgt = out.excluded_prox if sign == "-" else out.prox_phrases
-                tgt.append((ph[0], ph[1], slop))
+                if len(ph) == 2 and ph[0] != ph[1]:
+                    tgt = out.excluded_prox if sign == "-" else out.prox_phrases
+                    tgt.append((ph[0], ph[1], slop))
+                else:
+                    # 3+ terms (or a repeated pair) -> SpanNear window
+                    tgt2 = out.excluded_span if sign == "-" else out.span_phrases
+                    tgt2.append((ph, slop))
             else:
                 (out.excluded_phrases if sign == "-" else out.phrases).append(ph)
             continue
@@ -295,7 +303,8 @@ def execute_query(
     """
     parsed = parse_query(q) if isinstance(q, str) else q
     if (parsed.phrases or parsed.excluded_phrases or parsed.prox_phrases
-            or parsed.excluded_prox) and positional is None:
+            or parsed.excluded_prox or parsed.span_phrases
+            or parsed.excluded_span) and positional is None:
         raise ValueError("quoted phrases need the positional postings")
 
     # scoring side: one term predicate covering bare terms and every
@@ -398,6 +407,20 @@ def execute_query(
     for a, b_, w in parsed.excluded_prox:
         scored = scored.join(
             proximity_hits(positional, a, b_, window=w).select("doc_id"),
+            "doc_id", "left_anti",
+        )
+    for ph, slop in parsed.span_phrases:
+        scored = scored.join(
+            span_near_hits(
+                positional, ph, slop, ordered=len(set(ph)) != len(ph)
+            ).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+    for ph, slop in parsed.excluded_span:
+        scored = scored.join(
+            span_near_hits(
+                positional, ph, slop, ordered=len(set(ph)) != len(ph)
+            ).select("doc_id"),
             "doc_id", "left_anti",
         )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)

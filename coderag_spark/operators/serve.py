@@ -591,6 +591,12 @@ class LocalShard:
             ids = np.sort(np.array([d for d, _ in self.proximity(a, b, w)],
                                    dtype=np.int64))
             allowed = ids if allowed is None else np.intersect1d(allowed, ids)
+        for ph, slop in parsed.span_phrases:
+            ids = np.sort(np.array(
+                [d for d, _ in self.span_near(ph, slop, ordered=len(set(ph)) != len(ph))],
+                dtype=np.int64,
+            ))
+            allowed = ids if allowed is None else np.intersect1d(allowed, ids)
         excluded: "np.ndarray | None" = None
         for ph in parsed.excluded_phrases:
             ids = np.sort(np.array([d for d, _ in self.phrase(ph, limit=1 << 30)],
@@ -599,6 +605,12 @@ class LocalShard:
         for a, b, w in parsed.excluded_prox:
             ids = np.sort(np.array([d for d, _ in self.proximity(a, b, w)],
                                    dtype=np.int64))
+            excluded = ids if excluded is None else np.union1d(excluded, ids)
+        for ph, slop in parsed.excluded_span:
+            ids = np.sort(np.array(
+                [d for d, _ in self.span_near(ph, slop, ordered=len(set(ph)) != len(ph))],
+                dtype=np.int64,
+            ))
             excluded = ids if excluded is None else np.union1d(excluded, ids)
         for xt in parsed.excluded:
             ids = self._docs_with_term(xt)
@@ -706,6 +718,75 @@ class LocalShard:
                 hits.append((d, n))
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:limit]
+
+    def span_near(
+        self, terms: list[str], slop: int, ordered: bool = False
+    ) -> list[tuple[int, int]]:
+        """N-term SpanNear from the attached position store: [(doc_id,
+        min_span)] for docs whose minimal covering window satisfies
+        min_span <= len(terms) + slop — identical semantics to
+        positional.span_near_hits (anchored-minimum / greedy chain,
+        bisect instead of HOF folds). Result ordered by doc_id."""
+        from bisect import bisect_left, bisect_right
+
+        from coderag_spark.operators.positional import decode_positions
+
+        if len(terms) < 2:
+            raise ValueError("span_near needs at least two terms")
+        uniq = sorted(set(terms))
+        if not ordered and len(uniq) != len(terms):
+            raise ValueError("unordered span_near needs distinct terms")
+        pos = getattr(self, "positions", None)
+        if pos is None:
+            raise ValueError("call attach_positions(...) first")
+        maps = []
+        for t in uniq:
+            m = pos.get(t)
+            if m is None:
+                return []
+            maps.append(m)
+        cand = set(min(maps, key=len))
+        for m in maps:
+            cand &= m.keys()
+        k = len(terms)
+        out: list[tuple[int, int]] = []
+        for d in sorted(cand):
+            plists = {t: decode_positions(pos[t][d]) for t in uniq}
+            best: int | None = None
+            if ordered:
+                for p0 in plists[terms[0]]:
+                    prev = p0
+                    ok = True
+                    for t in terms[1:]:
+                        lst = plists[t]
+                        i = bisect_right(lst, prev)
+                        if i == len(lst):
+                            ok = False
+                            break
+                        prev = lst[i]
+                    if ok:
+                        span = prev - p0 + 1
+                        best = span if best is None else min(best, span)
+            else:
+                for t in uniq:
+                    for p in plists[t]:
+                        end = p
+                        ok = True
+                        for u in uniq:
+                            if u == t:
+                                continue
+                            lst = plists[u]
+                            i = bisect_left(lst, p)
+                            if i == len(lst):
+                                ok = False
+                                break
+                            end = max(end, lst[i])
+                        if ok:
+                            span = end - p + 1
+                            best = span if best is None else min(best, span)
+            if best is not None and best <= k + slop:
+                out.append((d, best))
+        return out
 
 
 class LocalCluster:

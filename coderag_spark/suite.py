@@ -1019,6 +1019,66 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.proximity_hits(_positional(spark, sf_dir), *PROX_TERMS, window=PROX_WINDOW)
 
 
+# SpanNear: three terms, minimal covering window; slop = max intervening
+# non-matching positions (min_span <= k + slop). Ordered variant requires
+# clause order with a looser slop.
+SPAN_TERMS = ["window", "batch", "stream"]
+SPAN_SLOP = 2
+SPAN_SLOP_ORDERED = 5
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-term unordered SpanNearQuery (positional.span_near_hits): docs
+    where 'window', 'batch', 'stream' fit in a 5-token window, with the
+    exact minimal covering span — pure-JVM anchored-minimum fold over the
+    per-doc position lists, one filtered-term shuffle."""
+    from coderag_spark.operators import positional as px
+
+    return px.span_near_hits(
+        _positional(spark, sf_dir), SPAN_TERMS, slop=SPAN_SLOP
+    )
+
+
+def q_span_near_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered SpanNear: same three clauses required in order (greedy
+    next-position chain, end-minimal per start anchor)."""
+    from coderag_spark.operators import positional as px
+
+    return px.span_near_hits(
+        _positional(spark, sf_dir), SPAN_TERMS, slop=SPAN_SLOP_ORDERED, ordered=True
+    )
+
+
+def _sql_span_near(terms: list[str], slop: int, ordered: bool) -> str:
+    """Brute-force min-window oracle: cross-join the three position lists
+    per doc (per-doc tf-sized — tiny at oracle scale) and minimize the
+    covering span; the ordered variant restricts to increasing triples."""
+    if ordered:
+        where = "WHERE a < b AND b < c"
+        span = "c - a + 1"
+    else:
+        where = ""
+        span = "greatest(a, b, c) - least(a, b, c) + 1"
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{terms[0]}') AS pa,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{terms[1]}') AS pb,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{terms[2]}') AS pc
+  FROM tok
+),
+cand AS (SELECT * FROM pos WHERE len(pa) > 0 AND len(pb) > 0 AND len(pc) > 0),
+t1 AS (SELECT doc_id, unnest(pa) AS a, pb, pc FROM cand),
+t2 AS (SELECT doc_id, a, unnest(pb) AS b, pc FROM t1),
+t3 AS (SELECT doc_id, a, b, unnest(pc) AS c FROM t2),
+spans AS (
+  SELECT doc_id, min({span})::BIGINT AS min_span FROM t3 {where} GROUP BY doc_id
+)
+SELECT doc_id, min_span FROM spans WHERE min_span <= {len(terms) + slop}
+"""
+
+
 def _sql_phrase(terms: list[str]) -> str:
     """Exact DuckDB phrase oracle recomputed straight from the token
     stream: count start offsets i where toks[i+j] = terms[j] for all j
@@ -3146,6 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": q_search_facets,
         "proximity_search": q_proximity_search,
         "proximity_ordered": q_proximity_ordered,
+        "span_near": q_span_near,
+        "span_near_ordered": q_span_near_ordered,
         "vocab_stats": q_vocab_stats,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
@@ -3232,6 +3294,8 @@ def oracle_sql() -> dict[str, str]:
         "search_facets": _sql_search_facets(query_terms(BM25_QUERY_MULTI)),
         "proximity_search": _sql_proximity(*PROX_TERMS, PROX_WINDOW),
         "proximity_ordered": _sql_proximity_ordered(*PROX_TERMS, PROX_WINDOW),
+        "span_near": _sql_span_near(SPAN_TERMS, SPAN_SLOP, ordered=False),
+        "span_near_ordered": _sql_span_near(SPAN_TERMS, SPAN_SLOP_ORDERED, ordered=True),
         "vocab_stats": SQL_VOCAB_STATS,
         "prefix_bm25": _sql_bm25([], 25, prefix=PREFIX_Q),
         "regex_bm25": _sql_bm25([], 25, regex=REGEX_Q),

@@ -369,3 +369,56 @@ def test_ordered_proximity_directional(pos):
     assert rev[0] == 1  # beta@1 -> alpha@3
     with pytest.raises(ValueError):
         px.ordered_proximity_hits(pos, "alpha", "alpha")
+
+
+# --------------------------------------------------------- span near
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (0, "aa xx bb yy cc"),        # unordered+ordered span 5
+        (1, "cc bb aa"),              # unordered span 3, no ordered chain
+        (2, "aa bb qq qq qq cc"),     # span 6 both ways
+        (3, "aa bb"),                 # missing cc
+        (4, "aa cc bb aa xx cc"),     # unordered min 3 ([cc,bb,aa]); ordered 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return px.positional_postings(df).persist()
+
+
+def _spans(df):
+    return sorted((r["doc_id"], r["min_span"]) for r in df.collect())
+
+
+def test_span_near_unordered_min_cover(span_docs):
+    t = ["aa", "bb", "cc"]
+    assert _spans(px.span_near_hits(span_docs, t, slop=2)) == [(0, 5), (1, 3), (4, 3)]
+    assert _spans(px.span_near_hits(span_docs, t, slop=0)) == [(1, 3), (4, 3)]
+    # slop wide enough admits every doc holding all three terms
+    assert _spans(px.span_near_hits(span_docs, t, slop=100)) == [
+        (0, 5), (1, 3), (2, 6), (4, 3),
+    ]
+    # anchor order must not matter
+    assert _spans(px.span_near_hits(span_docs, ["cc", "aa", "bb"], slop=2)) == [
+        (0, 5), (1, 3), (4, 3),
+    ]
+
+
+def test_span_near_ordered_greedy_chain(span_docs):
+    t = ["aa", "bb", "cc"]
+    assert _spans(px.span_near_hits(span_docs, t, slop=3, ordered=True)) == [
+        (0, 5), (2, 6), (4, 6),
+    ]
+    # reversed clause order: doc 1 (cc bb aa) and doc 4 (cc1 bb2 aa3)
+    assert _spans(px.span_near_hits(span_docs, ["cc", "bb", "aa"], slop=0, ordered=True)) == [
+        (1, 3), (4, 3),
+    ]
+    # repeated term: needs two distinct occurrences, ordered only
+    assert _spans(px.span_near_hits(span_docs, ["aa", "aa"], slop=5, ordered=True)) == [
+        (4, 4)
+    ]
+    with pytest.raises(ValueError):
+        px.span_near_hits(span_docs, ["aa", "aa"], slop=5)
+    with pytest.raises(ValueError):
+        px.span_near_hits(span_docs, ["aa"], slop=1)

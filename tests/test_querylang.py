@@ -207,8 +207,10 @@ def test_sloppy_phrase_is_proximity_filter(tagged_index, chunk_positional):
         positional=chunk_positional,
     ).collect()
     assert {r["doc_id"] for r in far} == set(base) - prox_ids
-    with pytest.raises(ValueError, match="two terms"):
-        ql.parse_query('"alpha beta gamma"~2')
+    # 3+-term slop now routes to SpanNear instead of raising
+    assert ql.parse_query('"alpha beta gamma"~2').span_phrases == [
+        (["alpha", "beta", "gamma"], 2)
+    ]
 
 
 def test_pure_filter_query_is_deterministic(tagged_index):
@@ -512,3 +514,58 @@ def test_shard_regexp_rank_identical(spark, tagged_index):
         assert got == want, q
         if must_hit:
             assert got, q
+
+
+def test_parse_span_phrases():
+    p = ql.parse_query('"aa bb cc"~3 -"dd ee ff"~2 "gg hh"~4 "ii ii"~5')
+    assert p.span_phrases == [(["aa", "bb", "cc"], 3), (["ii", "ii"], 5)]
+    assert p.excluded_span == [(["dd", "ee", "ff"], 2)]
+    assert p.prox_phrases == [("gg", "hh", 4)]
+
+
+def test_span_phrase_filters_and_shard_twin(spark, tagged_index, chunk_positional):
+    """3-term sloppy phrase == span_near_hits membership filter (scores
+    unchanged) on the Spark plan, and the shard serves it identically."""
+    from coderag_spark.operators.positional import compress_positional, span_near_hits
+    from coderag_spark.operators.serve import LocalShard
+
+    # pick three frequent distinct position-store terms so the window
+    # filter has real hits
+    top = [
+        r["term"]
+        for r in chunk_positional.groupBy("term")
+        .count()
+        .orderBy(F.desc("count"), F.asc("term"))
+        .limit(3)
+        .collect()
+    ]
+    slop = 40
+    q = f'authenticate "{top[0]} {top[1]} {top[2]}"~{slop}'
+    base = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in ql.execute_query(
+            tagged_index, "authenticate", limit=100000, positional=chunk_positional
+        ).collect()
+    }
+    hits = {
+        r["doc_id"]
+        for r in span_near_hits(chunk_positional, top, slop=slop).collect()
+    }
+    assert hits, "span fixture should match some chunks"
+    got = ql.execute_query(
+        tagged_index, q, limit=100000, positional=chunk_positional
+    ).collect()
+    assert {r["doc_id"] for r in got} == set(base) & hits
+    assert all(round(r["score"], 6) == base[r["doc_id"]] for r in got)
+
+    shard = LocalShard.from_index(tagged_index, with_docs=True)
+    shard.attach_positions(compress_positional(chunk_positional))
+    for qq in (q, f'authenticate -"{top[0]} {top[1]} {top[2]}"~{slop}'):
+        want = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in ql.execute_query(
+                tagged_index, qq, limit=10, positional=chunk_positional
+            ).collect()
+        ]
+        got_sh = [(d, round(s, 6)) for d, s in shard.query_struct(qq, limit=10)]
+        assert got_sh == want, qq
