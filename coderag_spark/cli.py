@@ -218,7 +218,7 @@ def _cmd_query(args) -> int:
             (d, s)
             for d, s in shard.search(
                 args.query, limit=args.limit, allowed_docs=allowed,
-                min_match=args.min_match,
+                min_match=args.min_match, similarity=args.similarity,
             )
             if s >= args.min_score
         ]
@@ -234,6 +234,7 @@ def _cmd_query(args) -> int:
                 path_filter=args.path_filter,
                 exclude_paths=_split_flag(args.exclude_paths),
                 min_match=args.min_match,
+                similarity=args.similarity,
             ).collect()
         ]
     if args.local:
@@ -518,6 +519,11 @@ def main(argv: list[str] | None = None) -> int:
         "phrase greps the exact token sequence over --corpus; struct parses "
         'the Lucene-subset syntax (terms, prefix*, "phrases", +req, -excl); '
         "mlt retrieves docs similar to the doc_id given as --query",
+    )
+    q.add_argument(
+        "--similarity", choices=["bm25", "lmd", "classic"], default="bm25",
+        help="ranking function (keyword + --local modes): BM25 (default), "
+        "LM Dirichlet, or classic TF-IDF",
     )
     q.add_argument(
         "--min-match", type=int, default=0,

@@ -96,6 +96,92 @@ def score_terms(
     )
 
 
+LMD_MU = 2000.0  # Lucene LMDirichletSimilarity default mu
+
+
+def lmd_term_score(
+    raw_freq: Column, ctf: Column, token_count: Column,
+    collection_tokens: float, mu: float = LMD_MU,
+) -> Column:
+    """Per-(doc, term) LM-Dirichlet contribution (Lucene
+    LMDirichletSimilarity, Zhai & Lafferty 2001):
+
+        max(0, ln(1 + tf / (mu * P(t|C))) + ln(mu / (dl + mu)))
+
+    with P(t|C) = ctf / collection_tokens (collection language model) and
+    Lucene's >=0 clamp per clause. Same docLen fallback as BM25. A pure
+    column expression — swapping similarities changes zero plan shape."""
+    dl = F.when(F.coalesce(token_count, F.lit(0)) > 0, token_count).otherwise(F.lit(1))
+    p_c = ctf / F.lit(float(collection_tokens))
+    s = F.log(1.0 + raw_freq / (F.lit(mu) * p_c)) + F.log(F.lit(mu) / (dl + F.lit(mu)))
+    return F.greatest(s, F.lit(0.0))
+
+
+def classic_term_score(
+    raw_freq: Column, idf: Column, token_count: Column
+) -> Column:
+    """Per-(doc, term) Lucene ClassicSimilarity (practical TF-IDF)
+    contribution: sqrt(tf) * idf^2 * 1/sqrt(dl). The dictionary's smoothed
+    idf (ln((N+1)/(df+1)) + 1) IS Lucene's classic idf, so it is reused
+    unchanged; the caller multiplies the summed score by the coord factor
+    matched_terms / |query|."""
+    dl = F.when(F.coalesce(token_count, F.lit(0)) > 0, token_count).otherwise(F.lit(1))
+    i = F.coalesce(idf, F.lit(1.0))
+    return F.sqrt(raw_freq) * i * i / F.sqrt(dl)
+
+
+def score_terms_similarity(
+    index: Index, terms: list[str], similarity: str = "bm25",
+    k1: float = BM25_K1, b: float = BM25_B, mu: float = LMD_MU,
+) -> DataFrame:
+    """score_terms with a pluggable similarity: 'bm25' (default, identical
+    to score_terms), 'lmd' (LM Dirichlet), or 'classic' (Lucene TF-IDF
+    with the coord factor).
+
+    Scale shape is IDENTICAL for all three: the isin filter keeps only the
+    query terms' postings, one broadcast dictionary join, one
+    groupBy(doc_id) shuffle. 'lmd' adds a ctf (collection term frequency)
+    aggregate over the same filtered slice — a second tiny broadcast, no
+    extra shuffle over the corpus. The collection token count is derived
+    as avgdl * n_docs so shards and Spark agree without new stats."""
+    if similarity == "bm25":
+        return score_terms(index, terms, k1, b)
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, matched_terms int"
+        )
+    cand = index.postings.filter(F.col("term").isin(terms))
+    if similarity == "lmd":
+        ctf = cand.groupBy("term").agg(F.sum("raw_freq").alias("ctf"))
+        collection_tokens = max(index.stats.avgdl * index.stats.n_docs, 1.0)
+        scored = cand.join(F.broadcast(ctf), "term")
+        per_term = lmd_term_score(
+            F.col("raw_freq"), F.col("ctf"), F.col("token_count"),
+            collection_tokens, mu,
+        )
+        return scored.groupBy("doc_id").agg(
+            F.sum(per_term).alias("score"),
+            F.count("*").alias("matched_terms"),
+        )
+    if similarity == "classic":
+        idf = index.dictionary.filter(F.col("term").isin(terms)).select("term", "idf")
+        scored = cand.join(F.broadcast(idf), "term", "left")
+        per_term = classic_term_score(
+            F.col("raw_freq"), F.col("idf"), F.col("token_count")
+        )
+        agg = scored.groupBy("doc_id").agg(
+            F.sum(per_term).alias("_raw"),
+            F.count("*").alias("matched_terms"),
+        )
+        # coord(q, d) = matched / |q| (Lucene BooleanQuery coord)
+        return agg.select(
+            "doc_id",
+            (F.col("_raw") * F.col("matched_terms") / F.lit(float(len(terms)))).alias("score"),
+            "matched_terms",
+        )
+    raise ValueError(f"unknown similarity {similarity!r} (bm25 | lmd | classic)")
+
+
 def search(
     index: Index,
     query: str,
@@ -108,6 +194,8 @@ def search(
     candidate_cap: int | None = None,
     required_terms: list[str] | None = None,
     min_match: int = 0,
+    similarity: str = "bm25",
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 chunk search — the indexer.search surface
     (indexer.ts:1165-1365). Returns
@@ -128,7 +216,18 @@ def search(
     returned (0/1 = plain OR retrieval; len(terms) = pure conjunction).
     Score-safe — the surviving docs keep their full OR-retrieval scores,
     and the filter is a predicate on the already-aggregated
-    matched_terms count, so it adds nothing to the plan."""
+    matched_terms count, so it adds nothing to the plan.
+
+    ``similarity`` swaps the ranking function (score_terms_similarity):
+    'bm25' (default) | 'lmd' (LM Dirichlet) | 'classic' (Lucene TF-IDF).
+
+    ``after=(score, doc_id)`` is Lucene/ES search_after cursor paging:
+    only docs STRICTLY after the cursor in (score desc, doc_id asc) order
+    are returned, so page N+1 costs the same TakeOrdered(limit) as page 1
+    — at scale this replaces the O(offset + limit) deep-page heap with an
+    O(limit) one, and the score predicate prunes before the sort. Pass
+    the last row of the previous page verbatim (exact float — same
+    engine, bitwise-stable)."""
     terms = dedupe_query_tokens(query, analyzer)
     docs = index.docs
     # posting-list keyword filters (AND semantics): ``required_terms``
@@ -168,13 +267,19 @@ def search(
             docs=index.docs,
             stats=index.stats,
         )
-        scores = score_terms(capped, terms)
+        scores = score_terms_similarity(capped, terms, similarity)
     else:
-        scores = score_terms(index, terms)
+        scores = score_terms_similarity(index, terms, similarity)
     if min_match > 0:
         scores = scores.filter(F.col("matched_terms") >= F.lit(min_match))
     if min_score > 0:
         scores = scores.filter(F.col("score") >= F.lit(min_score))
+    if after is not None:
+        a_score, a_doc = float(after[0]), int(after[1])
+        scores = scores.filter(
+            (F.col("score") < F.lit(a_score))
+            | ((F.col("score") == F.lit(a_score)) & (F.col("doc_id") > F.lit(a_doc)))
+        )
     out = scores.join(
         docs.select("doc_id", "repo", "path", "start_line", "end_line", "lang", "sha256"),
         "doc_id",
@@ -660,3 +765,68 @@ def bm25f_search(
     )
     ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
     return ordered if limit is None else ordered.limit(limit)
+
+
+def significant_terms(
+    index: Index,
+    query: str,
+    k: int = 10,
+    min_doc_count: int = 3,
+    exclude_query_terms: bool = True,
+    analyzer=code_analyze,
+) -> DataFrame:
+    """Significant-terms aggregation (Elasticsearch significant_terms,
+    JLH heuristic): terms unusually common in the docs matching ``query``
+    (the foreground set, OR retrieval) relative to the whole corpus.
+
+        jlh = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        fg_pct = fg_df / n_fg,  bg_pct = df / n_docs
+
+    Returns (term, fg_df, bg_df, jlh) top-k by (jlh desc, term asc).
+    ``min_doc_count`` drops rare-noise terms (ES default-shaped floor);
+    ``exclude_query_terms`` removes the query's own terms, which trivially
+    top any foreground they define.
+
+    Scale shape: the foreground doc set comes from the filtered posting
+    slice (only query-term lists move); ONE doc_id semi-join restricts
+    postings to foreground docs, one groupBy(term) counts fg_df
+    (map-side partials), and the background df arrives via the broadcast
+    dictionary. n_fg rides along as a broadcast 1-row cross-join — the
+    whole aggregation is a single job with no corpus-wide shuffle beyond
+    the foreground postings."""
+    terms = dedupe_query_tokens(query, analyzer)
+    if not terms:
+        return index.postings.sparkSession.createDataFrame(
+            [], "term string, fg_df long, bg_df long, jlh double"
+        )
+    fg = (
+        index.postings.filter(F.col("term").isin(terms))
+        .select("doc_id")
+        .distinct()
+    )
+    n_fg = fg.agg(F.count("*").alias("n_fg"))
+    fg_counts = (
+        index.postings.join(fg, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+        .filter(F.col("fg_df") >= F.lit(min_doc_count))
+    )
+    if exclude_query_terms:
+        fg_counts = fg_counts.filter(~F.col("term").isin(terms))
+    n_docs = float(index.stats.n_docs)
+    joined = (
+        fg_counts.join(index.dictionary.select("term", "df"), "term")
+        .crossJoin(F.broadcast(n_fg))
+    )
+    fg_pct = F.col("fg_df") / F.col("n_fg")
+    bg_pct = F.col("df") / F.lit(n_docs)
+    return (
+        joined.select(
+            "term",
+            F.col("fg_df").cast("long"),
+            F.col("df").cast("long").alias("bg_df"),
+            ((fg_pct - bg_pct) * (fg_pct / bg_pct)).alias("jlh"),
+        )
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(k)
+    )

@@ -43,6 +43,7 @@ __all__ = [
     "phrase_hits",
     "phrase_search",
     "proximity_hits",
+    "best_fragments",
     "encode_positions",
     "decode_positions",
     "compress_positional",
@@ -288,6 +289,52 @@ def span_near_hits(
     return (
         have.select("doc_id", min_span.cast("long").alias("min_span"))
         .filter(F.col("min_span") <= F.lit(k + slop))
+    )
+
+
+def best_fragments(
+    positional: DataFrame, terms: list[str], width: int = 30
+) -> DataFrame:
+    """Highlighting fragment selection (Lucene UnifiedHighlighter's
+    best-passage idea in token space): for each doc containing ANY query
+    term, the ``width``-token window holding the most query-term
+    occurrences. Returns (doc_id, frag_start, n_matches) — frag_start is
+    the 0-based token offset of the best window's first match; ties break
+    to the EARLIEST window.
+
+    Exactness: an optimal window can always be shifted left until its
+    first token is a match, so scanning only match-anchored windows visits
+    the optimum; the fold walks the merged position list ascending, so
+    keeping a strictly-better count preserves the earliest tie.
+
+    Scale shape: same as phrase_hits — isin filter keeps the k query
+    terms' lists, ONE groupBy(doc_id) shuffle (ANY-term, so no all-terms
+    filter), then a pure-JVM O(m^2) fold over the per-doc matched
+    positions (m = matched occurrences, tiny). The caller renders the
+    actual text by slicing tokens [frag_start, frag_start + width) from
+    the doc — presentation stays out of the scoring job."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("best_fragments needs at least one term")
+    sub = positional.filter(F.col("term").isin(uniq))
+    merged = sub.groupBy("doc_id").agg(
+        F.array_sort(F.flatten(F.collect_list("positions"))).alias("ps")
+    )
+    cnt_at = lambda p: F.size(
+        F.filter(F.col("ps"), lambda q: (q >= p) & (q < p + F.lit(width)))
+    )
+    best = F.aggregate(
+        F.col("ps"),
+        F.named_struct(F.lit("n"), F.lit(-1), F.lit("start"), F.lit(-1)),
+        lambda acc, p: F.when(
+            cnt_at(p) > acc["n"],
+            F.named_struct(F.lit("n"), cnt_at(p), F.lit("start"), p),
+        ).otherwise(acc),
+    )
+    return merged.select(
+        "doc_id",
+        best["start"].cast("long").alias("frag_start"),
+        best["n"].cast("long").alias("n_matches"),
     )
 
 

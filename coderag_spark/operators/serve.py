@@ -304,6 +304,29 @@ class LocalShard:
             )
         return stored
 
+    def _sim_scores(self, term: str, stored: _StoredList, similarity: str) -> np.ndarray:
+        """Per-occurrence score array for a non-default similarity,
+        computed on demand from the decoded (tf, dl) arrays — twin of
+        bm25.lmd_term_score / classic_term_score. Not cached: the cached
+        array slot belongs to BM25 (the serving hot path)."""
+        from coderag_spark.operators.bm25 import LMD_MU
+
+        _, tfs, dls = stored.raw  # type: ignore[misc]
+        tf = np.asarray(tfs, dtype=np.float64)
+        dl = np.asarray(dls, dtype=np.float64)
+        dl[dl <= 0] = 1.0
+        if similarity == "lmd":
+            c_tok = max(self.avgdl * self.n_docs, 1.0)
+            ctf = tf.sum()  # full collection frequency (single shard)
+            s = np.log(1.0 + tf / (LMD_MU * (ctf / c_tok))) + np.log(
+                LMD_MU / (dl + LMD_MU)
+            )
+            return np.maximum(s, 0.0)
+        if similarity == "classic":
+            idf = self.idf.get(term, 1.0)
+            return np.sqrt(tf) * idf * idf / np.sqrt(dl)
+        raise ValueError(f"unknown similarity {similarity!r} (bm25 | lmd | classic)")
+
     def _term_list(self, term: str) -> _TermList | None:
         """DAAT view for the WAND kernel (kernel='wand')."""
         stored = self._decode(term)
@@ -339,6 +362,8 @@ class LocalShard:
         terms: list[str] | None = None,
         term_weights: "dict[str, float] | None" = None,
         min_match: int = 0,
+        similarity: str = "bm25",
+        after: "tuple[float, int] | None" = None,
     ) -> list[tuple[int, float]]:
         """Rank-identical BM25 top-k: [(doc_id, score)], (score desc,
         doc_id asc). Same semantics as bm25.search: query tokens deduped,
@@ -372,6 +397,20 @@ class LocalShard:
         matching fewer distinct query terms are masked out after the
         sort-aggregate (each per-term doc array holds a doc once, so the
         group size IS the distinct-match count); vector kernel only.
+
+        ``similarity`` swaps the ranking math (bm25.score_terms_similarity
+        twin): 'bm25' (default, cached arrays) | 'lmd' (LM Dirichlet —
+        ctf from the shard's own full posting list, C = avgdl * n_docs;
+        a doc-sharded LocalCluster would need GLOBAL ctf, so lmd/classic
+        stay single-shard) | 'classic' (TF-IDF with the coord factor).
+        Vector kernel only — WAND block maxima are BM25 bounds.
+
+        ``after=(score, doc_id)`` is search_after cursor paging
+        (bm25.search, same argument order — NOTE results are (doc_id,
+        score), so the cursor from a result row r is (r[1], r[0])): keep
+        only docs strictly after the cursor in (score desc, doc_id asc)
+        order, then top-k. Use a cursor from THIS shard — float sums are
+        bitwise-stable within one engine, not across engines.
         """
         terms = terms if terms is not None else dedupe_query_tokens(query, analyzer)
         if kernel == "wand":
@@ -381,6 +420,8 @@ class LocalShard:
                 raise ValueError("term_weights requires kernel='vector'")
             if min_match > 0:
                 raise ValueError("min_match requires kernel='vector'")
+            if similarity != "bm25" or after is not None:
+                raise ValueError("similarity/after require kernel='vector'")
             lists = [tl for t in terms if (tl := self._term_list(t)) is not None]
             if not lists:
                 return []
@@ -391,10 +432,18 @@ class LocalShard:
             return []
         docs = np.concatenate([s.docs for _, s in stored])
         w = term_weights or {}
+        if similarity == "bm25":
+            per_term = [(t, s.scores) for t, s in stored]
+        else:
+            if term_weights:
+                raise ValueError("term_weights requires similarity='bm25'")
+            per_term = [
+                (t, self._sim_scores(t, s, similarity)) for t, s in stored
+            ]
         scores = np.concatenate(
             [
-                s.scores if w.get(t, 1.0) == 1.0 else s.scores * w[t]
-                for t, s in stored
+                arr if w.get(t, 1.0) == 1.0 else arr * w[t]
+                for t, arr in per_term
             ]
         )
         order = np.argsort(docs, kind="stable")
@@ -407,6 +456,10 @@ class LocalShard:
         idx = np.flatnonzero(starts)
         uniq = d[idx]
         agg = np.add.reduceat(s, idx)
+        if similarity == "classic":
+            # coord(q, d) = matched / |q| over distinct query terms
+            counts = np.diff(np.append(idx, d.size))
+            agg = agg * counts / float(len(terms))
         if min_match > 0:
             counts = np.diff(np.append(idx, d.size))
             keep = counts >= min_match
@@ -414,6 +467,11 @@ class LocalShard:
             agg = agg[keep]
         if allowed_docs is not None:
             mask = np.isin(uniq, allowed_docs)
+            uniq = uniq[mask]
+            agg = agg[mask]
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            mask = (agg < a_s) | ((agg == a_s) & (uniq > a_d))
             uniq = uniq[mask]
             agg = agg[mask]
         k = min(limit, uniq.size)

@@ -480,7 +480,7 @@ scored AS (
   {having}
 )
 SELECT doc_id, round(score_raw, 6) AS score{matched_sel} FROM scored
-ORDER BY 2 DESC, 1 ASC LIMIT {k}
+{"ORDER BY 2 DESC, 1 ASC LIMIT " + str(k) if k is not None else ""}
 """
 
 
@@ -523,6 +523,291 @@ def q_fuzzy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     both plain no-transposition), every expansion scoring with its own
     idf — the typo-tolerant twin of prefix_bm25."""
     return _bm25(spark, sf_dir, [], 15, fuzzy=FUZZY_QUERY)
+
+
+# Alternative similarities (Lucene's pluggable Similarity): LM Dirichlet
+# (Zhai & Lafferty 2001; Lucene LMDirichletSimilarity, mu = 2000) and
+# Classic TF-IDF (sqrt(tf) * idf^2 / sqrt(dl) with the BooleanQuery coord
+# factor). Collection token count C = avgdl * n_docs — derived the same
+# way in both engines, so no extra stat is needed. Same retrieval set as
+# bm25_topk, different ranking math; the plan shape is identical (isin
+# filter, broadcast joins, one groupBy(doc_id)).
+LMD_MU = 2000.0
+
+
+def q_lmd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-Dirichlet top-10 (bm25.lmd_term_score): per matched term
+    max(0, ln(1 + tf/(mu*ctf/C)) + ln(mu/(dl+mu))), summed per doc."""
+    tok = _tokdocs(spark, sf_dir)
+    terms = query_terms(BM25_QUERY_MULTI)
+    stats = tok.agg(
+        F.count("*").alias("n_docs"),
+        F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl"),
+    ).select((F.col("avgdl") * F.col("n_docs")).alias("ctok"))
+    post = _doc_postings(spark, sf_dir).filter(F.col("term").isin(terms))
+    ctf = post.groupBy("term").agg(F.sum("raw_freq").alias("ctf"))
+    dl = tok.select("doc_id", F.size("toks").alias("token_count"))
+    per = F.greatest(
+        F.log(1.0 + F.col("raw_freq") / (F.lit(LMD_MU) * (F.col("ctf") / F.col("ctok"))))
+        + F.log(F.lit(LMD_MU) / (F.col("token_count") + F.lit(LMD_MU))),
+        F.lit(0.0),
+    )
+    return (
+        post.join(F.broadcast(ctf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(per), 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_LMD_TOPK = f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stats AS (
+  SELECT greatest(avg(len(toks) * 1.0), 1.0) * count(*) AS ctok FROM tok
+),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+qt AS ({{qt}}),
+ctf AS (
+  SELECT term, sum(raw_freq) AS ctf FROM post JOIN qt USING (term) GROUP BY term
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok),
+scored AS (
+  SELECT p.doc_id,
+         sum(greatest(
+               ln(1.0 + p.raw_freq / ({LMD_MU} * (c.ctf / s.ctok)))
+               + ln({LMD_MU} / (d.token_count + {LMD_MU})), 0.0)) AS score_raw
+  FROM post p JOIN qt USING (term) JOIN ctf c USING (term)
+       JOIN dl d ON d.doc_id = p.doc_id, stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score FROM scored
+WHERE round(score_raw, 6) > 0
+ORDER BY 2 DESC, 1 ASC LIMIT 10
+"""
+
+
+def q_classic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ClassicSimilarity top-10 (bm25.classic_term_score):
+    sqrt(tf) * idf^2 / sqrt(dl) summed per doc, times the coord factor
+    matched_terms / |query|."""
+    tok = _tokdocs(spark, sf_dir)
+    terms = query_terms(BM25_QUERY_MULTI)
+    stats = tok.agg(F.count("*").alias("n_docs"))
+    post = _doc_postings(spark, sf_dir).filter(F.col("term").isin(terms))
+    idf = (
+        post.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("token_count"))
+    per = (
+        F.sqrt(F.col("raw_freq")) * F.col("idf") * F.col("idf")
+        / F.sqrt(F.col("token_count"))
+    )
+    return (
+        post.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(per) * F.count("*") / F.lit(float(len(terms))), 6
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_CLASSIC_TOPK = """
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs FROM tok),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+qt AS ({qt}),
+idf AS (
+  SELECT term, ln((s.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM post JOIN qt USING (term), stats s GROUP BY term, s.n_docs
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok),
+scored AS (
+  SELECT p.doc_id,
+         round(sum(sqrt(p.raw_freq) * i.idf * i.idf / sqrt(d.token_count))
+               * count(*) / {nq}, 6) AS score
+  FROM post p JOIN qt USING (term) JOIN idf i USING (term)
+       JOIN dl d ON d.doc_id = p.doc_id
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY 2 DESC, 1 ASC LIMIT 10
+"""
+
+
+PAGE_SIZE = 10
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_after cursor paging (Lucene/ES): page 2 of bm25_topk —
+    take page 1's last row as the cursor (a bounded 1-row collect), then
+    filter strictly-after in (score desc, doc_id asc) order and
+    TakeOrdered(PAGE_SIZE). At scale this is the O(limit) deep-paging
+    shape: no offset+limit heap, and the score predicate prunes before
+    the sort. Comparisons run on the suite's 6dp-rounded scores so both
+    engines agree on the page boundary."""
+    terms = query_terms(BM25_QUERY_MULTI)
+    page1 = _bm25(spark, sf_dir, terms, PAGE_SIZE).collect()
+    s0, d0 = float(page1[-1]["score"]), int(page1[-1]["doc_id"])
+    scored = _bm25(spark, sf_dir, terms, None)
+    return (
+        scored.filter(
+            (F.col("score") < F.lit(s0))
+            | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > F.lit(d0)))
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(PAGE_SIZE)
+    )
+
+
+def _sql_search_after(terms: list[str], page: int) -> str:
+    """Oracle: rank the full scored set once, return rows page*size+1 ..
+    (page+1)*size — row_number over the same total order IS the cursor
+    contract when the cursor is the previous page's last row."""
+    base = _sql_bm25(terms, None)
+    return f"""
+WITH allrows AS ({base}),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM allrows
+)
+SELECT doc_id, score FROM ranked
+WHERE rn > {page * PAGE_SIZE} AND rn <= {(page + 1) * PAGE_SIZE}
+ORDER BY score DESC, doc_id ASC
+"""
+
+
+SIG_MIN_DOC_COUNT = 3
+SIG_K = 15
+
+
+def q_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation (Elasticsearch significant_terms,
+    JLH): terms over-represented in the docs matching the bm25 query
+    relative to the corpus — jlh = (fg_pct - bg_pct) * (fg_pct/bg_pct).
+    Query terms excluded (they trivially top the foreground they define);
+    fg_df >= SIG_MIN_DOC_COUNT floors rare noise. One semi-join + one
+    groupBy(term); background df rides the same postings aggregate."""
+    terms = query_terms(BM25_QUERY_MULTI)
+    post = _doc_postings(spark, sf_dir)
+    tok = _tokdocs(spark, sf_dir)
+    stats = tok.agg(F.count("*").alias("n_docs"))
+    fg = post.filter(F.col("term").isin(terms)).select("doc_id").distinct()
+    n_fg = fg.agg(F.count("*").alias("n_fg"))
+    fg_counts = (
+        post.join(fg, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+        .filter(F.col("fg_df") >= F.lit(SIG_MIN_DOC_COUNT))
+        .filter(~F.col("term").isin(terms))
+    )
+    bg = post.groupBy("term").agg(F.count("*").alias("bg_df"))
+    fg_pct = F.col("fg_df") / F.col("n_fg")
+    bg_pct = F.col("bg_df") / F.col("n_docs")
+    return (
+        fg_counts.join(bg, "term")
+        .crossJoin(F.broadcast(n_fg))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("bg_df").cast("long").alias("bg_df"),
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("jlh"),
+        )
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(SIG_K)
+    )
+
+
+def _sql_sig_terms(terms: list[str]) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs FROM tok),
+post AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+),
+qt AS ({_terms_sql(terms)}),
+fg AS (SELECT DISTINCT doc_id FROM post JOIN qt USING (term)),
+nfg AS (SELECT count(*) AS n_fg FROM fg),
+fgc AS (
+  SELECT term, count(*) AS fg_df
+  FROM post JOIN fg USING (doc_id)
+  WHERE term NOT IN (SELECT term FROM qt)
+  GROUP BY term HAVING count(*) >= {SIG_MIN_DOC_COUNT}
+),
+bg AS (SELECT term, count(*) AS bg_df FROM post GROUP BY term)
+SELECT f.term, f.fg_df::BIGINT AS fg_df, b.bg_df::BIGINT AS bg_df,
+       round((f.fg_df * 1.0 / n.n_fg - b.bg_df * 1.0 / s.n_docs)
+             * ((f.fg_df * 1.0 / n.n_fg) / (b.bg_df * 1.0 / s.n_docs)), 6) AS jlh
+FROM fgc f JOIN bg b USING (term), nfg n, stats s
+ORDER BY 4 DESC, 1 ASC LIMIT {SIG_K}
+"""
+
+
+HL_WIDTH = 25
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fragment highlighting (positional.best_fragments): for every
+    doc matching any bm25 query term, the HL_WIDTH-token window with the
+    most query-term occurrences (earliest on ties) — pure-JVM fold over
+    the merged per-doc match positions, one ANY-term shuffle."""
+    from coderag_spark.operators import positional as px
+
+    return px.best_fragments(
+        _positional(spark, sf_dir), query_terms(BM25_QUERY_MULTI), width=HL_WIDTH
+    )
+
+
+def _sql_highlight(terms: list[str], width: int) -> str:
+    """Brute-force oracle: merge the (1-based) position lists, score every
+    match-anchored window, argmax by (count desc, start asc); emit the
+    0-based start to match the engine's token offsets."""
+    lists = " || ".join(
+        f"list_filter(range(1, len(toks) + 1), i -> toks[i] = '{t}')" for t in terms
+    )
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+pos AS (SELECT doc_id, list_sort({lists}) AS ps FROM tok),
+cand AS (SELECT doc_id, ps FROM pos WHERE len(ps) > 0),
+anchored AS (
+  SELECT doc_id, unnest(ps) AS p, ps FROM cand
+),
+counted AS (
+  SELECT doc_id, p,
+         len(list_filter(ps, q -> q >= p AND q < p + {width})) AS n_matches
+  FROM anchored
+),
+ranked AS (
+  SELECT doc_id, p, n_matches,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_matches DESC, p ASC) AS rn
+  FROM counted
+)
+SELECT doc_id, (p - 1)::BIGINT AS frag_start, n_matches::BIGINT AS n_matches
+FROM ranked WHERE rn = 1
+"""
 
 
 # MoreLikeThis constants: source doc, Lucene-default-shaped thresholds
@@ -3208,6 +3493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_ordered": q_proximity_ordered,
         "span_near": q_span_near,
         "span_near_ordered": q_span_near_ordered,
+        "lmd_topk": q_lmd_topk,
+        "classic_topk": q_classic_topk,
+        "search_after": q_search_after,
+        "sig_terms": q_sig_terms,
+        "highlight": q_highlight,
         "vocab_stats": q_vocab_stats,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
@@ -3296,6 +3586,15 @@ def oracle_sql() -> dict[str, str]:
         "proximity_ordered": _sql_proximity_ordered(*PROX_TERMS, PROX_WINDOW),
         "span_near": _sql_span_near(SPAN_TERMS, SPAN_SLOP, ordered=False),
         "span_near_ordered": _sql_span_near(SPAN_TERMS, SPAN_SLOP_ORDERED, ordered=True),
+        "lmd_topk": SQL_LMD_TOPK.format(qt=_terms_sql(query_terms(BM25_QUERY_MULTI))),
+        "classic_topk": SQL_CLASSIC_TOPK.format(
+            toks=TOKS_SQL,
+            qt=_terms_sql(query_terms(BM25_QUERY_MULTI)),
+            nq=float(len(query_terms(BM25_QUERY_MULTI))),
+        ),
+        "search_after": _sql_search_after(query_terms(BM25_QUERY_MULTI), page=1),
+        "sig_terms": _sql_sig_terms(query_terms(BM25_QUERY_MULTI)),
+        "highlight": _sql_highlight(query_terms(BM25_QUERY_MULTI), HL_WIDTH),
         "vocab_stats": SQL_VOCAB_STATS,
         "prefix_bm25": _sql_bm25([], 25, prefix=PREFIX_Q),
         "regex_bm25": _sql_bm25([], 25, regex=REGEX_Q),

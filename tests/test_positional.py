@@ -422,3 +422,45 @@ def test_span_near_ordered_greedy_chain(span_docs):
         px.span_near_hits(span_docs, ["aa", "aa"], slop=5)
     with pytest.raises(ValueError):
         px.span_near_hits(span_docs, ["aa"], slop=1)
+
+
+# --------------------------------------------------------- highlighting
+
+
+@pytest.fixture(scope="module")
+def frag_docs(spark):
+    rows = [
+        # best window (w=4) starts at the 'aa' cluster: aa@4,bb@5,aa@6 -> 3
+        (0, "zz zz bb zz aa bb aa zz zz bb"),
+        # single match
+        (1, "zz zz aa zz"),
+        # tie between window@0 and window@5 (2 matches each) -> earliest
+        (2, "aa bb zz zz zz aa bb"),
+        # no query terms at all -> absent from results
+        (3, "zz yy xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return px.positional_postings(df).persist()
+
+
+def test_best_fragments_max_window_and_ties(frag_docs):
+    got = {
+        r["doc_id"]: (r["frag_start"], r["n_matches"])
+        for r in px.best_fragments(frag_docs, ["aa", "bb"], width=4).collect()
+    }
+    assert got == {
+        0: (2, 3),   # bb@2 aa@4 bb@5 (ties 3-match window at 4; earliest wins)
+        1: (2, 1),
+        2: (0, 2),   # tie with start 5 -> earliest wins
+    }
+    with pytest.raises(ValueError):
+        px.best_fragments(frag_docs, [], width=4)
+
+
+def test_best_fragments_width_one_counts_single_positions(frag_docs):
+    got = {
+        r["doc_id"]: (r["frag_start"], r["n_matches"])
+        for r in px.best_fragments(frag_docs, ["aa", "bb"], width=1).collect()
+    }
+    # every window holds exactly one match; earliest match anchors
+    assert got[0] == (2, 1) and got[2] == (0, 1)

@@ -295,3 +295,165 @@ def test_min_match_semantics_and_shard_parity(index):
 
     with _pt.raises(ValueError):
         shard.search(q, limit=10, kernel="wand", min_match=2)
+
+
+# ------------------------------------- pluggable similarities (Lucene)
+
+
+def _np_ref_scores(index, terms, similarity):
+    """Reference scores computed in plain Python from collected postings."""
+    import math
+
+    post = [
+        (r["doc_id"], r["term"], r["raw_freq"], r["token_count"])
+        for r in index.postings.filter(
+            index.postings.term.isin(terms)
+        ).collect()
+    ]
+    idf = {
+        r["term"]: r["idf"]
+        for r in index.dictionary.filter(
+            index.dictionary.term.isin(terms)
+        ).collect()
+    }
+    out: dict[int, float] = {}
+    matched: dict[int, int] = {}
+    if similarity == "lmd":
+        from coderag_spark.operators.bm25 import LMD_MU
+
+        ctok = max(index.stats.avgdl * index.stats.n_docs, 1.0)
+        ctf: dict[str, float] = {}
+        for _, t, rf, _tc in post:
+            ctf[t] = ctf.get(t, 0.0) + rf
+        for d, t, rf, tc in post:
+            dl = tc if tc else 1
+            s = math.log(1.0 + rf / (LMD_MU * (ctf[t] / ctok))) + math.log(
+                LMD_MU / (dl + LMD_MU)
+            )
+            out[d] = out.get(d, 0.0) + max(s, 0.0)
+    else:  # classic
+        for d, t, rf, tc in post:
+            dl = tc if tc else 1
+            i = idf.get(t, 1.0)
+            out[d] = out.get(d, 0.0) + math.sqrt(rf) * i * i / math.sqrt(dl)
+            matched[d] = matched.get(d, 0) + 1
+        for d in out:
+            out[d] *= matched[d] / float(len(terms))
+    return out
+
+
+@pytest.mark.parametrize("similarity", ["lmd", "classic"])
+def test_similarity_reference_math(index, similarity):
+    from coderag_spark.operators.bm25 import dedupe_query_tokens
+
+    q = "user authentication database"
+    terms = dedupe_query_tokens(q)
+    ref = _np_ref_scores(index, terms, similarity)
+    rows = search(index, q, limit=10, similarity=similarity).collect()
+    assert rows, "query should match fixture docs"
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["doc_id"], r["score"]) for r in rows]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+    if similarity == "lmd":
+        assert all(s >= 0 for _, s in got)
+
+
+def test_similarity_unknown_raises(index):
+    with pytest.raises(ValueError, match="unknown similarity"):
+        search(index, "user", similarity="dfr").collect()
+
+
+@pytest.mark.parametrize("similarity", ["bm25", "lmd", "classic"])
+def test_shard_similarity_rank_identical(index, similarity):
+    from coderag_spark.operators.serve import LocalShard
+
+    shard = LocalShard.from_index(index)
+    q = "user authentication database"
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search(index, q, limit=10, similarity=similarity).collect()
+    ]
+    got = [
+        (d, round(s, 6))
+        for d, s in shard.search(q, limit=10, similarity=similarity)
+    ]
+    assert got == want
+
+
+# --------------------------------------------- search_after pagination
+
+
+def test_search_after_pages_tile_the_full_ranking(index):
+    q = "user database query"
+    full = [
+        (r["doc_id"], r["score"]) for r in search(index, q, limit=30).collect()
+    ]
+    assert len(full) >= 15, "fixture should have enough matches"
+    page1 = search(index, q, limit=10).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    page2 = search(index, q, limit=10, after=cursor).collect()
+    got = [(r["doc_id"], r["score"]) for r in page1] + [
+        (r["doc_id"], r["score"]) for r in page2
+    ]
+    assert got == full[: len(got)]
+    # pages are disjoint
+    assert not {r["doc_id"] for r in page1} & {r["doc_id"] for r in page2}
+
+
+def test_shard_search_after_twin(index):
+    from coderag_spark.operators.serve import LocalShard
+
+    shard = LocalShard.from_index(index)
+    q = "user database query"
+    p1 = shard.search(q, limit=10)
+    p2 = shard.search(q, limit=10, after=(p1[-1][1], p1[-1][0]))
+    spark_p2 = search(
+        index, q, limit=10,
+        after=None,
+    ).collect()  # page 1 twin sanity
+    assert [(d, round(s, 6)) for d, s in p1] == [
+        (r["doc_id"], round(r["score"], 6)) for r in spark_p2
+    ]
+    sp1 = search(index, q, limit=10).collect()
+    sp2 = search(
+        index, q, limit=10, after=(sp1[-1]["score"], sp1[-1]["doc_id"])
+    ).collect()
+    assert [(d, round(s, 6)) for d, s in p2] == [
+        (r["doc_id"], round(r["score"], 6)) for r in sp2
+    ]
+
+
+# ------------------------------------------- significant_terms (JLH)
+
+
+def test_significant_terms_reference_math(index):
+    from coderag_spark.operators.bm25 import dedupe_query_tokens, significant_terms
+
+    q = "authenticate user"
+    terms = dedupe_query_tokens(q)
+    post = [(r["doc_id"], r["term"]) for r in index.postings.select("doc_id", "term").collect()]
+    df: dict[str, int] = {}
+    for _, t in post:
+        df[t] = df.get(t, 0) + 1
+    fg_docs = {d for d, t in post if t in terms}
+    fg_df: dict[str, int] = {}
+    for d, t in post:
+        if d in fg_docs:
+            fg_df[t] = fg_df.get(t, 0) + 1
+    n_fg, n_docs = len(fg_docs), index.stats.n_docs
+    ref = {}
+    for t, f in fg_df.items():
+        if f < 3 or t in terms:
+            continue
+        fg_pct, bg_pct = f / n_fg, df[t] / n_docs
+        ref[t] = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = significant_terms(index, q, k=10).collect()
+    assert [r["term"] for r in rows] == [t for t, _ in want]
+    for r, (t, j) in zip(rows, want):
+        assert r["jlh"] == pytest.approx(j, rel=1e-9)
+        assert r["fg_df"] == fg_df[t] and r["bg_df"] == df[t]
+    # query terms never appear
+    assert not {r["term"] for r in rows} & set(terms)
