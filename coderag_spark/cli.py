@@ -214,13 +214,31 @@ def _cmd_query(args) -> int:
             path_filter=args.path_filter,
             exclude_paths=_split_flag(args.exclude_paths),
         )
-        hits = [
-            (d, s)
-            for d, s in shard.search(
+        if args.synonyms:
+            from coderag_spark.operators.bm25 import parse_synonyms, query_groups
+
+            groups = query_groups(args.query, parse_synonyms(args.synonyms))
+            raw = shard.search_synonyms(groups, limit=args.limit, allowed_docs=allowed)
+        else:
+            raw = shard.search(
                 args.query, limit=args.limit, allowed_docs=allowed,
                 min_match=args.min_match, similarity=args.similarity,
             )
-            if s >= args.min_score
+        hits = [(d, s) for d, s in raw if s >= args.min_score]
+    elif args.synonyms:
+        # SynonymQuery expansion (Lucene semantics: each group is one
+        # pseudo-term — summed tf, blended max df)
+        from coderag_spark.operators.bm25 import (
+            parse_synonyms,
+            query_groups,
+            synonym_search,
+        )
+
+        groups = query_groups(args.query, parse_synonyms(args.synonyms))
+        hits = [
+            (r["doc_id"], r["score"])
+            for r in synonym_search(idx, groups, limit=args.limit).collect()
+            if r["score"] >= args.min_score
         ]
     else:
         hits = [
@@ -524,6 +542,12 @@ def main(argv: list[str] | None = None) -> int:
         "--similarity", choices=["bm25", "lmd", "classic"], default="bm25",
         help="ranking function (keyword + --local modes): BM25 (default), "
         "LM Dirichlet, or classic TF-IDF",
+    )
+    q.add_argument(
+        "--synonyms", default=None,
+        help="SynonymQuery expansion, 'term=alt1,alt2;term2=alt' — each "
+        "query token plus its synonyms scores as ONE pseudo-term "
+        "(summed tf, blended max df); keyword + --local modes",
     )
     q.add_argument(
         "--min-match", type=int, default=0,

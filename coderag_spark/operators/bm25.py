@@ -182,6 +182,102 @@ def score_terms_similarity(
     raise ValueError(f"unknown similarity {similarity!r} (bm25 | lmd | classic)")
 
 
+def synonym_search(
+    index: Index,
+    groups: list[list[str]],
+    limit: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene SynonymQuery over analyzed synonym groups: each group is
+    scored as ONE pseudo-term — term frequency is the SUM of the member
+    terms' frequencies in the doc, and document frequency is BLENDED as
+    the MAX member df (org.apache.lucene.search.SynonymQuery's
+    "documents are scored as if the synonyms were one term"). A singleton
+    group is exactly a plain BM25 term clause, so a query with no
+    synonyms ranks identically to ``search``.
+
+    Returns (doc_id, score, matched_groups) top-``limit`` in
+    (score desc, doc_id asc) order.
+
+    Scale shape: identical to score_terms — ONE isin filter keeps only
+    the member terms' postings (pushed to the scan), a literal-map
+    projection tags each posting with its group id (no join), the
+    dictionary slice aggregates to per-group max-df driver-free and is
+    broadcast, then ONE groupBy(doc_id, gid) partial-aggregates map-side
+    before the final groupBy(doc_id). token_count rides F.first — it is
+    per-doc constant, so any member's row carries it."""
+    groups = [[t for t in g] for g in groups if g]
+    if not groups:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, matched_groups int"
+        )
+    flat: list[tuple[str, int]] = []
+    for gid, g in enumerate(groups):
+        for t in dict.fromkeys(g):
+            flat.append((t, gid))
+    all_terms = [t for t, _ in flat]
+    mapping = F.create_map(
+        *[x for t, gid in flat for x in (F.lit(t), F.lit(gid))]
+    )
+    cand = index.postings.filter(F.col("term").isin(all_terms)).withColumn(
+        "gid", mapping[F.col("term")]
+    )
+    # blended per-group df -> smoothed idf (postings.build_dictionary's
+    # formula over the max member df)
+    gidf = (
+        index.dictionary.filter(F.col("term").isin(all_terms))
+        .withColumn("gid", mapping[F.col("term")])
+        .groupBy("gid")
+        .agg(F.max("df").alias("df_g"))
+        .select(
+            "gid",
+            (F.log((F.lit(index.stats.n_docs) + 1.0) / (F.col("df_g") + 1.0)) + 1.0).alias(
+                "idf_g"
+            ),
+        )
+    )
+    per_group = cand.groupBy("doc_id", "gid").agg(
+        F.sum("raw_freq").alias("tf_g"),
+        F.first("token_count").alias("token_count"),
+    )
+    scored = per_group.join(F.broadcast(gidf), "gid", "left")
+    contrib = bm25_term_score(
+        F.col("tf_g"), F.col("idf_g"), F.col("token_count"), index.stats.avgdl, k1, b
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(contrib).alias("score"),
+        F.count("*").alias("matched_groups"),
+    )
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
+def parse_synonyms(spec: str) -> dict[str, list[str]]:
+    """Parse a CLI/ES-style synonym spec — ``"fast=quick,rapid;idx=index"``
+    — into {term: [synonyms...]}. Used by search-surface callers to expand
+    a tokenized query into SynonymQuery groups."""
+    out: dict[str, list[str]] = {}
+    for clause in spec.split(";"):
+        clause = clause.strip()
+        if not clause:
+            continue
+        if "=" not in clause:
+            raise ValueError(f"bad synonym clause {clause!r} (want term=alt1,alt2)")
+        head, alts = clause.split("=", 1)
+        out[head.strip()] = [a.strip() for a in alts.split(",") if a.strip()]
+    return out
+
+
+def query_groups(
+    query: str, synonyms: dict[str, list[str]], analyzer=code_analyze
+) -> list[list[str]]:
+    """Tokenize + dedupe a query, then expand each token into its synonym
+    group (token first, then its synonyms in spec order)."""
+    return [
+        [t, *synonyms.get(t, [])] for t in dedupe_query_tokens(query, analyzer)
+    ]
+
+
 def search(
     index: Index,
     query: str,
@@ -829,4 +925,133 @@ def significant_terms(
         )
         .orderBy(F.desc("jlh"), F.asc("term"))
         .limit(k)
+    )
+
+
+def percolate(
+    registered: DataFrame,
+    postings: DataFrame,
+) -> DataFrame:
+    """Reverse search (Elasticsearch percolator): match a corpus of DOCS
+    against a table of REGISTERED QUERIES — "which stored alerts fire for
+    this document?". ``registered`` is (query_id, terms array<string>,
+    min_match int); a doc matches when it contains at least ``min_match``
+    DISTINCT terms of the query (min_match = size(terms) = conjunction,
+    1 = plain OR). Returns (query_id, doc_id) pairs.
+
+    Scale shape: the query table is the SMALL side — explode it to
+    (term, query_id, min_match) and BROADCAST it onto the postings (the
+    100 TB side never shuffles on anything but its natural term
+    pruning... in fact it never shuffles at all before the per-doc
+    aggregate): one broadcast-hash join on term, then ONE
+    groupBy(doc_id, query_id) with map-side partials counts distinct
+    matched terms (postings already hold one row per (doc, term), so
+    count(*) IS the distinct count). This is the streaming-classification
+    shape: thousands of stored alerts against an unbounded doc stream,
+    cost linear in matched postings."""
+    q = registered.select(
+        "query_id",
+        F.explode("terms").alias("term"),
+        F.size("terms").alias("n_terms"),
+        "min_match",
+    )
+    matched = postings.join(F.broadcast(q), "term").groupBy(
+        "doc_id", "query_id"
+    ).agg(
+        F.count("*").alias("n_matched"),
+        F.first("min_match").alias("mm"),
+    )
+    return matched.filter(F.col("n_matched") >= F.col("mm")).select(
+        "query_id", "doc_id"
+    )
+
+
+def completion_grams(
+    dictionary: DataFrame, min_len: int = 1, max_len: int = 12
+) -> DataFrame:
+    """Index-time edge n-grams of every dictionary term (Lucene
+    EdgeNGramTokenFilter / ES completion suggester's materialized form):
+    (gram, term, df) with gram = term[0:n] for n in [min_len, max_len].
+    Built ONCE per index; a prefix lookup then becomes an EQUALITY match
+    on the gram column instead of a startswith scan over the whole
+    dictionary — at 100 TB vocabulary scale the equality key is hash-
+    partitionable, cacheable, and prunable, while a per-query contains
+    scan is a full pass. Term-count blowup is bounded by max_len (each
+    term emits <= max_len rows)."""
+    n = F.least(F.length("term"), F.lit(max_len))
+    grams = F.transform(
+        F.sequence(F.lit(min_len), n),
+        lambda i: F.substring(F.col("term"), 1, i),
+    )
+    return dictionary.select(
+        F.explode(grams).alias("gram"), "term", "df"
+    )
+
+
+def complete(
+    grams: DataFrame, prefix: str, k: int = 10
+) -> DataFrame:
+    """Completion suggest: top-k dictionary terms with the given prefix,
+    ranked by (df desc, term asc) — popularity-ordered autocomplete.
+    Pure equality filter on the materialized edge-gram index (pushed to
+    the scan) + TakeOrdered(k)."""
+    return (
+        grams.filter(F.col("gram") == prefix.lower())
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def rescore(
+    index: Index,
+    positional: DataFrame,
+    query: str,
+    phrase: list[str],
+    window: int = 30,
+    weight: float = 1.5,
+    limit: int = 10,
+    analyzer=code_analyze,
+) -> DataFrame:
+    """Rescore window (Elasticsearch rescore / Lucene QueryRescorer):
+    retrieve the top-``window`` docs by cheap BM25, then re-rank ONLY
+    that window with an expensive phrase-proximity signal —
+    final = bm25 + weight * ln(1 + phrase_freq). Docs outside the window
+    keep their original order and never pay the positional cost.
+
+    Returns (doc_id, score, bm25, n_hits) top-``limit``.
+
+    Scale shape: the first pass is the standard TakeOrdered(window) BM25
+    plan; the second pass joins the positional lists ONLY against the
+    window's doc set (broadcast — it is `window` rows), so the expensive
+    position intersection touches a constant number of docs regardless
+    of corpus size. This is exactly why rescore exists in Lucene: phrase
+    scoring every OR-retrieval candidate would read every position list."""
+    from coderag_spark.operators.positional import phrase_hits
+
+    terms = dedupe_query_tokens(query, analyzer)
+    base = (
+        score_terms(index, terms)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(window)
+        .select("doc_id", F.col("score").alias("bm25"))
+    )
+    hits = phrase_hits(
+        positional.join(F.broadcast(base.select("doc_id")), "doc_id", "left_semi"),
+        phrase,
+    )
+    rescored = base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "bm25",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+    )
+    return (
+        rescored.select(
+            "doc_id",
+            (F.col("bm25") + F.lit(weight) * F.log(1.0 + F.col("n_hits"))).alias("score"),
+            "bm25",
+            "n_hits",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(limit)
     )

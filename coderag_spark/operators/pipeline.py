@@ -375,3 +375,84 @@ def profile_table(
     return row.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (column, n_nonnull, n_distinct, avg_len)"
     )
+
+
+def sequence_pack(
+    docs_tokens: DataFrame,
+    block_tokens: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Pretraining sequence packing (GPT-style concat-and-chunk): lay the
+    corpus out as one virtual token stream in ``id_col`` order (docs
+    separated by nothing — the tokenizer's EOS is assumed to be inside
+    ``count_col``) and cut it into fixed ``block_tokens`` training blocks.
+    Returns per doc: (id, n_tokens, offset, start_block, end_block) where
+    ``offset`` is the doc's first-token position in the stream and a doc
+    spans blocks [offset / B, (offset + n - 1) / B].
+
+    Scale shape — this is a GLOBAL running sum, which a naive
+    ``Window.orderBy(id)`` computes on ONE partition (the whole 100 TB
+    corpus through a single task). Instead, the classic two-phase
+    distributed prefix sum:
+
+      1. range-bucket the ids into ``n_buckets`` ordered buckets
+         (ntile-free: bucket = position of id in a sampled range split —
+         here a deterministic modulo-free rank via range partitioning on
+         the id, expressed as width_bucket over the id span so both the
+         bucket id AND the order are derivable without a shuffle);
+      2. per-bucket token totals (tiny: n_buckets rows) -> running
+         offsets via a window over the BUCKET TOTALS only;
+      3. broadcast the offsets back and cumsum WITHIN each bucket
+         (Window.partitionBy(bucket).orderBy(id) — parallel across
+         buckets).
+
+    The only full-data shuffle is the per-bucket window sort — the same
+    cost as writing the packed corpus back out sorted. At 100 TB,
+    n_buckets scales to the executor count and every step stays bounded."""
+    from pyspark.sql import Window
+
+    span = docs_tokens.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    )
+    d = docs_tokens.select(id_col, count_col).crossJoin(F.broadcast(span))
+    # deterministic ordered bucketing over the id span (width_bucket keeps
+    # bucket boundaries monotone in id, so bucket order == id order)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (F.col(id_col).cast("double") - F.col("lo"))
+            * n_buckets
+            / (F.col("hi") - F.col("lo") + 1)
+        ).cast("int"),
+    )
+    d = d.withColumn("_b", bucket).drop("lo", "hi")
+    totals = d.groupBy("_b").agg(F.sum(count_col).alias("_tot"))
+    w_tot = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_tot").over(w_tot), F.lit(0)).alias("_base")
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        d.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "offset",
+            F.col("_base") + F.coalesce(F.sum(count_col).over(w_in), F.lit(0)),
+        )
+        .select(
+            id_col,
+            F.col(count_col).cast("long").alias(count_col),
+            F.col("offset").cast("long").alias("offset"),
+            F.floor(F.col("offset") / block_tokens).cast("long").alias("start_block"),
+            F.floor(
+                (F.col("offset") + F.greatest(F.col(count_col), F.lit(1)) - 1)
+                / block_tokens
+            ).cast("long").alias("end_block"),
+        )
+    )
+    return packed

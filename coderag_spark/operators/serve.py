@@ -495,6 +495,69 @@ class LocalShard:
         """Batch serving surface: one result list per query."""
         return [self.search(q, limit, analyzer) for q in queries]
 
+    def search_synonyms(
+        self,
+        groups: list[list[str]],
+        limit: int = 10,
+        allowed_docs: "np.ndarray | None" = None,
+    ) -> list[tuple[int, float]]:
+        """bm25.synonym_search twin (Lucene SynonymQuery): each group is
+        ONE pseudo-term — member tfs summed per doc, df blended as the MAX
+        member df. The smoothed idf ln((N+1)/(df+1))+1 is strictly
+        decreasing in df, so the blended idf is the MIN of the member
+        idfs the shard already holds — no df column needed. Rank-identical
+        to the Spark plan (pinned in tests)."""
+        per_group: list[tuple[np.ndarray, np.ndarray]] = []
+        for g in groups:
+            found = [
+                (t, s) for t in dict.fromkeys(g) if (s := self._decode(t)) is not None
+            ]
+            if not found:
+                continue
+            idf_g = min(self.idf.get(t, 1.0) for t, _ in found)
+            docs = np.concatenate(
+                [np.asarray(s.raw[0], dtype=np.int64) for _, s in found]
+            )
+            tf = np.concatenate(
+                [np.asarray(s.raw[1], dtype=np.float64) for _, s in found]
+            )
+            dl = np.concatenate(
+                [np.asarray(s.raw[2], dtype=np.float64) for _, s in found]
+            )
+            dl[dl <= 0] = 1.0
+            order = np.argsort(docs, kind="stable")
+            d, tfo, dlo = docs[order], tf[order], dl[order]
+            starts = np.empty(d.size, dtype=bool)
+            starts[0] = True
+            np.not_equal(d[1:], d[:-1], out=starts[1:])
+            idx = np.flatnonzero(starts)
+            uniq = d[idx]
+            tf_g = np.add.reduceat(tfo, idx)
+            dl_g = dlo[idx]  # per-doc constant: any member's row carries it
+            score = idf_g * (tf_g * (BM25_K1 + 1.0)) / (
+                tf_g + BM25_K1 * (1.0 - BM25_B + (BM25_B * dl_g) / self.avgdl)
+            )
+            per_group.append((uniq, score))
+        if not per_group:
+            return []
+        docs = np.concatenate([d for d, _ in per_group])
+        scores = np.concatenate([s for _, s in per_group])
+        order = np.argsort(docs, kind="stable")
+        d, s = docs[order], scores[order]
+        starts = np.empty(d.size, dtype=bool)
+        starts[0] = True
+        np.not_equal(d[1:], d[:-1], out=starts[1:])
+        idx = np.flatnonzero(starts)
+        uniq, agg = d[idx], np.add.reduceat(s, idx)
+        if allowed_docs is not None:
+            mask = np.isin(uniq, allowed_docs)
+            uniq, agg = uniq[mask], agg[mask]
+        k = min(limit, uniq.size)
+        if k == 0:
+            return []
+        top = np.lexsort((uniq, -agg))[:k]
+        return [(int(uniq[i]), float(agg[i])) for i in top]
+
     # ------------------------------------------- expanded-term queries
 
     def expand_terms(self, prefix: str | None = None, regex: str | None = None) -> list[str]:

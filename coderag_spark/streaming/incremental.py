@@ -283,3 +283,40 @@ def stream_exact_dedup(
     return stream.withColumn(
         "sha256", F.coalesce(F.col("sha256"), F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
     ).dropDuplicates(["sha256"])
+
+
+def stream_percolate(
+    spark,
+    source_dir: str,
+    registered: DataFrame,
+    schema: str = "doc_id long, text string",
+    analyzer=None,
+):
+    """Streaming percolator: match a document STREAM against a static
+    table of registered queries (the alerting shape — Elasticsearch
+    percolator fed by a crawl). ``registered`` is the batch-side
+    (query_id, terms array<string>, min_match) table; each incoming doc
+    emits one (query_id, doc_id) row per query it satisfies.
+
+    Scale shape: a STATELESS stream-static broadcast join — no streaming
+    aggregation, no state store, plain append mode. The registered-query
+    side is the small side by construction (thousands of alerts vs an
+    unbounded doc stream), so it broadcasts; each doc row is checked
+    against every query with a pure-JVM ``array_intersect`` on its
+    distinct-token array (cost |queries| per doc, all inside whole-stage
+    codegen). Identical match semantics to operators.bm25.percolate
+    (pinned in tests); unlike the batch form there is no per-(doc, query)
+    shuffle at all.
+
+    Returns the unstarted streaming DataFrame of (query_id, doc_id).
+    """
+    from coderag_spark.functions.tokenize import simple_tokens_col
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    toks = F.array_distinct(simple_tokens_col(F.col("text")))
+    docs = stream.select("doc_id", toks.alias("_toks"))
+    matched = docs.join(F.broadcast(registered)).filter(
+        F.size(F.array_intersect(F.col("_toks"), F.col("terms")))
+        >= F.col("min_match")
+    )
+    return matched.select("query_id", "doc_id")

@@ -810,6 +810,370 @@ FROM ranked WHERE rn = 1
 """
 
 
+# Lucene SynonymQuery: each group scored as ONE pseudo-term — tf summed
+# across members per doc, df blended as the MAX member df (so the smoothed
+# idf is recomputed from that blended df). "quick" has df = 0 (absent from
+# the vocabulary), pinning the missing-member path.
+SYNONYM_GROUPS = [["table"], ["join", "merge"], ["fast", "slow", "quick"]]
+
+
+def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SynonymQuery top-10 (bm25.synonym_search shape): literal-map gid
+    tagging on the filtered posting slice (no join), per-(doc, gid) tf
+    sum with map-side partials, blended max-df idf broadcast."""
+    tok = _tokdocs(spark, sf_dir)
+    groups = SYNONYM_GROUPS
+    flat = [(t, gid) for gid, g in enumerate(groups) for t in g]
+    all_terms = [t for t, _ in flat]
+    mapping = F.create_map(*[x for t, gid in flat for x in (F.lit(t), F.lit(gid))])
+    stats = tok.agg(
+        F.count("*").alias("n_docs"),
+        F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl"),
+    )
+    post = (
+        _doc_postings(spark, sf_dir)
+        .filter(F.col("term").isin(all_terms))
+        .withColumn("gid", mapping[F.col("term")])
+    )
+    gidf = (
+        post.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("gid", mapping[F.col("term")])
+        .groupBy("gid")
+        .agg(F.max("df").alias("df_g"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "gid",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df_g") + 1.0)) + 1.0).alias("idf_g"),
+        )
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("token_count"))
+    per_group = (
+        post.groupBy("doc_id", "gid")
+        .agg(F.sum("raw_freq").alias("tf_g"))
+        .join(F.broadcast(gidf), "gid")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+    )
+    contrib = F.col("idf_g") * (F.col("tf_g") * (BM25_K1 + 1.0)) / (
+        F.col("tf_g")
+        + BM25_K1 * (1.0 - BM25_B + (BM25_B * F.col("token_count")) / F.col("avgdl"))
+    )
+    return (
+        per_group.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count("*").cast("long").alias("matched_groups"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_synonym(groups: list[list[str]], k: int) -> str:
+    gmap = " ".join(
+        f"WHEN term = '{t}' THEN {gid}"
+        for gid, g in enumerate(groups)
+        for t in g
+    )
+    inner = ", ".join(
+        "'" + t.replace("'", "''") + "'" for g in groups for t in g
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs, greatest(avg(len(toks) * 1.0), 1.0) AS avgdl FROM tok),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+qpost AS (
+  SELECT doc_id, (CASE {gmap} END) AS gid, raw_freq
+  FROM post WHERE term IN ({inner})
+),
+gidf AS (
+  SELECT gid, ln((s.n_docs + 1.0) / (max(df) + 1.0)) + 1.0 AS idf_g
+  FROM (
+    SELECT (CASE {gmap} END) AS gid, count(*) AS df
+    FROM post WHERE term IN ({inner}) GROUP BY term
+  ), stats s
+  GROUP BY gid, s.n_docs
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok),
+pergroup AS (
+  SELECT doc_id, gid, sum(raw_freq) AS tf_g FROM qpost GROUP BY doc_id, gid
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(g.idf_g * (p.tf_g * {BM25_K1 + 1.0}) /
+             (p.tf_g + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * d.token_count) / s.avgdl))
+            ) AS score_raw,
+         count(*) AS matched_groups
+  FROM pergroup p JOIN gidf g USING (gid)
+       JOIN dl d ON d.doc_id = p.doc_id, stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score, matched_groups::BIGINT AS matched_groups
+FROM scored ORDER BY 2 DESC, 1 ASC LIMIT {k}
+"""
+
+
+# ES function_score (multiply mode): BM25 relevance shaped by document
+# signals — field_value_factor ln(1 + n_chars/100) and a gauss decay
+# centered on FS_ORIGIN chars (sigma^2 = scale^2 / (2 ln 2) for decay 0.5
+# at distance `scale` past the offset) — both pure column expressions
+# folded into the same top-k plan.
+FS_ORIGIN, FS_OFFSET, FS_SCALE = 150.0, 10.0, 100.0
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    scored = _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), None)
+    docs = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    dist = F.greatest(
+        F.abs(F.col("n_chars") - F.lit(FS_ORIGIN)) - F.lit(FS_OFFSET), F.lit(0.0)
+    )
+    gauss = F.exp(-(dist * dist) * F.lit(math.log(2.0)) / F.lit(FS_SCALE * FS_SCALE))
+    fvf = F.log(1.0 + F.col("n_chars") / 100.0)
+    return (
+        scored.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("score") * fvf * gauss, 6).alias("fscore"),
+        )
+        .orderBy(F.desc("fscore"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_function_score(terms: list[str], k: int) -> str:
+    base = _sql_bm25(terms, None)
+    return f"""
+WITH scored AS ({base}),
+boosted AS (
+  SELECT s.doc_id,
+         round(s.score * ln(1.0 + d.n_chars / 100.0)
+               * exp(-(greatest(abs(d.n_chars - {FS_ORIGIN}) - {FS_OFFSET}, 0.0) ^ 2)
+                     * ln(2.0) / ({FS_SCALE} * {FS_SCALE})), 6) AS fscore
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, fscore FROM boosted ORDER BY 2 DESC, 1 ASC LIMIT {k}
+"""
+
+
+# Percolator: registered queries matched against the whole corpus.
+# (query_id, terms, min_match): min_match = len(terms) is a conjunction,
+# 1 is plain OR; q4 pins the rare-term path (df('dup') ~ 0.4% of docs).
+PERCOLATE_QUERIES = [
+    (1, ["table", "join"], 2),
+    (2, ["fast", "slow"], 1),
+    (3, ["spark", "window", "stream"], 2),
+    (4, ["dup"], 1),
+]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (bm25.percolate): broadcast the exploded query table
+    onto the postings, one groupBy(doc_id, query_id) counts distinct
+    matches (postings are already distinct per (doc, term))."""
+    from coderag_spark.operators.bm25 import percolate
+
+    reg = spark.createDataFrame(
+        PERCOLATE_QUERIES, "query_id int, terms array<string>, min_match int"
+    )
+    post = _doc_postings(spark, sf_dir)
+    return (
+        percolate(reg, post)
+        .select(F.col("query_id").cast("long").alias("query_id"), "doc_id")
+        .orderBy("query_id", "doc_id")
+    )
+
+
+def _sql_percolate() -> str:
+    reg_rows = ", ".join(
+        f"({qid}, {[t for t in terms]!r}::VARCHAR[], {mm})".replace("'", "'")
+        for qid, terms, mm in PERCOLATE_QUERIES
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+post AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+),
+reg AS (SELECT * FROM (VALUES {reg_rows}) AS v(query_id, terms, min_match)),
+qx AS (SELECT query_id, unnest(terms) AS term, min_match FROM reg),
+matched AS (
+  SELECT p.doc_id, q.query_id, count(*) AS n, any_value(q.min_match) AS mm
+  FROM post p JOIN qx q USING (term)
+  GROUP BY p.doc_id, q.query_id
+)
+SELECT query_id::BIGINT AS query_id, doc_id FROM matched WHERE n >= mm
+ORDER BY 1, 2
+"""
+
+
+COMPLETE_PREFIX = "s"
+
+
+def q_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion suggest (bm25.completion_grams + complete): equality
+    lookup on the materialized edge-gram index, ranked by (df desc,
+    term asc) — the index-time form of autocomplete, so the query is a
+    hash-prunable equality instead of a dictionary-wide prefix scan."""
+    from coderag_spark.operators.bm25 import complete, completion_grams
+
+    dictionary = _doc_postings(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    grams = completion_grams(dictionary)
+    return complete(grams, COMPLETE_PREFIX, k=10).select(
+        "term", F.col("df").cast("long").alias("df")
+    )
+
+
+def _sql_complete(prefix: str, k: int) -> str:
+    esc = prefix.replace("'", "''")
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+dict AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY term
+)
+SELECT term, df::BIGINT AS df FROM dict WHERE term LIKE '{esc}%'
+ORDER BY df DESC, term ASC LIMIT {k}
+"""
+
+
+# Rescore window: top-RESCORE_WINDOW docs by cheap BM25, re-ranked by
+# final = bm25 + RESCORE_W * ln(1 + phrase_freq). Only the window pays
+# the positional cost (broadcast doc-set semi-join on the position lists).
+RESCORE_WINDOW = 30
+RESCORE_W = 1.5
+
+
+def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coderag_spark.operators import positional as px
+
+    base = (
+        _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), RESCORE_WINDOW)
+        .select("doc_id", F.col("score").alias("bm25"))
+    )
+    hits = px.phrase_hits(
+        _positional(spark, sf_dir).join(
+            F.broadcast(base.select("doc_id")), "doc_id", "left_semi"
+        ),
+        PHRASE_2,
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("bm25")
+                + F.lit(RESCORE_W) * F.log(1.0 + F.coalesce(F.col("n_hits"), F.lit(0))),
+                6,
+            ).alias("score"),
+            "bm25",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_rescore(terms: list[str], phrase: list[str]) -> str:
+    base = _sql_bm25(terms, RESCORE_WINDOW)
+    n = len(phrase)
+    conds = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(phrase))
+    return f"""
+WITH win AS ({base}),
+tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+ph AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks) - {n - 1} + 1), i -> {conds}))::BIGINT AS n_hits
+  FROM tok WHERE len(toks) >= {n}
+),
+merged AS (
+  SELECT w.doc_id,
+         round(w.score + {RESCORE_W} * ln(1.0 + coalesce(p.n_hits, 0)), 6) AS score,
+         w.score AS bm25,
+         coalesce(p.n_hits, 0)::BIGINT AS n_hits
+  FROM win w LEFT JOIN ph p USING (doc_id)
+)
+SELECT doc_id, score, bm25, n_hits FROM merged
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+# Sequence packing: the corpus as one virtual token stream in doc_id
+# order, cut into SEQPACK_BLOCK-token training blocks — the distributed
+# two-phase prefix sum in pipeline.sequence_pack (a naive global-order
+# window would run on one partition).
+SEQPACK_BLOCK = 128
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coderag_spark.operators.pipeline import sequence_pack
+
+    d = _tokdocs(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    return sequence_pack(d, SEQPACK_BLOCK).orderBy("doc_id")
+
+
+def _sql_seq_pack(block: int) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tok),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+  FROM d
+)
+SELECT doc_id, n_tokens, "offset",
+       ("offset" // {block})::BIGINT AS start_block,
+       (("offset" + greatest(n_tokens, 1) - 1) // {block})::BIGINT AS end_block
+FROM c ORDER BY doc_id
+"""
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-vectors API (Lucene/ES _termvectors): the per-term statistics
+    of ONE document — (term, tf, first_pos, last_pos) from the positional
+    index. The probe doc is the corpus's min doc_id so the query is
+    deterministic at every scale factor; the broadcast 1-row semi-join
+    keeps it a point lookup (term-partition-prunable at scale)."""
+    pos = _positional(spark, sf_dir)
+    target = _tokdocs(spark, sf_dir).agg(F.min("doc_id").alias("doc_id"))
+    return (
+        pos.join(F.broadcast(target), "doc_id", "left_semi")
+        .select(
+            "term",
+            F.size("positions").cast("long").alias("tf"),
+            F.element_at("positions", 1).cast("long").alias("first_pos"),
+            F.element_at("positions", -1).cast("long").alias("last_pos"),
+        )
+        .orderBy("term")
+    )
+
+
+def _sql_term_vectors() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+target AS (SELECT min(doc_id) AS doc_id FROM tok),
+pos AS (
+  SELECT t.doc_id, toks[i] AS term, i - 1 AS p
+  FROM tok t JOIN target USING (doc_id),
+       unnest(range(1, len(toks) + 1)) AS u(i)
+)
+SELECT term, count(*)::BIGINT AS tf,
+       min(p)::BIGINT AS first_pos, max(p)::BIGINT AS last_pos
+FROM pos GROUP BY term ORDER BY term
+"""
+
+
 # MoreLikeThis constants: source doc, Lucene-default-shaped thresholds
 # scaled to the synthetic vocabulary (29 common terms), and the retrieval
 # cutoff. Term selection is deterministic: (rounded interest DESC, term
@@ -3498,6 +3862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         "sig_terms": q_sig_terms,
         "highlight": q_highlight,
+        "synonym_topk": q_synonym_topk,
+        "function_score": q_function_score,
+        "percolate": q_percolate,
+        "complete": q_complete,
+        "rescore": q_rescore,
+        "seq_pack": q_seq_pack,
+        "term_vectors": q_term_vectors,
         "vocab_stats": q_vocab_stats,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
@@ -3595,6 +3966,13 @@ def oracle_sql() -> dict[str, str]:
         "search_after": _sql_search_after(query_terms(BM25_QUERY_MULTI), page=1),
         "sig_terms": _sql_sig_terms(query_terms(BM25_QUERY_MULTI)),
         "highlight": _sql_highlight(query_terms(BM25_QUERY_MULTI), HL_WIDTH),
+        "synonym_topk": _sql_synonym(SYNONYM_GROUPS, 10),
+        "function_score": _sql_function_score(query_terms(BM25_QUERY_MULTI), 10),
+        "percolate": _sql_percolate(),
+        "complete": _sql_complete(COMPLETE_PREFIX, 10),
+        "rescore": _sql_rescore(query_terms(BM25_QUERY_MULTI), PHRASE_2),
+        "seq_pack": _sql_seq_pack(SEQPACK_BLOCK),
+        "term_vectors": _sql_term_vectors(),
         "vocab_stats": SQL_VOCAB_STATS,
         "prefix_bm25": _sql_bm25([], 25, prefix=PREFIX_Q),
         "regex_bm25": _sql_bm25([], 25, regex=REGEX_Q),

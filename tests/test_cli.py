@@ -342,3 +342,21 @@ def test_cli_suggest(built, capsys):
     assert sg and sg[0]["term"] == "authenticate" and sg[0]["distance"] == 1
     keys = [(s["distance"], -s["df"], s["term"]) for s in sg]
     assert keys == sorted(keys)
+
+
+def test_query_synonyms_spark_vs_local_identical(built, capsys):
+    _, index_path = built
+    base = ["--cores", "4", "query", "--index", index_path,
+            "--query", "authenticate user", "--limit", "5",
+            "--synonyms", "user=database,query"]
+    rc1, out1 = _run(capsys, base)
+    rc2, out2 = _run(capsys, base + ["--local"])
+    assert rc1 == rc2 == 0
+    r1 = json.loads(out1[-1])["results"]
+    r2 = json.loads(out2[-1])["results"]
+    assert r1 and r1 == r2
+    # expansion changes the ranking vs the plain query (database/query tf
+    # folds into the 'user' pseudo-term)
+    rc3, out3 = _run(capsys, base[:-2])
+    assert rc3 == 0
+    assert json.loads(out3[-1])["results"] != r1

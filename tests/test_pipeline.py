@@ -251,3 +251,66 @@ def test_remove_duplicate_substrings_overlapping_windows_merge(spark):
     )
     out = {r["doc_id"]: r["n_removed"] for r in remove_duplicate_substrings(docs, k=8).collect()}
     assert out == {1: 9, 2: 9}
+
+
+# --------------------------------------------- sequence packing
+
+
+def test_sequence_pack_matches_naive_global_cumsum(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from coderag_spark.operators.pipeline import sequence_pack
+
+    rng = random.Random(7)
+    rows = [(i * 37 + 11, rng.randint(1, 90)) for i in range(500)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(8)
+    got = {
+        r["doc_id"]: (r["offset"], r["start_block"], r["end_block"])
+        for r in sequence_pack(d, 64, n_buckets=16).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r["doc_id"]: (
+            r["off"],
+            r["off"] // 64,
+            (r["off"] + max(r["n_tokens"], 1) - 1) // 64,
+        )
+        for r in d.withColumn(
+            "off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_sequence_pack_offsets_tile_the_stream(spark):
+    from coderag_spark.operators.pipeline import sequence_pack
+
+    rows = [(i, 10 + (i % 5)) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = sorted(
+        sequence_pack(d, 32, n_buckets=8).collect(), key=lambda r: r["doc_id"]
+    )
+    # offsets are exactly the running sum: doc k starts where doc k-1 ended
+    pos = 0
+    for r in out:
+        assert r["offset"] == pos
+        pos += r["n_tokens"]
+    # block span is consistent with offset arithmetic
+    for r in out:
+        assert r["start_block"] == r["offset"] // 32
+        assert r["end_block"] == (r["offset"] + r["n_tokens"] - 1) // 32
+
+
+def test_sequence_pack_single_doc_and_zero_tokens(spark):
+    from coderag_spark.operators.pipeline import sequence_pack
+
+    d = spark.createDataFrame(
+        [(1, 0), (2, 5)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in sequence_pack(d, 4, n_buckets=4).collect()}
+    # a zero-token doc occupies no stream space but still lands in a block
+    assert out[1]["offset"] == 0 and out[1]["start_block"] == 0 == out[1]["end_block"]
+    assert out[2]["offset"] == 0 and out[2]["end_block"] == 1

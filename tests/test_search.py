@@ -5,7 +5,9 @@ from __future__ import annotations
 
 import pytest
 
-from coderag_spark.operators.bm25 import search
+from pyspark.sql import functions as F
+
+from coderag_spark.operators.bm25 import dedupe_query_tokens, search
 
 QUERIES = [
     "authenticate",
@@ -457,3 +459,217 @@ def test_significant_terms_reference_math(index):
         assert r["fg_df"] == fg_df[t] and r["bg_df"] == df[t]
     # query terms never appear
     assert not {r["term"] for r in rows} & set(terms)
+
+
+# --------------------------------------------- SynonymQuery (grouped terms)
+
+
+def _np_synonym_scores(index, groups):
+    """Driver-side reference: Lucene SynonymQuery — per group, tf summed
+    across members per doc, df blended as MAX member df, then plain BM25."""
+    import math
+
+    from coderag_spark import BM25_B, BM25_K1
+
+    post = index.postings.select("doc_id", "term", "raw_freq", "token_count").collect()
+    n_docs, avgdl = index.stats.n_docs, index.stats.avgdl
+    df = {}
+    for r in index.dictionary.collect():
+        df[r["term"]] = r["df"]
+    scores: dict[int, float] = {}
+    for g in groups:
+        members = set(g)
+        tf_g: dict[int, float] = {}
+        dl: dict[int, float] = {}
+        for r in post:
+            if r["term"] in members:
+                tf_g[r["doc_id"]] = tf_g.get(r["doc_id"], 0.0) + r["raw_freq"]
+                dl[r["doc_id"]] = max(r["token_count"] or 0, 1)
+        present = [t for t in members if t in df]
+        if not present:
+            continue
+        df_g = max(df[t] for t in present)
+        idf_g = math.log((n_docs + 1.0) / (df_g + 1.0)) + 1.0
+        for d, tf in tf_g.items():
+            s = idf_g * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + (BM25_B * dl[d]) / avgdl)
+            )
+            scores[d] = scores.get(d, 0.0) + s
+    return scores
+
+
+def test_synonym_search_reference_math(index):
+    from coderag_spark.operators.bm25 import synonym_search
+
+    groups = [["user"], ["database", "db"], ["query", "search"]]
+    ref = _np_synonym_scores(index, groups)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in synonym_search(index, groups, limit=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+
+
+def test_synonym_singleton_groups_match_plain_search(index):
+    """A query with no synonyms must rank identically to plain BM25 search
+    (a singleton group IS a plain term clause)."""
+    from coderag_spark.operators.bm25 import synonym_search
+
+    q = "user database query"
+    terms = dedupe_query_tokens(q)
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(index, q, limit=10).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in synonym_search(index, [[t] for t in terms], limit=10).collect()
+    ]
+    assert got == want
+
+
+def test_shard_synonym_twin_rank_identical(index):
+    from coderag_spark.operators.bm25 import synonym_search
+    from coderag_spark.operators.serve import LocalShard
+
+    groups = [["user"], ["database", "db"], ["query", "search"]]
+    shard = LocalShard.from_index(index)
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in synonym_search(index, groups, limit=10).collect()
+    ]
+    got = [(d, round(s, 6)) for d, s in shard.search_synonyms(groups, limit=10)]
+    assert got == want
+
+
+def test_parse_synonyms_and_query_groups():
+    from coderag_spark.operators.bm25 import parse_synonyms, query_groups
+
+    syn = parse_synonyms("fast=quick,rapid; db=database")
+    assert syn == {"fast": ["quick", "rapid"], "db": ["database"]}
+    groups = query_groups("fast db scan", syn)
+    assert groups == [["fast", "quick", "rapid"], ["db", "database"], ["scan"]]
+    with pytest.raises(ValueError, match="bad synonym clause"):
+        parse_synonyms("nonsense")
+
+
+# --------------------------------------------- percolate (reverse search)
+
+
+def test_percolate_min_match_semantics(spark, index):
+    from coderag_spark.operators.bm25 import percolate
+
+    reg = spark.createDataFrame(
+        [
+            (1, ["user", "database"], 2),   # conjunction
+            (2, ["user", "database"], 1),   # OR
+            (3, ["nosuchterm"], 1),
+        ],
+        "query_id int, terms array<string>, min_match int",
+    )
+    got = percolate(reg, index.postings).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    both = {
+        r["doc_id"]
+        for r in index.postings.filter(F.col("term") == "user").select("doc_id").collect()
+    } & {
+        r["doc_id"]
+        for r in index.postings.filter(F.col("term") == "database").select("doc_id").collect()
+    }
+    either = {
+        r["doc_id"]
+        for r in index.postings.filter(
+            F.col("term").isin(["user", "database"])
+        ).select("doc_id").collect()
+    }
+    assert by_q.get(1, set()) == both
+    assert by_q.get(2, set()) == either
+    assert 3 not in by_q
+    assert both and both < either  # fixture has docs matching one but not both
+
+
+# --------------------------------------------- completion suggest
+
+
+def test_complete_matches_prefix_scan(index):
+    from coderag_spark.operators.bm25 import complete, completion_grams
+
+    grams = completion_grams(index.dictionary)
+    got = [(r["term"], r["df"]) for r in complete(grams, "us", k=10).collect()]
+    want = [
+        (r["term"], r["df"])
+        for r in index.dictionary.filter(F.col("term").startswith("us"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == want and got, "prefix 'us' should complete (user...)"
+
+
+def test_complete_respects_max_len():
+    # a term longer than max_len still completes up to max_len only
+    from coderag_spark.operators.bm25 import completion_grams
+
+    # build a tiny dictionary frame on the active session
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    d = spark.createDataFrame([("abcdefgh", 3)], "term string, df long")
+    grams = {r["gram"] for r in completion_grams(d, max_len=4).collect()}
+    assert grams == {"a", "ab", "abc", "abcd"}
+
+
+def test_stream_percolate_matches_batch(spark, tmp_path):
+    """Streaming percolator (stateless stream-static broadcast join) ==
+    batch percolate over the same docs + registered queries."""
+    from coderag_spark.functions.tokenize import simple_tokens_col
+    from coderag_spark.operators.bm25 import percolate
+    from coderag_spark.streaming.incremental import stream_percolate
+
+    docs = [
+        (1, "user database query"),
+        (2, "user session token"),
+        (3, "completely unrelated text"),
+        (4, "database user"),
+    ]
+    reg = spark.createDataFrame(
+        [
+            (10, ["user", "database"], 2),
+            (11, ["session"], 1),
+            (12, ["user", "database", "query"], 1),
+        ],
+        "query_id int, terms array<string>, min_match int",
+    )
+    src = str(tmp_path / "pstream")
+    out = str(tmp_path / "pout")
+    ckpt = str(tmp_path / "pckpt")
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    d.write.mode("append").parquet(src)
+    q = (
+        stream_percolate(spark, src, reg)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    post = (
+        d.select("doc_id", F.explode(F.array_distinct(simple_tokens_col(F.col("text")))).alias("term"))
+        .withColumn("raw_freq", F.lit(1))
+    )
+    want = {
+        (r["query_id"], r["doc_id"]) for r in percolate(reg, post).collect()
+    }
+    assert got == want
+    assert (10, 1) in got and (10, 4) in got and (11, 2) in got
+    assert all(d != 3 for _, d in got)
