@@ -1,4 +1,5 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy + stdlib.
+"""Baseline + progressive JPEG (ITU-T T.81 / JFIF) codec in pure
+numpy + stdlib.
 
 No PIL/libjpeg in this container, and JPEG is the one compressed image
 format a 100 TB web corpus is actually full of — so the sequential
@@ -6,14 +7,22 @@ baseline profile (SOF0, Huffman, 8-bit) is implemented from the public
 standard: marker parse, DQT/DHT table load, per-MCU Huffman entropy
 decode (DC differential + AC run-length), dequantize, inverse zigzag,
 IDCT (orthonormal DCT-II matrix form), chroma upsample, YCbCr->RGB.
-Restart markers (DRI/RSTn) are honored. Progressive (SOF2), arithmetic
-coding, and 12-bit precision raise NotImplementedError explicitly.
+Restart markers (DRI/RSTn) are honored.
 
-The matching encoder (4:4:4 or 4:2:0, libjpeg-style quality scaling of
-the Annex K tables, standard Annex K Huffman tables) exists to make the
-decode path testable end-to-end with deterministic fixtures — the
-decoder reads ALL tables from the file's own DQT/DHT segments, so
-decoding is standard-conformant, not merely encoder-matched.
+PROGRESSIVE (SOF2) decode is also implemented from T.81 Annex G:
+spectral selection + successive approximation across any scan script,
+per-scan EOB runs, DC/AC refinement passes — the profile most large
+web JPEGs actually use. Arithmetic coding, 12-bit precision, and
+restart markers inside progressive scans raise NotImplementedError
+explicitly.
+
+The matching encoders (baseline 4:4:4/4:2:0; progressive over libjpeg's
+default 10-scan script) exist to make the decode paths testable
+end-to-end with deterministic fixtures — the decoder reads ALL tables
+and scan parameters from the file's own segments, so decoding is
+standard-conformant, not merely encoder-matched; the progressive
+round-trip is pinned bit-identical to the baseline decode of the same
+coefficients.
 
 Used by multimodal.decode_media_features; kept in its own module so the
 Arrow plumbing in multimodal.py stays readable.
@@ -215,19 +224,14 @@ def _block_grid(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quality: int = 85,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, or 4:2:0 with
-    ``subsample=True``). Standard Annex K Huffman tables, libjpeg-style
-    quality-scaled Annex K quant tables; all tables written into the
-    stream, so any conformant decoder reads the output.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (the
-    error-resilience / parallel-decode feature real web JPEGs carry)."""
-    h, w, _ = pixels.shape
+def _quantized_components(
+    pixels: np.ndarray, quality: int, subsample: bool
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """RGB -> per-component quantized DCT coefficient grids
+    ([Y, Cb, Cr] each (by, bx, 8, 8) int64) + the two quant tables.
+    Shared by the baseline and progressive encoders — both profiles
+    entropy-code the SAME coefficients, which is what makes the
+    progressive round-trip test exact."""
     rgb = pixels.astype(np.float64)
     y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
@@ -256,11 +260,25 @@ def encode_jpeg(
         qm = q.reshape(8, 8).astype(np.float64)
         return np.round(coef / qm).astype(np.int64)
 
-    comps = [
-        quantized(y, qt[0]),
-        quantized(cb, qt[1]),
-        quantized(cr, qt[1]),
-    ]
+    return [quantized(y, qt[0]), quantized(cb, qt[1]), quantized(cr, qt[1])], qt
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, or 4:2:0 with
+    ``subsample=True``). Standard Annex K Huffman tables, libjpeg-style
+    quality-scaled Annex K quant tables; all tables written into the
+    stream, so any conformant decoder reads the output.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (the
+    error-resilience / parallel-decode feature real web JPEGs carry)."""
+    h, w, _ = pixels.shape
+    hmax, vmax = (2, 2) if subsample else (1, 1)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    comps, qt = _quantized_components(pixels, quality, subsample)
 
     dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -269,8 +287,8 @@ def encode_jpeg(
 
     bw = _BitWriter()
     preds = [0, 0, 0]
-    mcux = y.shape[1] // mcu_w
-    mcuy = y.shape[0] // mcu_h
+    mcux = comps[0].shape[1] // hmax
+    mcuy = comps[0].shape[0] // vmax
     samp = [(hmax, vmax), (1, 1), (1, 1)]
     tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
     mcu_done = 0
@@ -314,6 +332,210 @@ def encode_jpeg(
     out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# -------------------------------------------- progressive encoder (SOF2)
+
+# libjpeg's default 10-scan progression for 3-component YCbCr
+# (jcparam.c jpeg_simple_progression — a public, de-facto-standard script):
+# DC first pass at Al=1 for all components, AC spectral bands per
+# component with successive approximation, then the refinement passes.
+# Entries: (component indices, Ss, Se, Ah, Al).
+_PROGRESSIVE_SCRIPT = [
+    ([0, 1, 2], 0, 0, 0, 1),   # DC, successive-approximation first pass
+    ([0], 1, 5, 0, 2),         # Y AC 1-5 first pass (coarse)
+    ([2], 1, 63, 0, 1),        # Cr AC full band
+    ([1], 1, 63, 0, 1),        # Cb AC full band
+    ([0], 6, 63, 0, 2),        # Y AC 6-63 first pass
+    ([0], 1, 63, 2, 1),        # Y AC refinement 2->1
+    ([0, 1, 2], 0, 0, 1, 0),   # DC refinement (raw bits, no Huffman)
+    ([2], 1, 63, 1, 0),        # Cr AC refinement
+    ([1], 1, 63, 1, 0),        # Cb AC refinement
+    ([0], 1, 63, 1, 0),        # Y AC refinement 1->0
+]
+
+
+def _enc_ac_first(
+    bw: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """One block of an AC first-pass scan (T.81 G.1.2.2). EOB runs are
+    always flushed as EOB0 (run length 1) — valid in any conformant
+    decoder and expressible with the Annex K tables, which carry no EOBn
+    symbols for n >= 1 (compression, not validity, is what longer runs
+    would buy)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al)
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        size = _category(t)
+        sv = t if v > 0 else -t
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(sv if sv > 0 else sv + (1 << size) - 1, size)
+        run = 0
+    if run > 0:
+        c, ln = ac_codes[0x00]  # EOB0
+        bw.write(c, ln)
+
+
+def _enc_ac_refine(
+    bw: _BitWriter, zz: np.ndarray, ss: int, se: int, al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """One block of an AC refinement scan (T.81 G.1.2.3, the
+    encode_mcu_AC_refine shape): newly-nonzero coefficients are coded as
+    (zero-history-run, 1) + sign bit; already-nonzero coefficients
+    contribute one buffered correction bit, flushed right after each
+    emitted symbol (the decoder reads them while walking the run). EOB
+    runs flush per block as EOB0, same rationale as the first pass."""
+    run = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        # required ZRLs flush at ANY nonzero arrival — correction-only
+        # coefficients included — so no buffered correction bit ever spans
+        # a ZRL's 16-zero-history walk on the decoder side
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            run -= 16
+        if t > 1:
+            pending.append(t & 1)  # correction bit for known-nonzero coef
+            continue
+        # newly nonzero at this precision
+        c, ln = ac_codes[(run << 4) | 1]
+        bw.write(c, ln)
+        bw.write(1 if v > 0 else 0, 1)
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        c, ln = ac_codes[0x00]  # EOB0
+        bw.write(c, ln)
+        for bit in pending:
+            bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> PROGRESSIVE JFIF bytes (SOF2): spectral
+    selection + successive approximation over libjpeg's default 10-scan
+    script. The coefficients are identical to :func:`encode_jpeg`'s — the
+    scans just deliver them incrementally — so decoding this stream must
+    reproduce the baseline decode bit-for-bit (pinned in tests)."""
+    h, w, _ = pixels.shape
+    hmax, vmax = (2, 2) if subsample else (1, 1)
+    comps, qt = _quantized_components(pixels, quality, subsample)
+    mcux = comps[0].shape[1] // hmax
+    mcuy = comps[0].shape[0] // vmax
+    samp = [(hmax, vmax), (1, 1), (1, 1)]
+    # zigzag views of every block, per component: (by, bx, 64)
+    zzs = [c.reshape(c.shape[0], c.shape[1], 64)[..., _ZIGZAG] for c in comps]
+    dc_codes = [
+        _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+        _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ]
+
+    def comp_blocks(ci: int) -> tuple[int, int]:
+        """Non-interleaved scan dimensions (T.81 A.2.2): ceil over the
+        component's true sample dimensions, not the padded MCU grid."""
+        hc, vc = samp[ci]
+        cw = -(-(w * hc) // hmax)
+        ch = -(-(h * vc) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt[0][_ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qt[1][_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, hmax << 4 | vmax, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT, Huffman
+    out += seg(0xFFC4, dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS))
+    out += seg(0xFFC4, dht(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS))
+    out += seg(0xFFC4, dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS))
+    out += seg(0xFFC4, dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+    for comp_ids, ss, se, ah, al in _PROGRESSIVE_SCRIPT:
+        bw = _BitWriter()
+        if ss == 0:  # DC scan (interleaved over its components)
+            if ah == 0:
+                preds = {ci: 0 for ci in comp_ids}
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in comp_ids:
+                            hc, vc = samp[ci]
+                            for by in range(vc):
+                                for bx in range(hc):
+                                    dc = int(zzs[ci][my * vc + by, mx * hc + bx, 0])
+                                    v = dc >> al  # DC point transform: arithmetic shift
+                                    diff = v - preds[ci]
+                                    preds[ci] = v
+                                    size = _category(diff)
+                                    c, ln = dc_codes[ci][size]
+                                    bw.write(c, ln)
+                                    if size:
+                                        bw.write(
+                                            diff if diff > 0 else diff + (1 << size) - 1,
+                                            size,
+                                        )
+            else:  # DC refinement: one raw bit per block, no Huffman
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in comp_ids:
+                            hc, vc = samp[ci]
+                            for by in range(vc):
+                                for bx in range(hc):
+                                    dc = int(zzs[ci][my * vc + by, mx * hc + bx, 0])
+                                    bw.write((dc >> al) & 1, 1)
+        else:  # AC scan: non-interleaved single component (T.81 G.1)
+            (ci,) = comp_ids
+            bh, bwid = comp_blocks(ci)
+            enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            for by in range(bh):
+                for bx in range(bwid):
+                    enc(bw, zzs[ci][by, bx], ss, se, al, ac_codes[ci])
+        bw.flush()
+        ns = len(comp_ids)
+        hdr = bytes([ns])
+        for ci in comp_ids:
+            # DC table id is meaningless in AC scans (and vice versa) but
+            # harmless; refinement DC scans need no table at all
+            hdr += bytes([ci + 1, (0 if ci == 0 else 1) * 0x11])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, hdr)
+        out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -384,21 +606,250 @@ def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code in entropy data")
 
 
+def _planes_to_rgb(
+    planes: dict[int, np.ndarray],
+    comps: list[dict],
+    order_ids: list[int],
+    fh: int,
+    fw: int,
+    hmax: int,
+    vmax: int,
+) -> np.ndarray:
+    """Sample planes -> (h, w, 3) uint8 RGB: chroma upsample + color
+    convert. ``order_ids`` gives the (Y, Cb, Cr) component ids in SCAN
+    order (T.81 §B.2.3) — resolving positionally from the SOF list would
+    swap Cb/Cr on a conformant file with a non-canonical component
+    order."""
+    by_id = {c["id"]: c for c in comps}
+
+    def upsampled(cid: int) -> np.ndarray:
+        c = by_id[cid]
+        p = planes[cid]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        return p[:fh, :fw]
+
+    if len(comps) == 1:
+        yp = np.clip(upsampled(comps[0]["id"]), 0, 255)
+        return np.dstack([yp, yp, yp]).astype(np.uint8)
+    yp = upsampled(order_ids[0])
+    cbp = upsampled(order_ids[1])
+    crp = upsampled(order_ids[2])
+    r = yp + 1.402 * (crp - 128.0)
+    g = yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0)
+    bl = yp + 1.772 * (cbp - 128.0)
+    return np.clip(np.dstack([r, g, bl]), 0, 255).round().astype(np.uint8)
+
+
+def _decode_progressive_scan(
+    b: bytes,
+    pos: int,
+    frame: tuple,
+    scan: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict,
+    coefs: dict[int, np.ndarray],
+) -> int:
+    """Decode ONE progressive scan's entropy data into the per-component
+    coefficient stores (zigzag order, successive-approximation domain) —
+    T.81 Annex G.2. Returns the byte offset of the next marker.
+
+    DC scans (Ss=0) may be interleaved (MCU walk) or single-component;
+    AC scans are always single-component, walked in block raster order
+    over the component's own ceil(samples/8) grid (T.81 A.2.2). EOB runs
+    are scan-local."""
+    fh, fw, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    for c in comps:
+        if c["id"] not in coefs:
+            coefs[c["id"]] = np.zeros(
+                (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+            )
+
+    def comp_grid(c: dict) -> tuple[int, int]:
+        cw = -(-(fw * c["h"]) // hmax)
+        ch = -(-(fh * c["v"]) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    br = _BitReader(b, pos)
+    if ss == 0:  # ---------------------------------------------- DC scan
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se = 0")
+        preds = {cid: 0 for cid, _, _ in scan}
+
+        def dc_block(cid: int, dc_id: int, byy: int, bxx: int) -> None:
+            zz = coefs[cid]
+            if ah == 0:
+                size = _read_symbol(br, huff[(0, dc_id)])
+                diff = _extend(br.receive(size), size) if size else 0
+                preds[cid] += diff
+                zz[byy, bxx, 0] = preds[cid] << al
+            else:  # refinement: one raw bit per block
+                if br.bit():
+                    zz[byy, bxx, 0] |= 1 << al
+
+        if len(scan) > 1:  # interleaved MCU walk
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cid, dc_id, _ in scan:
+                        c = by_id[cid]
+                        for byy in range(c["v"]):
+                            for bxx in range(c["h"]):
+                                dc_block(
+                                    cid, dc_id, my * c["v"] + byy, mx * c["h"] + bxx
+                                )
+        else:
+            cid, dc_id, _ = scan[0]
+            bh, bwd = comp_grid(by_id[cid])
+            for byy in range(bh):
+                for bxx in range(bwd):
+                    dc_block(cid, dc_id, byy, bxx)
+    else:  # ---------------------------------------------------- AC scan
+        if len(scan) != 1:
+            raise ValueError("AC progressive scans must be single-component")
+        cid, _, ac_id = scan[0]
+        ac_tbl = huff[(1, ac_id)]
+        bh, bwd = comp_grid(by_id[cid])
+        store = coefs[cid]
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        for byy in range(bh):
+            for bxx in range(bwd):
+                zz = store[byy, bxx]
+                if ah == 0:  # first pass (G.1.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _read_symbol(br, ac_tbl)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.receive(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        zz[k] = _extend(br.receive(s), s) << al
+                        k += 1
+                else:  # refinement pass (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _read_symbol(br, ac_tbl)
+                            r, s = sym >> 4, sym & 0xF
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.receive(r)
+                                    break
+                                val = 0  # ZRL: 16 zero-history coefficients
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement scan symbol size must be 1"
+                                    )
+                                val = p1 if br.bit() else m1
+                            # walk: pass r zero-history slots, correcting
+                            # every nonzero-history coefficient on the way
+                            while k <= se:
+                                cur = int(zz[k])
+                                if cur != 0:
+                                    if br.bit() and (cur & p1) == 0:
+                                        zz[k] = cur + (p1 if cur >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        if s:
+                                            zz[k] = val
+                                        k += 1
+                                        break
+                                    r -= 1
+                                k += 1
+                    if eobrun > 0:
+                        # EOB run covers this block's remaining band: only
+                        # correction bits for nonzero-history coefficients
+                        while k <= se:
+                            cur = int(zz[k])
+                            if cur != 0 and br.bit() and (cur & p1) == 0:
+                                zz[k] = cur + (p1 if cur >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    # advance to the next marker (skip stuffed 0xFF00 and any pad bytes)
+    p = br.pos
+    while p < len(b) - 1:
+        if b[p] == 0xFF and b[p + 1] != 0x00 and not (0xD0 <= b[p + 1] <= 0xD7):
+            return p
+        p += 1
+    raise ValueError("progressive scan ran past end of stream")
+
+
+def _reconstruct_progressive(
+    frame: tuple,
+    qts: dict[int, np.ndarray],
+    coefs: dict[int, np.ndarray],
+    color_order: list[int] | None,
+) -> np.ndarray:
+    """Final progressive reconstruction: inverse zigzag, dequantize, and
+    IDCT every component's accumulated coefficient grid in one einsum."""
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes: dict[int, np.ndarray] = {}
+    for c in comps:
+        zz = coefs[c["id"]].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[..., _ZIGZAG] = zz  # inverse zigzag
+        q = qts[c["tq"]].reshape(8, 8).astype(np.float64)
+        blocks = nat.reshape(zz.shape[0], zz.shape[1], 8, 8) * q
+        # x = D.T @ F @ D per tile
+        px = np.einsum("ur,ijuv,vc->ijrc", _DCT, blocks, _DCT) + 128.0
+        planes[c["id"]] = px.transpose(0, 2, 1, 3).reshape(
+            zz.shape[0] * 8, zz.shape[1] * 8
+        )
+    order = color_order or [c["id"] for c in comps]
+    return _planes_to_rgb(planes, comps, order, fh, fw, hmax, vmax)
+
+
 def decode_jpeg_pixels(b: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB."""
+    """Baseline OR progressive JFIF bytes -> (h, w, 3) uint8 RGB.
+
+    Baseline (SOF0/1) decodes the single interleaved scan directly to
+    sample planes; progressive (SOF2) accumulates dequantized-domain
+    coefficients across every scan (spectral selection + successive
+    approximation, T.81 Annex G) and reconstructs after EOI."""
     if b[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}
+    n_prog_scans = 0
+    color_order: list[int] | None = None
     while True:
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and n_prog_scans:
+                break
             raise ValueError("JPEG has no scan data")
         (length,) = struct.unpack_from(">H", b, pos)
         payload = b[pos + 2 : pos + length]
@@ -423,7 +874,7 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray:
                 vals = list(payload[off + 17 : off + 17 + n])
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -432,9 +883,10 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray:
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0/1); got SOF marker {marker:#x}"
+                f"only baseline (SOF0/1) and progressive (SOF2) JPEG; got SOF marker {marker:#x}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
@@ -444,10 +896,26 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            break
+            if not progressive:
+                break
+            if restart_interval:
+                raise NotImplementedError(
+                    "restart markers in progressive scans unsupported"
+                )
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                b, pos, frame, scan, ss, se, ahal >> 4, ahal & 0xF,
+                huff, coefs,
+            )
+            n_prog_scans += 1
+            if len(scan) == len(frame[2]) and color_order is None:
+                color_order = [cs for cs, _, _ in scan]
         # APPn / COM / anything else: skipped
     if frame is None:
         raise ValueError("JPEG missing SOF before SOS")
+    if progressive:
+        return _reconstruct_progressive(frame, qts, coefs, color_order)
     fh, fw, comps = frame
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
@@ -499,27 +967,9 @@ def decode_jpeg_pixels(b: bytes) -> np.ndarray:
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_done += 1
 
-    def upsampled(c: dict) -> np.ndarray:
-        p = planes[c["id"]]
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        return p[:fh, :fw]
-
-    if len(comps) == 1:
-        yp = np.clip(upsampled(comps[0]), 0, 255)
-        return np.dstack([yp, yp, yp]).astype(np.uint8)
-    # resolve ALL planes through the scan component ids (Y, Cb, Cr in scan
-    # order per T.81 §B.2.3) — selecting chroma positionally from the SOF
-    # list would swap Cb/Cr on a conformant file whose SOF lists components
-    # in a non-canonical order
-    yp = upsampled(by_id[scan[0][0]])
-    cbp = upsampled(by_id[scan[1][0]])
-    crp = upsampled(by_id[scan[2][0]])
-    r = yp + 1.402 * (crp - 128.0)
-    g = yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0)
-    bl = yp + 1.772 * (cbp - 128.0)
-    return np.clip(np.dstack([r, g, bl]), 0, 255).round().astype(np.uint8)
+    return _planes_to_rgb(
+        planes, comps, [cs for cs, _, _ in scan], fh, fw, hmax, vmax
+    )
 
 
 def decode_jpeg(b: bytes) -> tuple[int, int, float, float, float]:

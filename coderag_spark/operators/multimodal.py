@@ -8,9 +8,11 @@ Decode support comes in two tiers:
   * REAL decoders for the formats Python's stdlib + numpy can parse
     without external libraries — 24-bit uncompressed **BMP**, binary
     **PPM (P6)**, PCM **WAV**, **PNG** (8-bit RGB/RGBA, chunk parse +
-    zlib inflate + all five scanline unfilters), and baseline **JPEG**
-    (SOF0 Huffman sequential incl. 4:2:0 subsampling and restart
-    markers — operators/jpeg.py) — via ``decode_media_features``
+    zlib inflate + all five scanline unfilters), and **JPEG** — both
+    baseline (SOF0 Huffman sequential incl. 4:2:0 subsampling and
+    restart markers) and PROGRESSIVE (SOF2 spectral selection +
+    successive approximation, operators/jpeg.py) — via
+    ``decode_media_features``
     (format sniffed from magic bytes per payload). Encoders for the same
     formats (``encode_bmp`` / ``encode_ppm`` / ``encode_wav`` /
     ``encode_png`` / ``jpeg.encode_jpeg``) make the round trip testable
@@ -20,7 +22,7 @@ Decode support comes in two tiers:
     features for raw-RGB24 tracks) and **MP3** (frame-header walk:
     duration/bitrate/VBR) parse at the metadata layer — the layer a
     filtering pipeline needs — via ``operators/mediameta.py``.
-  * what still needs external codecs (progressive JPEG, compressed
+  * what still needs external codecs (compressed
     video/audio DECODE, interlaced or paletted PNG) raises
     ``NotImplementedError`` (or flows through the deterministic fake
     when requested), keeping the limitation explicit rather than silent.
@@ -352,7 +354,8 @@ def decode_media_features(
                  feat=[rms, peak, duration_sec, sample_rate])
 
     ``on_unsupported``: "error" raises NotImplementedError on the first
-    payload needing an external codec (progressive JPEG/MP3/...); "skip" drops those
+    payload needing an external codec (compressed audio/video, exotic
+    JPEG/PNG variants); "skip" drops those
     rows — the explicit choice belongs to the pipeline author.
     """
 

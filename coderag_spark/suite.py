@@ -3654,7 +3654,7 @@ def _synth_media_udf():
     def synth(doc_id: pd.Series) -> pd.Series:
         import numpy as np
 
-        from coderag_spark.operators.jpeg import encode_jpeg
+        from coderag_spark.operators.jpeg import encode_jpeg, encode_jpeg_progressive
         from coderag_spark.operators.mediameta import encode_mp3_frames, encode_mp4_raw
 
         base = np.arange(6 * 5 * 3, dtype=np.uint64)
@@ -3680,7 +3680,10 @@ def _synth_media_udf():
             elif m == 2:
                 out.append(mm.encode_png(px, filter_type=4))
             elif m == 3:
-                out.append(encode_jpeg(px, quality=90))
+                # alternate baseline and PROGRESSIVE (SOF2) JPEG payloads
+                # so both entropy-coding profiles decode in the driver run
+                enc = encode_jpeg_progressive if (d // 6) % 2 else encode_jpeg
+                out.append(enc(px, quality=90))
             else:
                 out.append(encode_mp4_raw([px, px[::-1].copy()], fps=5))
         return pd.Series(out)

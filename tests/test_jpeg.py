@@ -72,15 +72,59 @@ def test_feature_contract():
     assert abs(mr - 10) <= 1 and abs(mg - 200) <= 1 and abs(mb - 30) <= 1
 
 
-def test_progressive_and_garbage_raise():
+def test_malformed_progressive_and_garbage_raise():
     img = _gradient(16, 16)
     b = bytearray(encode_jpeg(img))
     i = b.find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="SOF"):
+    b[i + 1] = 0xC2  # SOF0 -> SOF2 with a baseline full-band scan header:
+    # an ILLEGAL progressive stream (DC scan must have Se = 0), not a
+    # silently-wrong decode
+    with pytest.raises(ValueError, match="Se = 0"):
         decode_jpeg_pixels(bytes(b))
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"\x00\x01\x02")
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("quality", [30, 85])
+def test_progressive_roundtrip_bit_identical_to_baseline(quality, subsample):
+    """The progressive encoder delivers the SAME quantized coefficients
+    as the baseline encoder, scan by scan — so the decoded pixels must be
+    bit-identical across the two profiles."""
+    from coderag_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for img in (
+        _gradient(37, 51),
+        (rng.random((40, 24, 3)) * 255).astype(np.uint8),
+        np.full((16, 16, 3), 200, np.uint8),
+        (np.indices((32, 32)).sum(0) % 2 * 255).astype(np.uint8)[..., None].repeat(3, -1),
+    ):
+        base = decode_jpeg_pixels(encode_jpeg(img, quality, subsample=subsample))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, quality, subsample=subsample)
+        )
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_stream_is_sof2_with_ten_scans():
+    from coderag_spark.operators.jpeg import encode_jpeg_progressive
+
+    b = encode_jpeg_progressive(_gradient(24, 24))
+    assert b"\xff\xc2" in b and b"\xff\xc0" not in b
+    assert b.count(b"\xff\xda") == 10  # libjpeg default 10-scan script
+
+
+def test_progressive_feature_contract_matches_baseline():
+    from coderag_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient(20, 30)
+    assert decode_jpeg(encode_jpeg_progressive(img, 85)) == decode_jpeg(
+        encode_jpeg(img, 85)
+    )
 
 
 def test_sniff_and_spark_decode_stage(spark):
