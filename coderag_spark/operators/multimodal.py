@@ -8,7 +8,8 @@ Decode support comes in two tiers:
   * REAL decoders for the formats Python's stdlib + numpy can parse
     without external libraries — 24-bit uncompressed **BMP**, binary
     **PPM (P6)**, PCM **WAV**, **PNG** (8-bit RGB/RGBA, chunk parse +
-    zlib inflate + all five scanline unfilters), and **JPEG** — both
+    zlib inflate + all five scanline unfilters, Adam7 de-interlace,
+    palette and grayscale color types), and **JPEG** — both
     baseline (SOF0 Huffman sequential incl. 4:2:0 subsampling and
     restart markers) and PROGRESSIVE (SOF2 spectral selection +
     successive approximation, operators/jpeg.py) — via
@@ -23,7 +24,7 @@ Decode support comes in two tiers:
     duration/bitrate/VBR) parse at the metadata layer — the layer a
     filtering pipeline needs — via ``operators/mediameta.py``.
   * what still needs external codecs (compressed
-    video/audio DECODE, interlaced or paletted PNG) raises
+    video/audio DECODE, 16-bit or sub-byte-depth PNG) raises
     ``NotImplementedError`` (or flows through the deterministic fake
     when requested), keeping the limitation explicit rather than silent.
 
@@ -155,21 +156,20 @@ def _png_chunk(kind: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """(h, w, 3|4) uint8 -> PNG (8-bit, color type 2/6, no interlace).
+# Adam7 interlace pass geometry (RFC 2083 §2.6): (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Pure stdlib: chunk framing + CRC32 + zlib deflate. ``filter_type``
-    selects the per-scanline filter (0=None, 1=Sub, 2=Up, 3=Average,
-    4=Paeth) so round-trip tests can exercise every unfilter path of
-    ``decode_png``."""
-    import zlib
 
-    h, w, ch = pixels.shape
-    if ch not in (3, 4):
-        raise ValueError("encode_png expects (h, w, 3|4) uint8")
-    color_type = 2 if ch == 3 else 6
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    px = pixels.astype(np.int16)
+def _png_filter_rows(px: np.ndarray, filter_type: int) -> bytearray:
+    """Filter an (h, w, ch) uint8 sub-image into PNG scanline bytes
+    (filter byte + filtered row, per row). One shared implementation for
+    the sequential stream and each Adam7 pass (each pass filters
+    independently, RFC 2083 §2.6)."""
+    h, w, ch = px.shape
+    px = px.astype(np.int16)
     raw = bytearray()
     prev = np.zeros((w, ch), dtype=np.int16)
     for y in range(h):
@@ -196,59 +196,20 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         raw.append(filter_type)
         raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
         prev = row
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
-    )
+    return raw
 
 
-def decode_png(b: bytes) -> tuple[int, int, float, float, float]:
-    """-> (width, height, mean_r, mean_g, mean_b). Stdlib-only PNG decode:
-    chunk parse, zlib inflate, per-scanline unfilter (all 5 filter types).
-    Supports 8-bit color types 2 (RGB) and 6 (RGBA), no interlace — the
-    shapes a training pipeline's thumbnail/synthetic fixtures produce;
-    anything else raises explicitly."""
-    import zlib
-
-    if b[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos = 8
-    width = height = None
-    ch = 0
-    idat = bytearray()
-    while pos + 8 <= len(b):
-        (length,) = struct.unpack_from(">I", b, pos)
-        kind = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if kind == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or color_type not in (2, 6) or interlace != 0:
-                raise NotImplementedError(
-                    f"only 8-bit RGB/RGBA non-interlaced PNG "
-                    f"(depth={depth}, color={color_type}, interlace={interlace})"
-                )
-            ch = 3 if color_type == 2 else 4
-        elif kind == b"IDAT":
-            idat.extend(data)
-        elif kind == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG scanline data size mismatch")
-    out = np.zeros((height, stride), dtype=np.uint8)
+def _png_unfilter(raw: bytes, off: int, h: int, w: int, ch: int) -> tuple[np.ndarray, int]:
+    """Unfilter ``h`` scanlines of ``w`` pixels starting at byte ``off``
+    of the inflated stream -> ((h, w, ch) uint8, next offset). Shared by
+    the sequential image and each Adam7 pass."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        off = y * (stride + 1)
+    for y in range(h):
         ft = raw[off]
         line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        off += stride + 1
         if ft == 0:
             cur = line
         elif ft == 2:  # Up
@@ -272,9 +233,159 @@ def decode_png(b: bytes) -> tuple[int, int, float, float, float]:
             raise NotImplementedError(f"unknown PNG filter type {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    arr = out.reshape(height, width, ch)[:, :, :3]
+    return out.reshape(h, w, ch), off
+
+
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """(h, w, 3|4) uint8 -> PNG (8-bit, color type 2/6).
+
+    Pure stdlib: chunk framing + CRC32 + zlib deflate. ``filter_type``
+    selects the per-scanline filter (0=None, 1=Sub, 2=Up, 3=Average,
+    4=Paeth) so round-trip tests can exercise every unfilter path of
+    ``decode_png``; ``interlace=True`` writes the Adam7 seven-pass
+    layout (each pass filtered independently)."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    if ch not in (3, 4):
+        raise ValueError("encode_png expects (h, w, 3|4) uint8")
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.size:
+                raw += _png_filter_rows(sub, filter_type)
+    else:
+        raw = _png_filter_rows(pixels, filter_type)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """(h, w, 3) uint8 with <= 256 distinct colors -> indexed-color PNG
+    (color type 3, 8-bit palette indices + PLTE chunk). Palette order is
+    first-appearance in raster order (deterministic)."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    if ch != 3:
+        raise ValueError("encode_png_palette expects (h, w, 3) uint8")
+    flat = pixels.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"palette PNG needs <= 256 colors (got {len(colors)})")
+    # reorder palette to first appearance for a deterministic PLTE
+    seen: set[int] = set()
+    order: list[int] = []
+    for c in inverse:
+        if int(c) not in seen:
+            seen.add(int(c))
+            order.append(int(c))
+    remap = np.zeros(len(colors), dtype=np.uint8)
+    for newi, oldi in enumerate(order):
+        remap[oldi] = newi
+    idx = remap[inverse].reshape(h, w, 1)
+    plte = bytes(colors[order].astype(np.uint8).reshape(-1))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.size:
+                raw += _png_filter_rows(sub, filter_type)
+    else:
+        raw = _png_filter_rows(idx, filter_type)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(b: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB. Stdlib-only decode: chunk parse,
+    zlib inflate, per-scanline unfilter (all 5 filter types), Adam7
+    de-interlace, palette (PLTE) lookup. Supports 8-bit color types 0
+    (grayscale), 2 (RGB), 3 (palette), 6 (RGBA); sub-byte depths and
+    16-bit raise explicitly."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    color_type = interlace = 0
+    plte: np.ndarray | None = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        kind = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if kind == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color_type not in (0, 2, 3, 6) or interlace not in (0, 1):
+                raise NotImplementedError(
+                    f"only 8-bit gray/RGB/palette/RGBA PNG, sequential or Adam7 "
+                    f"(depth={depth}, color={color_type}, interlace={interlace})"
+                )
+        elif kind == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif kind == b"IDAT":
+            idat.extend(data)
+        elif kind == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    if interlace:
+        img = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, ph, pw, ch)
+            img[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG Adam7 data size mismatch")
+    else:
+        if len(raw) != height * (width * ch + 1):
+            raise ValueError("PNG scanline data size mismatch")
+        img, _ = _png_unfilter(raw, 0, height, width, ch)
+    if color_type == 3:
+        img = plte[img[..., 0]]  # type: ignore[index]
+    elif color_type == 0:
+        img = np.repeat(img, 3, axis=2)
+    else:
+        img = img[:, :, :3]
+    return img
+
+
+def decode_png(b: bytes) -> tuple[int, int, float, float, float]:
+    """-> (width, height, mean_r, mean_g, mean_b) — the feature contract
+    shared with the BMP/PPM/JPEG decoders; see decode_png_pixels."""
+    arr = decode_png_pixels(b)
     means = arr.reshape(-1, 3).mean(axis=0)
-    return width, height, float(means[0]), float(means[1]), float(means[2])
+    return arr.shape[1], arr.shape[0], float(means[0]), float(means[1]), float(means[2])
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000, sampwidth: int = 2) -> bytes:

@@ -3678,7 +3678,16 @@ def _synth_media_udf():
             if m == 0:
                 out.append(mm.encode_bmp(px))
             elif m == 2:
-                out.append(mm.encode_png(px, filter_type=4))
+                # rotate PNG layouts (all lossless, so the exact oracle's
+                # generator math is encoding-invariant): Paeth sequential,
+                # Adam7 interlaced, 8-bit palette
+                v = (d // 6) % 3
+                if v == 0:
+                    out.append(mm.encode_png(px, filter_type=4))
+                elif v == 1:
+                    out.append(mm.encode_png(px, filter_type=2, interlace=True))
+                else:
+                    out.append(mm.encode_png_palette(px, filter_type=1))
             elif m == 3:
                 # alternate baseline and PROGRESSIVE (SOF2) JPEG payloads
                 # so both entropy-coding profiles decode in the driver run

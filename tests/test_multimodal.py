@@ -138,15 +138,54 @@ def test_png_unsupported_shapes_raise():
     import struct as st
     import zlib
 
-    # paletted (color type 3) must raise explicitly, not mis-decode
-    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    # 16-bit depth must raise explicitly, not mis-decode
+    ihdr = st.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     b = mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr) + mm._png_chunk(
-        b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00")
+        b"IDAT", zlib.compress(b"\x00" * 26)
     ) + mm._png_chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="color=3"):
+    with pytest.raises(NotImplementedError, match="depth=16"):
         mm.decode_png(b)
     with pytest.raises(ValueError, match="not a PNG"):
         mm.decode_png(b"BM not a png")
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_adam7_and_palette_roundtrip(filter_type, interlace):
+    rng = np.random.default_rng(13)
+    img = (rng.random((23, 17, 3)) * 255).astype(np.uint8)
+    out = mm.decode_png_pixels(
+        mm.encode_png(img, filter_type=filter_type, interlace=interlace)
+    )
+    assert np.array_equal(out, img)
+    colors = (rng.random((6, 3)) * 255).astype(np.uint8)
+    pal_img = colors[rng.integers(0, 6, (19, 13))]
+    out = mm.decode_png_pixels(
+        mm.encode_png_palette(pal_img, filter_type=filter_type, interlace=interlace)
+    )
+    assert np.array_equal(out, pal_img)
+
+
+def test_png_grayscale_color_type_0():
+    import struct as st
+    import zlib
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1) * 20
+    ihdr = st.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    raw = mm._png_filter_rows(gray, 2)
+    b = (mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+         + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+         + mm._png_chunk(b"IEND", b""))
+    out = mm.decode_png_pixels(b)
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+
+
+def test_png_palette_too_many_colors_raises():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)  # ~1024 colors
+    with pytest.raises(ValueError, match="<= 256"):
+        mm.encode_png_palette(img)
 
 
 def test_decode_media_features_png_distributed(spark):
