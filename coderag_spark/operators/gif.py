@@ -1,0 +1,311 @@
+"""GIF (GIF89a) codec in pure numpy + stdlib.
+
+GIF is the other lossless indexed-color format a web corpus is full of
+(and the dominant short-animation container). Implemented from the
+public specification (GIF89a, CompuServe 1990; LZW per the spec's
+variable-code-width variant):
+
+  * encoder: global color table built from the frames' distinct colors
+    (<= 256, first-appearance order), LZW compression with CLEAR/EOI
+    codes and 12-bit code-width growth, 255-byte sub-block framing,
+    Netscape looping extension + per-frame Graphic Control Extensions
+    for animations, optional interlaced row layout;
+  * decoder: header/LSD/color-table parse, extension-block skip (GCE
+    consumed for frame accounting), per-frame local color tables,
+    4-pass interlace reordering, full LZW decode (including the
+    code==next_code "cScSc" case), frame composition onto the logical
+    screen honoring left/top offsets (disposal: draw-over).
+
+Because GIF is lossless, the encoder/decoder round trip must reproduce
+pixels EXACTLY (pinned in tests) — same validation contract as the PNG
+and progressive-JPEG codecs in this repo.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_SIG = b"GIF89a"
+
+
+# ------------------------------------------------------------------- LZW
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    CLEAR emitted first and whenever the table reaches 4096 codes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs codes LSB-first
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prev = b""
+    for v in indices.reshape(-1).tolist():
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = bytes([v])
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the cScSc case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out += entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+        if len(out) >= n_expected:
+            break
+    if len(out) < n_expected:
+        raise ValueError("GIF LZW produced too few pixels")
+    return np.frombuffer(bytes(out[:n_expected]), dtype=np.uint8)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Split a byte stream into GIF data sub-blocks (<= 255 bytes each +
+    zero terminator)."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _read_sub_blocks(b: bytes, pos: int) -> tuple[bytes, int]:
+    out = bytearray()
+    while True:
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        out += b[pos : pos + n]
+        pos += n
+
+
+# GIF interlace passes: (row offset, step)
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+# --------------------------------------------------------------- encoder
+
+
+def encode_gif(
+    frames: "np.ndarray | list[np.ndarray]",
+    interlace: bool = False,
+    delay_cs: int = 4,
+) -> bytes:
+    """One (h, w, 3) frame or a list of same-size frames -> GIF89a bytes.
+    All frames together must use <= 256 distinct colors (a global color
+    table, first-appearance order — deterministic). Multi-frame inputs
+    get a Netscape loop extension + a per-frame Graphic Control
+    Extension with ``delay_cs`` centiseconds delay."""
+    if isinstance(frames, np.ndarray) and frames.ndim == 3:
+        frames = [frames]
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, ch = frames[0].shape
+    if ch != 3 or any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("encode_gif expects same-size (h, w, 3) frames")
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <= 256 colors (got {len(colors)})")
+    # first-appearance palette order (deterministic across runs)
+    seen: set[int] = set()
+    order: list[int] = []
+    for c in inverse:
+        if int(c) not in seen:
+            seen.add(int(c))
+            order.append(int(c))
+    remap = np.zeros(len(colors), dtype=np.uint8)
+    for newi, oldi in enumerate(order):
+        remap[oldi] = newi
+    palette = colors[order].astype(np.uint8)
+    idx_all = remap[inverse].reshape(len(frames), h, w)
+
+    gct_bits = max(1, int(len(palette) - 1).bit_length())  # table size 2^n
+    gct = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    min_code_size = max(2, gct_bits)
+
+    out = bytearray(GIF_SIG)
+    # logical screen descriptor: GCT present, color resolution 8
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((8 - 1) << 4) | (gct_bits - 1), 0, 0)
+    out += gct.tobytes()
+    if len(frames) > 1:
+        # Netscape 2.0 looping extension (loop forever)
+        out += b"\x21\xff\x0bNETSCAPE2.0" + _sub_blocks(b"\x01\x00\x00")
+    for fi, idx in enumerate(idx_all):
+        if len(frames) > 1:
+            # GCE: disposal 1 (leave in place), delay, no transparency
+            out += b"\x21\xf9" + _sub_blocks(
+                struct.pack("<BHB", 1 << 2, delay_cs, 0)
+            )
+        rows = idx
+        flags = 0
+        if interlace:
+            order_rows = []
+            for off, step in _GIF_INTERLACE:
+                order_rows.extend(range(off, h, step))
+            rows = idx[order_rows]
+            flags |= 0x40
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+        out.append(min_code_size)
+        out += _sub_blocks(_lzw_encode(rows, min_code_size))
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+# --------------------------------------------------------------- decoder
+
+
+def decode_gif_frames(b: bytes) -> np.ndarray:
+    """GIF bytes -> (n_frames, h, w, 3) uint8 RGB, frames composited onto
+    the logical screen in order (draw-over disposal; left/top honored)."""
+    if b[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    while True:
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = b[pos]
+            pos += 1
+            data, pos = _read_sub_blocks(b, pos)
+            if label == 0xF9 and len(data) >= 4:  # GCE
+                gflags = data[0]
+                transparent = data[3] if gflags & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block {block:#x} at {pos - 1}")
+        left, top, fw, fh, iflags = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        table = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        min_code_size = b[pos]
+        pos += 1
+        data, pos = _read_sub_blocks(b, pos)
+        idx = _lzw_decode(data, min_code_size, fw * fh).reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+            deinter = np.zeros_like(idx)
+            src = 0
+            for off, step in _GIF_INTERLACE:
+                rows = range(off, fh, step)
+                for r in rows:
+                    deinter[r] = idx[src]
+                    src += 1
+            idx = deinter
+        rgb = table[np.minimum(idx, len(table) - 1)]
+        if transparent is not None:
+            mask = idx != transparent
+            region = canvas[top : top + fh, left : left + fw]
+            region[mask] = rgb[mask]
+        else:
+            canvas[top : top + fh, left : left + fw] = rgb
+        frames.append(canvas.copy())
+        transparent = None  # GCE applies to the next image only
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return np.stack(frames)
+
+
+def decode_gif(b: bytes) -> tuple[int, int, int, float, float, float]:
+    """-> (width, height, n_frames, mean_r, mean_g, mean_b of the FIRST
+    frame) — the feature contract shared with the other image decoders,
+    plus the frame count (GIFs are the one image format where n_frames
+    genuinely varies)."""
+    frames = decode_gif_frames(b)
+    first = frames[0].reshape(-1, 3).astype(np.float64)
+    means = first.mean(axis=0)
+    return (
+        frames.shape[2],
+        frames.shape[1],
+        frames.shape[0],
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+    )

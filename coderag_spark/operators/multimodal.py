@@ -9,7 +9,9 @@ Decode support comes in two tiers:
     without external libraries — 24-bit uncompressed **BMP**, binary
     **PPM (P6)**, PCM **WAV**, **PNG** (8-bit RGB/RGBA, chunk parse +
     zlib inflate + all five scanline unfilters, Adam7 de-interlace,
-    palette and grayscale color types), and **JPEG** — both
+    palette and grayscale color types), **GIF** (GIF89a LZW decode,
+    4-pass interlace, multi-frame composition with GCE/loop extensions
+    — operators/gif.py), and **JPEG** — both
     baseline (SOF0 Huffman sequential incl. 4:2:0 subsampling and
     restart markers) and PROGRESSIVE (SOF2 spectral selection +
     successive approximation, operators/jpeg.py) — via
@@ -445,6 +447,8 @@ def sniff_modality(b: bytes) -> str | None:
         return "audio/wav"
     if b[:8] == _PNG_SIG:
         return "image/png"
+    if b[:6] in (b"GIF89a", b"GIF87a"):
+        return "image/gif"
     if b[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
     if len(b) >= 8 and b[4:8] == b"ftyp":
@@ -520,6 +524,11 @@ def decode_media_features(
                             meta["duration_sec"],
                             float(meta["sample_rate"]),
                         ]
+                    elif kind == "image/gif":
+                        from coderag_spark.operators.gif import decode_gif
+
+                        w, h, frames, mr, mg, mb = decode_gif(b)
+                        feat = [mr, mg, mb, 0.0]
                     else:
                         from coderag_spark.operators.jpeg import decode_jpeg
 

@@ -3676,7 +3676,15 @@ def _synth_media_udf():
                 np.uint8
             ).reshape(6, 5, 3)
             if m == 0:
-                out.append(mm.encode_bmp(px))
+                # alternate BMP and a 2-frame animated GIF (lossless —
+                # the first-frame means stay generator math; frame 2 is
+                # the row-reversed copy, mirroring the MP4 fixture)
+                if (d // 6) % 2:
+                    from coderag_spark.operators.gif import encode_gif
+
+                    out.append(encode_gif([px, px[::-1].copy()]))
+                else:
+                    out.append(mm.encode_bmp(px))
             elif m == 2:
                 # rotate PNG layouts (all lossless, so the exact oracle's
                 # generator math is encoding-invariant): Paeth sequential,
@@ -3823,6 +3831,7 @@ SELECT d.doc_id,
        CASE WHEN d.m IN (0, 2, 4) THEN 5 ELSE 0 END::INT AS width,
        CASE WHEN d.m IN (0, 2, 4) THEN 6 ELSE 0 END::INT AS height,
        CASE WHEN d.m = 4 THEN 2
+            WHEN d.m = 0 AND (d.doc_id // 6) % 2 = 1 THEN 2
             WHEN d.m = 1 THEN 160
             WHEN d.m = 5 THEN 2 + d.doc_id % 5
             ELSE 1 END::BIGINT AS n_frames,

@@ -1,0 +1,89 @@
+"""GIF89a codec: exact LZW round trips (lossless), interlace,
+animation composition, and the Spark decode stage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from coderag_spark.operators.gif import (
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+)
+
+
+def _indexed(rng, shape, ncol):
+    colors = np.unique((rng.random((ncol, 3)) * 255).astype(np.uint8), axis=0)
+    return colors[rng.integers(0, len(colors), shape)]
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("shape,ncol", [((1, 1), 1), ((5, 7), 3), ((23, 17), 64), ((40, 64), 256)])
+def test_gif_roundtrip_exact(shape, ncol, interlace):
+    rng = np.random.default_rng(hash((shape, ncol)) % 2**32)
+    img = _indexed(rng, shape, ncol)
+    out = decode_gif_frames(encode_gif(img, interlace=interlace))
+    assert out.shape == (1, *img.shape)
+    assert np.array_equal(out[0], img)
+
+
+def test_gif_animation_frames_composite_in_order():
+    rng = np.random.default_rng(3)
+    colors = np.unique((rng.random((32, 3)) * 255).astype(np.uint8), axis=0)
+    frames = [colors[rng.integers(0, len(colors), (12, 18))] for _ in range(5)]
+    out = decode_gif_frames(encode_gif(frames))
+    assert out.shape == (5, 12, 18, 3)
+    for i in range(5):
+        assert np.array_equal(out[i], frames[i])
+    b = encode_gif(frames)
+    assert b[:6] == b"GIF89a" and b"NETSCAPE2.0" in b
+
+
+def test_gif_twelve_bit_code_growth_and_reset():
+    """A large high-entropy image forces the LZW table past every width
+    boundary up to 12 bits and through a CLEAR/reset."""
+    rng = np.random.default_rng(11)
+    img = _indexed(rng, (120, 200), 256)
+    assert np.array_equal(decode_gif_frames(encode_gif(img))[0], img)
+
+
+def test_gif_feature_contract():
+    rng = np.random.default_rng(5)
+    frames = [_indexed(rng, (6, 5), 16) for _ in range(3)]
+    # same palette across frames: re-take from frame 0's colors
+    w, h, nf, mr, mg, mb = decode_gif(encode_gif(frames[0]))
+    assert (w, h, nf) == (5, 6, 1)
+    assert abs(mr - frames[0][:, :, 0].mean()) < 1e-9
+    assert abs(mb - frames[0][:, :, 2].mean()) < 1e-9
+
+
+def test_gif_errors():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_frames(b"PNG nope")
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)  # ~1024 colors
+    with pytest.raises(ValueError, match="<= 256"):
+        encode_gif(img)
+
+
+def test_gif_sniff_and_spark_decode_stage(spark):
+    from coderag_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for d in range(4):
+        img = _indexed(rng, (8, 8), 8)
+        frames = [img, img[::-1].copy()] if d % 2 else [img]
+        rows.append(
+            (d, "image", bytearray(encode_gif(frames)), ("image/gif", 0, "synth"))
+        )
+        if d == 0:
+            assert mm.sniff_modality(bytes(rows[-1][2])) == "image/gif"
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["doc_id"]: r for r in mm.decode_media_features(media).collect()}
+    assert len(got) == 4
+    for d in range(4):
+        r = got[d]
+        assert (r["width"], r["height"], r["modality"]) == (8, 8, "image/gif")
+        assert r["n_frames"] == (2 if d % 2 else 1)
