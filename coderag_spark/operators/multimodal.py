@@ -445,6 +445,8 @@ def sniff_modality(b: bytes) -> str | None:
         return "image/ppm"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "audio/wav"
+    if b[:4] == b"fLaC":
+        return "audio/flac"
     if b[:8] == _PNG_SIG:
         return "image/png"
     if b[:6] in (b"GIF89a", b"GIF87a"):
@@ -492,6 +494,13 @@ def decode_media_features(
                         )
                     if kind == "audio/wav":
                         rate, _nch, nfr, rms, peak = decode_wav(b)
+                        w = h = 0
+                        frames = nfr
+                        feat = [rms, peak, nfr / rate if rate else 0.0, float(rate)]
+                    elif kind == "audio/flac":
+                        from coderag_spark.operators.flac import flac_features
+
+                        rate, _nch, nfr, rms, peak = flac_features(b)
                         w = h = 0
                         frames = nfr
                         feat = [rms, peak, nfr / rate if rate else 0.0, float(rate)]

@@ -3664,9 +3664,18 @@ def _synth_media_udf():
             d = int(d)
             m = d % 6
             if m == 1:
-                out.append(
-                    mm.encode_wav(0.3 * np.sin(2 * np.pi * (100 + d % 50) * t), rate=8000)
-                )
+                # alternate WAV and FLAC of the SAME int16 PCM — FLAC is
+                # lossless, so the exact oracle's generator math (rms,
+                # duration, rate) is container-invariant
+                pcm = 0.3 * np.sin(2 * np.pi * (100 + d % 50) * t)
+                if (d // 6) % 2:
+                    from coderag_spark.operators.flac import encode_flac
+
+                    out.append(
+                        encode_flac((pcm * 32768.0).astype(np.int16), rate=8000)
+                    )
+                else:
+                    out.append(mm.encode_wav(pcm, rate=8000))
                 continue
             if m == 5:
                 out.append(encode_mp3_frames(2 + d % 5, bitrate_kbps=128))

@@ -1,0 +1,84 @@
+"""FLAC codec: exact PCM round trips across every subframe/channel mode,
+CRC + MD5 verification, and the Spark decode stage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from coderag_spark.operators.flac import (
+    decode_flac,
+    encode_flac,
+    flac_features,
+)
+
+
+def _sine(n=20000, hz=440, rate=16000, amp=0.4):
+    t = np.arange(n) / rate
+    return (amp * np.sin(2 * np.pi * hz * t) * 32767).astype(np.int16)
+
+
+def _rt(pcm, **kw):
+    out, _ = decode_flac(encode_flac(pcm, **kw))
+    want = pcm if pcm.ndim == 2 else pcm[:, None]
+    assert out.shape == want.shape
+    assert np.array_equal(out, want)
+
+
+@pytest.mark.parametrize("force_lpc", [False, True])
+def test_flac_roundtrip_mono_stereo_exact(force_lpc):
+    rng = np.random.default_rng(17)
+    sine = _sine()
+    _rt(sine, force_lpc=force_lpc)                       # FIXED / LPC
+    _rt(rng.integers(-32768, 32768, 9000).astype(np.int16), force_lpc=force_lpc)
+    _rt(np.stack([sine, _sine(hz=220, amp=0.3)], 1), force_lpc=force_lpc)
+    _rt(np.full(5000, -123, np.int16), force_lpc=force_lpc)   # CONSTANT
+    _rt((_sine() // 8 * 8).astype(np.int16), force_lpc=force_lpc)  # wasted bits
+    _rt(np.array([5, -3, 7], np.int16), force_lpc=force_lpc)  # < warmup sizes
+
+
+def test_flac_mid_side_and_blocksizes():
+    stereo = np.stack([_sine(), _sine(hz=223, amp=0.2)], 1)
+    _rt(stereo, mid_side=True)
+    _rt(stereo, mid_side=True, force_lpc=True)
+    _rt(_sine(), blocksize=192)
+    _rt(stereo, blocksize=1000, mid_side=True)
+
+
+def test_flac_actually_compresses():
+    sine = _sine()
+    assert len(encode_flac(sine)) < sine.nbytes
+
+
+def test_flac_integrity_checks_fire():
+    b = bytearray(encode_flac(_sine(2000)))
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"RIFFxxxx")
+    # corrupt one byte inside the first frame's payload: CRC-16 (or the
+    # rice stream) must reject it, never return silently-wrong PCM
+    b[80] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(b))
+
+
+def test_flac_features_contract():
+    sine = _sine(rate=8000)
+    rate, ch, nfr, rms, peak = flac_features(encode_flac(sine, rate=8000))
+    assert (rate, ch, nfr) == (8000, 1, len(sine))
+    assert 0 < rms < peak <= 1.0
+
+
+def test_flac_sniff_and_spark_decode_stage(spark):
+    from coderag_spark.operators import multimodal as mm
+
+    pcm = _sine(1600, rate=8000)
+    b = encode_flac(pcm, rate=8000)
+    assert mm.sniff_modality(b) == "audio/flac"
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b), ("audio/flac", 0, "synth"))], mm.MEDIA_SCHEMA
+    )
+    r = mm.decode_media_features(media).collect()[0]
+    assert r["modality"] == "audio/flac"
+    assert r["n_frames"] == 1600
+    assert abs(r["feat"][2] - 0.2) < 1e-9  # duration = 1600/8000
+    assert r["feat"][3] == 8000.0
