@@ -953,6 +953,21 @@ class LocalCluster:
         merged.sort(key=lambda e: (-e[1], e[0]))
         return merged[:limit]
 
+    def search_synonyms(
+        self, groups: list[list[str]], limit: int = 10
+    ) -> list[tuple[int, float]]:
+        """SynonymQuery across the doc-sharded cluster. Exact: the
+        blended max-df idf comes from the GLOBAL dictionary every shard
+        holds (LocalShard.search_synonyms takes min over member idfs of
+        the corpus-wide table), and per-group tf sums are doc-local under
+        doc-hash sharding — so per-shard scoring + k-way top-k merge is
+        rank-identical to the single-shard (and Spark) plan."""
+        merged: list[tuple[int, float]] = []
+        for sh in self.shards:
+            merged.extend(sh.search_synonyms(groups, limit))
+        merged.sort(key=lambda e: (-e[1], e[0]))
+        return merged[:limit]
+
     def query_struct(self, q, limit: int = 10) -> list[tuple[int, float]]:
         """Structured (Lucene-subset) query across the doc-sharded
         cluster: every clause type is doc-local under doc-hash sharding —

@@ -673,3 +673,16 @@ def test_stream_percolate_matches_batch(spark, tmp_path):
     assert got == want
     assert (10, 1) in got and (10, 4) in got and (11, 2) in got
     assert all(d != 3 for _, d in got)
+
+
+def test_cluster_synonym_twin_rank_identical(index):
+    from coderag_spark.operators.serve import LocalCluster, LocalShard
+
+    groups = [["user"], ["database", "db"], ["query", "search"]]
+    single = LocalShard.from_index(index).search_synonyms(groups, limit=10)
+    cluster = LocalCluster.from_index(index, n_shards=4).search_synonyms(
+        groups, limit=10
+    )
+    assert [(d, round(s, 9)) for d, s in cluster] == [
+        (d, round(s, 9)) for d, s in single
+    ]
