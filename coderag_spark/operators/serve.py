@@ -998,6 +998,31 @@ class LocalCluster:
             total += sh.attach_positions(part, max_bytes=max_bytes)
         return total
 
+    def phrase(self, terms: list[str], limit: int = 10) -> list[tuple[int, int]]:
+        """Exact-phrase top-k across the doc-sharded cluster. Exact:
+        phrase hits are doc-local (a doc's positions all live in its own
+        shard after ``attach_positions``), so per-shard phrase + k-way
+        (hits desc, doc asc) merge is identical to the single shard."""
+        merged: list[tuple[int, int]] = []
+        for sh in self.shards:
+            merged.extend(sh.phrase(terms, limit))
+        merged.sort(key=lambda e: (-e[1], e[0]))
+        return merged[:limit]
+
+    def span_near(
+        self, terms: list[str], slop: int, ordered: bool = False
+    ) -> list[tuple[int, int]]:
+        """N-term SpanNear across the doc-sharded cluster: the minimal
+        covering window is computed per doc, so the fan-in is a plain
+        doc_id-ordered merge of disjoint per-shard results (span_near
+        returns every qualifying doc, not a top-k, so no result can be
+        cut off by a per-shard limit)."""
+        merged: list[tuple[int, int]] = []
+        for sh in self.shards:
+            merged.extend(sh.span_near(terms, slop, ordered=ordered))
+        merged.sort(key=lambda e: e[0])
+        return merged
+
     def apply_delta(self, index: Index, delta, **kw) -> int:
         """Cluster-wide incremental refresh: every doc-shard recompacts
         only ITS slice of the affected terms' postings (same doc-hash

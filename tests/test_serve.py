@@ -247,3 +247,39 @@ def test_shard_phrase_serving_matches_spark_plan(spark, index):
     fresh = LocalShard.from_index(index)
     with pytest.raises(ValueError):
         fresh.phrase(["alpha"])
+
+
+def test_cluster_phrase_and_span_near_twin_identical(spark, index):
+    """Doc-sharded LocalCluster.phrase / span_near == single shard: both
+    ops are doc-local, so sharding the position store by the postings'
+    doc hash and merging per-shard results must be exact."""
+    from coderag_spark.operators import positional as px
+    from coderag_spark.operators.serve import LocalCluster, LocalShard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta alpha beta gamma"),
+            (3, "alpha gamma beta"),
+            (4, "alpha beta"),
+            (5, "gamma gamma alpha zeta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    compressed = px.compress_positional(px.positional_postings(docs))
+    single = LocalShard.from_index(index)
+    single.attach_positions(compressed)
+    cluster = LocalCluster.from_index(index, n_shards=3)
+    held = cluster.attach_positions(compressed)
+    assert held > 0
+    for terms in (["alpha", "beta"], ["alpha", "beta", "gamma"], ["alpha"]):
+        assert cluster.phrase(terms, limit=10) == single.phrase(terms, limit=10)
+    assert cluster.phrase(["alpha", "zz"], limit=10) == []
+    for terms, slop, ordered in (
+        (["alpha", "beta"], 0, False),
+        (["alpha", "gamma"], 3, False),
+        (["gamma", "alpha", "beta"], 2, True),
+    ):
+        assert cluster.span_near(terms, slop, ordered=ordered) == single.span_near(
+            terms, slop, ordered=ordered
+        ), (terms, slop, ordered)
