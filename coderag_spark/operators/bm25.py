@@ -863,6 +863,179 @@ def bm25f_search(
     return ordered if limit is None else ordered.limit(limit)
 
 
+def dismax_search(
+    field_tokens: DataFrame,
+    terms: list[str],
+    tie_breaker: float = 0.3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    limit: int | None = 10,
+) -> DataFrame:
+    """DisjunctionMaxQuery over per-field BM25 sub-queries (Lucene
+    DisjunctionMaxQuery, ES ``dis_max`` / multi_match type=best_fields).
+
+    ``field_tokens`` is (doc_id, field, toks) like bm25f_search, but the
+    combination differs: each field is scored as an INDEPENDENT BM25
+    query with its OWN statistics (per-field df/idf, per-field length
+    norm — Lucene keeps term stats per field), then per doc
+
+        score = max_f s_f + tie_breaker * (sum_f s_f - max_f s_f)
+
+    i.e. the best field wins and the others contribute only through the
+    tie_breaker — the right semantics when fields are alternative
+    phrasings of the same content (title vs body), where most_fields/
+    BM25F would double-count. tie_breaker=0 is pure max, 1.0 degenerates
+    to a plain sum.
+
+    Scale shape: identical to bm25f_search — the explode is filtered to
+    the query terms before the (doc, field, term) partial-agg shuffle,
+    per-field stats and idf frames are broadcast, the max/sum fold is one
+    more map-side expression over the (doc, field) rows, and the top-k is
+    TakeOrderedAndProject. One real shuffle end-to-end.
+    """
+    if not terms:
+        raise ValueError("dismax_search needs at least one query term")
+    ft = field_tokens.select("doc_id", "field", "toks")
+    flen = ft.select("doc_id", "field", F.size("toks").alias("flen"))
+    avgl = flen.groupBy("field").agg(F.avg("flen").alias("avgl"))
+    nd = ft.groupBy("field").agg(F.count_distinct("doc_id").alias("n_docs"))
+    tf = (
+        ft.select("doc_id", "field", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "field", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("field", "term")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(nd), "field")
+        .select(
+            "field", "term",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(flen, ["doc_id", "field"])
+        .join(F.broadcast(avgl), "field")
+        .join(F.broadcast(idf), ["field", "term"])
+        .select(
+            "doc_id", "field",
+            (
+                F.col("idf") * (F.col("tf") * (float(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + float(k1)
+                    * (1.0 - float(b) + (float(b) * F.col("flen")) / F.col("avgl"))
+                )
+            ).alias("c"),
+        )
+        .groupBy("doc_id", "field")
+        .agg(F.sum("c").alias("fscore"))
+    )
+    tie = float(tie_breaker)
+    scored = contrib.groupBy("doc_id").agg(
+        (
+            F.max("fscore") * (1.0 - tie) + F.sum("fscore") * tie
+        ).alias("score"),
+        F.count("*").cast("long").alias("matched_fields"),
+    )
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ordered if limit is None else ordered.limit(limit)
+
+
+def explain_search(
+    index: Index,
+    query: str,
+    limit: int = 10,
+    analyzer=code_analyze,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene's IndexSearcher.explain for the top-``limit`` docs: one row
+    per (doc, matched term) with every input to the BM25 formula — raw
+    term frequency, document length, df, idf, and the term's score
+    contribution — plus the doc's total score and rank. The debugging
+    surface behind every "why is this result first?" question.
+
+    Scale shape: the top-k doc set (<= limit rows) is computed by the
+    normal search plan and broadcast back onto the query-term posting
+    slice — the per-term breakdown touches only limit x |terms| rows, so
+    explain costs one extra broadcast semi-join over the search itself,
+    never a second corpus scan.
+    """
+    terms = dedupe_query_tokens(query, analyzer)
+    if not terms:
+        raise ValueError("explain_search needs at least one query term")
+    top = (
+        score_terms(index, terms, k1=k1, b=b)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(limit)
+        .select("doc_id", F.col("score").alias("total_score"))
+    )
+    cand = index.postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(top), "doc_id"
+    )
+    dct = index.dictionary.filter(F.col("term").isin(terms)).select(
+        "term", "df", "idf"
+    )
+    per_term = bm25_term_score(
+        F.col("raw_freq"), F.col("idf"), F.col("token_count"), index.stats.avgdl, k1, b
+    )
+    return (
+        cand.join(F.broadcast(dct), "term", "left")
+        .select(
+            "doc_id",
+            "term",
+            F.col("raw_freq").cast("long").alias("tf"),
+            F.col("token_count").cast("long").alias("doc_len"),
+            F.coalesce(F.col("df"), F.lit(0)).cast("long").alias("df"),
+            F.round(F.coalesce(F.col("idf"), F.lit(1.0)), 6).alias("idf"),
+            F.round(per_term, 6).alias("contribution"),
+            F.round(F.col("total_score"), 6).alias("total_score"),
+        )
+        .orderBy(F.desc("total_score"), F.asc("doc_id"), F.asc("term"))
+    )
+
+
+def join_to_parent(
+    child_scores: DataFrame,
+    child_parent: DataFrame,
+    parent_col: str,
+    score_mode: str = "max",
+    limit: int | None = 10,
+) -> DataFrame:
+    """Lucene ToParentBlockJoinQuery / ES has_child scoring: fold scored
+    child docs up to their parent entity and rank parents.
+
+    ``child_scores`` is (doc_id, score); ``child_parent`` maps doc_id ->
+    ``parent_col``. score_mode: 'max' | 'sum' | 'avg' | 'none' (matching
+    Lucene's ScoreMode; 'none' ranks by matching-child count). Returns
+    (parent, score, n_children) ordered (score desc, parent asc).
+
+    Scale shape: one groupBy(parent) over the already-scored child set —
+    the child scoring plan keeps its single shuffle, the parent fold adds
+    one more partial-agg shuffle on the parent key (far smaller: only
+    matching children survive), then TakeOrderedAndProject.
+    """
+    modes = {
+        "max": F.max("score"),
+        "sum": F.sum("score"),
+        "avg": F.avg("score"),
+        "none": F.count("*").cast("double"),
+    }
+    if score_mode not in modes:
+        raise ValueError(f"score_mode must be one of {sorted(modes)}")
+    joined = child_scores.join(
+        child_parent.select("doc_id", F.col(parent_col).alias("parent")), "doc_id"
+    )
+    out = joined.groupBy("parent").agg(
+        modes[score_mode].alias("score"),
+        F.count("*").cast("long").alias("n_children"),
+    )
+    ordered = out.orderBy(F.desc("score"), F.asc("parent"))
+    return ordered if limit is None else ordered.limit(limit)
+
+
 def significant_terms(
     index: Index,
     query: str,

@@ -961,6 +961,280 @@ SELECT doc_id, fscore FROM boosted ORDER BY 2 DESC, 1 ASC LIMIT {k}
 """
 
 
+# Lucene DisjunctionMaxQuery over the same title/body decomposition as
+# BM25F: each field scored as an independent BM25 query (own df/idf and
+# length norms), best field wins, the other contributes only through the
+# tie breaker. ES dis_max / multi_match type=best_fields.
+DISMAX_TIE = 0.3
+BM25F_LEAD = 8
+BM25F_W = {"title": 2.0, "body": 1.0}
+
+
+def _field_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, field, toks): lead-window 'title' + remainder 'body' —
+    shared by bm25f (most_fields) and dismax (best_fields)."""
+    tok = _tokdocs(spark, sf_dir)
+    return tok.select(
+        "doc_id", F.lit("title").alias("field"),
+        F.slice("toks", 1, BM25F_LEAD).alias("toks"),
+    ).unionByName(
+        tok.select(
+            "doc_id", F.lit("body").alias("field"),
+            F.expr(
+                f"slice(toks, {BM25F_LEAD + 1}, greatest(size(toks) - {BM25F_LEAD}, 0))"
+            ).alias("toks"),
+        )
+    )
+
+
+def q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coderag_spark.operators.bm25 import dismax_search
+
+    out = dismax_search(
+        _field_tokens(spark, sf_dir), query_terms(BM25_QUERY_MULTI),
+        tie_breaker=DISMAX_TIE, limit=None,
+    )
+    return (
+        out.select(
+            "doc_id", F.round("score", 6).alias("score"), "matched_fields"
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_FIELD_TOKENS = f"""
+tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+ft AS (
+  SELECT doc_id, 'title' AS field, list_slice(toks, 1, {BM25F_LEAD}) AS toks FROM tok
+  UNION ALL
+  SELECT doc_id, 'body', list_slice(toks, {BM25F_LEAD + 1}, len(toks)) FROM tok
+)"""
+
+
+def _sql_dismax(terms: list[str], tie: float, k: int) -> str:
+    return f"""
+WITH {SQL_FIELD_TOKENS},
+flen AS (SELECT doc_id, field, len(toks) AS flen FROM ft),
+avgl AS (SELECT field, avg(flen)::DOUBLE AS avgl FROM flen GROUP BY field),
+nd AS (SELECT field, count(DISTINCT doc_id) AS n_docs FROM ft GROUP BY field),
+qt AS ({_terms_sql(terms)}),
+tf AS (
+  SELECT doc_id, field, term, count(*) AS tf
+  FROM (SELECT doc_id, field, unnest(toks) AS term FROM ft)
+  JOIN qt USING (term)
+  GROUP BY 1, 2, 3
+),
+idf AS (
+  SELECT field, term, ln((n.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM tf JOIN nd n USING (field) GROUP BY field, term, n.n_docs
+),
+fs AS (
+  SELECT tf.doc_id, tf.field,
+         sum(i.idf * (tf.tf * {BM25_K1 + 1.0}) /
+             (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * fl.flen) / a.avgl))
+            ) AS fscore
+  FROM tf
+  JOIN flen fl ON fl.doc_id = tf.doc_id AND fl.field = tf.field
+  JOIN avgl a ON a.field = tf.field
+  JOIN idf i ON i.field = tf.field AND i.term = tf.term
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id,
+         max(fscore) * (1.0 - {tie!r}::DOUBLE) + sum(fscore) * {tie!r}::DOUBLE AS score_raw,
+         count(*) AS matched_fields
+  FROM fs GROUP BY doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score, matched_fields::BIGINT AS matched_fields
+FROM scored ORDER BY 2 DESC, 1 ASC LIMIT {k}
+"""
+
+
+# Lucene IndexSearcher.explain: per-(doc, term) score breakdown for the
+# top-k docs — tf, doc length, df, idf, contribution, total.
+EXPLAIN_K = 5
+
+
+def q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-breakdown API (bm25.explain_search's shape over the suite's
+    document postings): the top-k doc set (<= k rows) is broadcast back
+    onto the query-term posting slice, so the breakdown adds one
+    broadcast semi-join to the search plan — never a second corpus
+    scan."""
+    terms = query_terms(BM25_QUERY_MULTI)
+    top = _bm25(spark, sf_dir, terms, EXPLAIN_K).select(
+        "doc_id", F.col("score").alias("total_score")
+    )
+    tok = _tokdocs(spark, sf_dir)
+    stats = tok.agg(
+        F.count("*").alias("n_docs"),
+        F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl"),
+    )
+    post = _doc_postings(spark, sf_dir).filter(F.col("term").isin(terms))
+    idf = (
+        post.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term", "df",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    dl = tok.select("doc_id", F.size("toks").alias("token_count"))
+    contribution = F.col("idf") * (
+        F.col("raw_freq") * (BM25_K1 + 1.0)
+    ) / (
+        F.col("raw_freq")
+        + BM25_K1 * (1.0 - BM25_B + (BM25_B * F.col("token_count")) / F.col("avgdl"))
+    )
+    return (
+        post.join(F.broadcast(top), "doc_id")
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id", "term",
+            F.col("raw_freq").cast("long").alias("tf"),
+            F.col("token_count").cast("long").alias("doc_len"),
+            F.col("df").cast("long").alias("df"),
+            F.round("idf", 6).alias("idf"),
+            F.round(contribution, 6).alias("contribution"),
+            "total_score",
+        )
+        .orderBy(F.desc("total_score"), F.asc("doc_id"), F.asc("term"))
+    )
+
+
+def _sql_explain(terms: list[str], k: int) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+stats AS (SELECT count(*) AS n_docs, greatest(avg(len(toks) * 1.0), 1.0) AS avgdl FROM tok),
+post AS (
+  SELECT doc_id, term, count(*) AS raw_freq
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+qt AS ({_terms_sql(terms)}),
+idf AS (
+  SELECT term, count(*) AS df, ln((s.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM post JOIN qt USING (term), stats s
+  GROUP BY term, s.n_docs
+),
+dl AS (SELECT doc_id, len(toks) AS token_count FROM tok),
+scored AS (
+  SELECT p.doc_id,
+         sum(i.idf * (p.raw_freq * {BM25_K1 + 1.0}) /
+             (p.raw_freq + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * d.token_count) / s.avgdl))
+            ) AS score_raw
+  FROM post p JOIN qt USING (term) JOIN idf i USING (term)
+       JOIN dl d ON d.doc_id = p.doc_id, stats s
+  GROUP BY p.doc_id
+),
+top AS (
+  SELECT doc_id, round(score_raw, 6) AS total_score FROM scored
+  ORDER BY 2 DESC, 1 ASC LIMIT {k}
+)
+SELECT p.doc_id, p.term, p.raw_freq::BIGINT AS tf, d.token_count::BIGINT AS doc_len,
+       i.df::BIGINT AS df, round(i.idf, 6) AS idf,
+       round(i.idf * (p.raw_freq * {BM25_K1 + 1.0}) /
+             (p.raw_freq + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * d.token_count) / s.avgdl)),
+             6) AS contribution,
+       t.total_score
+FROM post p JOIN qt USING (term) JOIN top t USING (doc_id)
+     JOIN idf i USING (term) JOIN dl d ON d.doc_id = p.doc_id, stats s
+ORDER BY t.total_score DESC, p.doc_id ASC, p.term ASC
+"""
+
+
+# ES field collapsing: one best hit per `source`, ranked by that best
+# hit's score, with the collapsed (inner) hit count per group.
+COLLAPSE_K = 10
+
+
+def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collapse-by-field over the scored OR-retrieval set: a per-source
+    row_number window picks the best hit (score desc, doc_id asc — the
+    search order), a per-source count carries inner_hits, global top-k by
+    the group's best score. One extra shuffle on the collapse key over
+    the scored subset (only docs matching >= 1 term survive scoring);
+    the window and the count share that single partitioning."""
+    from pyspark.sql.window import Window
+
+    scored = _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), k=None)
+    docs = _documents(spark, sf_dir).select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.select(
+            "source", "doc_id", "score",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("source")).cast("long").alias("inner_hits"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("doc_id").alias("best_doc"),
+            F.col("score").alias("best_score"),
+            "inner_hits",
+        )
+        .orderBy(F.desc("best_score"), F.asc("source"))
+        .limit(COLLAPSE_K)
+    )
+
+
+def _sql_collapse(terms: list[str], k: int) -> str:
+    base = _sql_bm25(terms, None)
+    return f"""
+WITH scored AS ({base}),
+grouped AS (
+  SELECT d.source, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY d.source) AS inner_hits
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id AS best_doc, score AS best_score, inner_hits::BIGINT AS inner_hits
+FROM grouped WHERE rn = 1
+ORDER BY best_score DESC, source ASC LIMIT {k}
+"""
+
+
+# Lucene ToParentBlockJoinQuery / ES has_child: fold scored child docs up
+# to their `source` parent, score_mode=avg.
+BLOCKJOIN_K = 10
+
+
+def q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coderag_spark.operators.bm25 import join_to_parent
+
+    scored = _bm25(spark, sf_dir, query_terms(BM25_QUERY_MULTI), k=None)
+    docs = _documents(spark, sf_dir).select("doc_id", "source")
+    out = join_to_parent(scored, docs, "source", score_mode="avg", limit=None)
+    return (
+        out.select(
+            "parent",
+            # sum at 4dp, not the avg at 6 (same boundary-flip hazard as
+            # search_facets: re-rounding a mean of rounded doubles)
+            F.round(F.col("score") * F.col("n_children"), 4).alias("sum_score"),
+            "n_children",
+        )
+        .orderBy(F.desc("sum_score"), F.asc("parent"))
+        .limit(BLOCKJOIN_K)
+    )
+
+
+def _sql_block_join(terms: list[str], k: int) -> str:
+    base = _sql_bm25(terms, None)
+    return f"""
+WITH scored AS ({base})
+SELECT d.source AS parent,
+       round(avg(s.score) * count(*), 4) AS sum_score,
+       count(*)::BIGINT AS n_children
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY 2 DESC, 1 ASC LIMIT {k}
+"""
+
+
 # Percolator: registered queries matched against the whole corpus.
 # (query_id, terms, min_match): min_match = len(terms) is a conjunction,
 # 1 is plain OR; q4 pins the rare-term path (df('dup') ~ 0.4% of docs).
@@ -1286,13 +1560,10 @@ def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25(spark, sf_dir, query_terms(BM25_QUERY_LONG), 20, min_match=3)
 
 
-# BM25F fields: the synthetic docs are single-line, so the decomposition
-# is a lead window (first LEAD tokens ~ the title/anchor field web
-# engines boost) vs the remainder. Weighted title 2x, shared b.
-BM25F_LEAD = 8
-BM25F_W = {"title": 2.0, "body": 1.0}
-
-
+# BM25F fields (BM25F_LEAD/BM25F_W defined above _field_tokens): the
+# synthetic docs are single-line, so the decomposition is a lead window
+# (first LEAD tokens ~ the title/anchor field web engines boost) vs the
+# remainder. Weighted title 2x, shared b.
 def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F multi-field ranking (bm25.bm25f_search): lead-window 'title'
     field boosted 2x over 'body', field-normalized pseudo-tf saturating
@@ -1300,17 +1571,10 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     most_fields semantics over the documents corpus."""
     from coderag_spark.operators.bm25 import bm25f_search
 
-    tok = _tokdocs(spark, sf_dir)
-    ft = tok.select(
-        "doc_id", F.lit("title").alias("field"),
-        F.slice("toks", 1, BM25F_LEAD).alias("toks"),
-    ).unionByName(
-        tok.select(
-            "doc_id", F.lit("body").alias("field"),
-            F.expr(f"slice(toks, {BM25F_LEAD + 1}, greatest(size(toks) - {BM25F_LEAD}, 0))").alias("toks"),
-        )
+    out = bm25f_search(
+        _field_tokens(spark, sf_dir), query_terms(BM25_QUERY_MULTI), BM25F_W,
+        limit=None,
     )
-    out = bm25f_search(ft, query_terms(BM25_QUERY_MULTI), BM25F_W, limit=None)
     return (
         out.select(
             "doc_id",
@@ -3894,6 +4158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "synonym_topk": q_synonym_topk,
         "function_score": q_function_score,
+        "dismax": q_dismax,
+        "explain": q_explain,
+        "collapse": q_collapse,
+        "block_join": q_block_join,
         "percolate": q_percolate,
         "complete": q_complete,
         "rescore": q_rescore,
@@ -3998,6 +4266,10 @@ def oracle_sql() -> dict[str, str]:
         "highlight": _sql_highlight(query_terms(BM25_QUERY_MULTI), HL_WIDTH),
         "synonym_topk": _sql_synonym(SYNONYM_GROUPS, 10),
         "function_score": _sql_function_score(query_terms(BM25_QUERY_MULTI), 10),
+        "dismax": _sql_dismax(query_terms(BM25_QUERY_MULTI), DISMAX_TIE, 10),
+        "explain": _sql_explain(query_terms(BM25_QUERY_MULTI), EXPLAIN_K),
+        "collapse": _sql_collapse(query_terms(BM25_QUERY_MULTI), COLLAPSE_K),
+        "block_join": _sql_block_join(query_terms(BM25_QUERY_MULTI), BLOCKJOIN_K),
         "percolate": _sql_percolate(),
         "complete": _sql_complete(COMPLETE_PREFIX, 10),
         "rescore": _sql_rescore(query_terms(BM25_QUERY_MULTI), PHRASE_2),

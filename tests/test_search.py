@@ -686,3 +686,111 @@ def test_cluster_synonym_twin_rank_identical(index):
     assert [(d, round(s, 9)) for d, s in cluster] == [
         (d, round(s, 9)) for d, s in single
     ]
+
+
+# ------------------------------------------- DisMax / explain / block-join
+
+
+def test_dismax_is_max_plus_tiebreak_of_per_field_scores(spark):
+    """dismax == max_f s_f + tie * (sum - max), where s_f is the field's
+    INDEPENDENT BM25 score. All statistics are per-field, so slicing the
+    input frame to one field reproduces that field's scores exactly —
+    which makes the identity directly checkable."""
+    from coderag_spark.operators.bm25 import dismax_search
+
+    rows = [
+        (1, "title", ["auth", "x"]), (1, "body", ["auth", "pad", "pad"]),
+        (2, "title", ["pad", "x"]), (2, "body", ["auth", "pad", "auth"]),
+        (3, "title", ["auth", "auth"]), (3, "body", ["pad", "pad", "pad"]),
+    ]
+    ft = _ft(spark, rows)
+    per_field = {}
+    for fld in ("title", "body"):
+        one = _ft(spark, [r for r in rows if r[1] == fld])
+        for r in dismax_search(one, ["auth"], tie_breaker=0.0, limit=None).collect():
+            per_field.setdefault(r["doc_id"], {})[fld] = r["score"]
+    for tie in (0.0, 0.3, 1.0):
+        got = {
+            r["doc_id"]: r["score"]
+            for r in dismax_search(ft, ["auth"], tie_breaker=tie, limit=None).collect()
+        }
+        for doc, fs in per_field.items():
+            vals = list(fs.values())
+            want = max(vals) + tie * (sum(vals) - max(vals))
+            assert abs(got[doc] - want) < 1e-9, (doc, tie, got[doc], want)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dismax_search(ft, [], tie_breaker=0.3)
+
+
+def test_dismax_best_fields_vs_most_fields(spark):
+    """The best_fields-vs-most_fields distinction: with tie=0 a doc
+    matching in BOTH fields scores no more than its best single field,
+    while a plain sum (tie=1) rewards the duplicate evidence."""
+    from coderag_spark.operators.bm25 import dismax_search
+
+    ft = _ft(spark, [
+        (1, "title", ["auth", "x"]), (1, "body", ["auth", "pad"]),
+        (2, "title", ["pad", "x"]), (2, "body", ["pad", "pad"]),
+    ])
+    s0 = dismax_search(ft, ["auth"], tie_breaker=0.0).collect()[0]["score"]
+    s1 = dismax_search(ft, ["auth"], tie_breaker=1.0).collect()[0]["score"]
+    assert s1 > s0  # the second field contributes only through the tie
+
+
+def test_explain_search_breakdown_consistent(spark, index):
+    """explain rows must reconstruct the search: contributions sum to the
+    doc's total score, df/idf agree with the dictionary, and the doc set
+    is exactly the top-k of search()."""
+    from coderag_spark.operators.bm25 import explain_search, search
+
+    q = "authenticate user"
+    top = search(index, q, limit=3).collect()
+    ex = explain_search(index, q, limit=3).collect()
+    assert {r["doc_id"] for r in ex} == {r["doc_id"] for r in top}
+    by_doc: dict = {}
+    for r in ex:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    dct = {r["term"]: (r["df"], r["idf"]) for r in index.dictionary.collect()}
+    for t in top:
+        rows = by_doc[t["doc_id"]]
+        assert abs(sum(r["contribution"] for r in rows) - rows[0]["total_score"]) < 1e-4
+        assert abs(rows[0]["total_score"] - t["score"]) < 1e-6
+        for r in rows:
+            assert r["df"] == dct[r["term"]][0]
+            assert abs(r["idf"] - dct[r["term"]][1]) < 1e-6
+            assert r["tf"] >= 1 and r["doc_len"] >= 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        explain_search(index, "")
+
+
+def test_join_to_parent_score_modes(spark):
+    from coderag_spark.operators.bm25 import join_to_parent
+
+    scores = spark.createDataFrame(
+        [(1, 4.0), (2, 2.0), (3, 1.0), (4, 5.0)], "doc_id long, score double"
+    )
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")],
+        "doc_id long, src string",
+    )
+    def run(mode):
+        return {
+            r["parent"]: (r["score"], r["n_children"])
+            for r in join_to_parent(scores, parents, "src", mode, limit=None).collect()
+        }
+
+    assert run("max") == {"a": (4.0, 2), "b": (5.0, 2)}
+    assert run("sum") == {"a": (6.0, 2), "b": (6.0, 2)}
+    assert run("avg") == {"a": (3.0, 2), "b": (3.0, 2)}
+    assert run("none") == {"a": (2.0, 2), "b": (2.0, 2)}
+    # ordering: score desc, parent asc (tie on sum -> 'a' first)
+    rows = join_to_parent(scores, parents, "src", "sum", limit=1).collect()
+    assert rows[0]["parent"] == "a"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        join_to_parent(scores, parents, "src", "median")
