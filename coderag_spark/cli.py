@@ -276,7 +276,30 @@ def _cmd_query(args) -> int:
         }
         out.append(item)
     terms = dedupe_query_tokens(args.query) if args.mode == "keyword" else [args.query]
-    print(json.dumps({"query": args.query, "terms": terms, "results": out}))
+    payload = {"query": args.query, "terms": terms, "results": out}
+    if getattr(args, "explain", False):
+        # IndexSearcher.explain surface: per-(doc, term) BM25 breakdown for
+        # the printed hits — shard-served when --local, one extra broadcast
+        # semi-join over the search plan otherwise (bm25.explain_search)
+        if args.mode != "keyword" or args.hybrid or args.synonyms:
+            print(json.dumps({"error": "--explain needs plain keyword mode"}))
+            return 2
+        if args.local:
+            ex = shard.explain(args.query, limit=args.limit)
+            payload["explain"] = [
+                {**r, "idf": round(r["idf"], 6),
+                 "contribution": round(r["contribution"], 6),
+                 "total_score": round(r["total_score"], 6)}
+                for r in ex
+            ]
+        else:
+            from coderag_spark.operators.bm25 import explain_search
+
+            payload["explain"] = [
+                r.asDict()
+                for r in explain_search(idx, args.query, limit=args.limit).collect()
+            ]
+    print(json.dumps(payload))
     if args.include_content and rows:
         _print_snippets(spark, args, rows)
     return 0
@@ -554,6 +577,10 @@ def main(argv: list[str] | None = None) -> int:
         help="minimumNumberShouldMatch: docs must match >= N distinct query terms",
     )
     q.add_argument("--local", action="store_true", help="serve from an in-process shard")
+    q.add_argument(
+        "--explain", action="store_true",
+        help="add the per-(doc, term) BM25 score breakdown (keyword mode)",
+    )
     q.add_argument("--hybrid", action="store_true", help="vector+BM25 fusion (needs --with-vectors build)")
     q.add_argument("--vector-weight", type=float, default=0.7)
     q.add_argument("--corpus", default=None, help="corpus parquet (for --include-content)")

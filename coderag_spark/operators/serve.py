@@ -495,6 +495,54 @@ class LocalShard:
         """Batch serving surface: one result list per query."""
         return [self.search(q, limit, analyzer) for q in queries]
 
+    def explain(
+        self, query: str, limit: int = 10, analyzer=code_analyze
+    ) -> list[dict]:
+        """Lucene ``IndexSearcher.explain`` served in-process: per-(doc,
+        matched term) BM25 breakdown for the top-``limit`` docs — dicts
+        of (doc_id, term, tf, doc_len, df, idf, contribution,
+        total_score) in (total desc, doc asc, term asc) order,
+        value-identical to ``bm25.explain_search`` over the same index
+        (pinned by tests/test_serve.py). ``df`` is recovered by
+        inverting the stored smoothed idf (exact integer round-trip of
+        ln((N+1)/(df+1))+1), so the shard carries no extra state and a
+        doc-sharded cluster — whose per-shard lists are 1/N long but
+        whose idf map is the GLOBAL dictionary — still reports
+        corpus-wide df. Cost: the search itself plus an isin mask over
+        each query term's already-decoded arrays."""
+        import math
+
+        top = self.search(query, limit, analyzer)
+        if not top:
+            return []
+        totals = dict(top)
+        ids = np.fromiter(totals.keys(), dtype=np.int64)
+        rows: list[dict] = []
+        for t in dedupe_query_tokens(query, analyzer):
+            s = self._decode(t)
+            if s is None:
+                continue
+            _, tfs, dls = s.raw  # type: ignore[misc]
+            darr = s.docs
+            idf = float(self.idf.get(t, 1.0))
+            df = int(round((self.n_docs + 1.0) / math.exp(idf - 1.0) - 1.0))
+            for i in np.flatnonzero(np.isin(darr, ids)):
+                d = int(darr[i])
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "term": t,
+                        "tf": int(tfs[i]),
+                        "doc_len": int(dls[i]),
+                        "df": df,
+                        "idf": idf,
+                        "contribution": float(s.scores[i]),  # type: ignore[index]
+                        "total_score": totals[d],
+                    }
+                )
+        rows.sort(key=lambda r: (-r["total_score"], r["doc_id"], r["term"]))
+        return rows
+
     def search_synonyms(
         self,
         groups: list[list[str]],
@@ -967,6 +1015,27 @@ class LocalCluster:
             merged.extend(sh.search_synonyms(groups, limit))
         merged.sort(key=lambda e: (-e[1], e[0]))
         return merged[:limit]
+
+    def explain(
+        self, query: str, limit: int = 10, analyzer=code_analyze
+    ) -> list[dict]:
+        """Score breakdown across the doc-sharded cluster. Exact: each
+        global-top doc ranks at least as high inside its own shard (a
+        shard's candidate set is a subset of the cluster's), so the
+        per-shard top-``limit`` explain is guaranteed to cover every
+        globally-kept doc; the fan-in filters to the merged top set and
+        re-sorts. df/idf in the rows are corpus-wide (global dictionary
+        on every shard), matching the single-shard and Spark plans."""
+        top = self.search(query, limit, analyzer)
+        keep = {d for d, _ in top}
+        rows = [
+            r
+            for sh in self.shards
+            for r in sh.explain(query, limit, analyzer)
+            if r["doc_id"] in keep
+        ]
+        rows.sort(key=lambda r: (-r["total_score"], r["doc_id"], r["term"]))
+        return rows
 
     def query_struct(self, q, limit: int = 10) -> list[tuple[int, float]]:
         """Structured (Lucene-subset) query across the doc-sharded

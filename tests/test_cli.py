@@ -360,3 +360,36 @@ def test_query_synonyms_spark_vs_local_identical(built, capsys):
     rc3, out3 = _run(capsys, base[:-2])
     assert rc3 == 0
     assert json.loads(out3[-1])["results"] != r1
+
+
+def test_query_explain_breakdown(built, capsys):
+    """--explain adds the per-(doc, term) BM25 breakdown, identical
+    (at 6dp) between the Spark plan and the --local shard path, and its
+    contributions sum to each doc's total score."""
+    _, index_path = built
+    base = ["--cores", "4", "query", "--index", index_path,
+            "--query", "authenticate user", "--limit", "5", "--explain"]
+    rc1, out1 = _run(capsys, base)
+    rc2, out2 = _run(capsys, base + ["--local"])
+    assert rc1 == 0 and rc2 == 0
+    out1, out2 = json.loads(out1[0]), json.loads(out2[0])
+    ex1, ex2 = out1["explain"], out2["explain"]
+    assert ex1 and len(ex1) == len(ex2)
+    for a, b in zip(ex1, ex2):
+        assert (a["doc_id"], a["term"], a["tf"], a["df"]) == (
+            b["doc_id"], b["term"], b["tf"], b["df"])
+        assert abs(a["contribution"] - b["contribution"]) < 1e-9
+    import collections
+
+    sums = collections.defaultdict(float)
+    totals = {}
+    for r in ex1:
+        sums[r["doc_id"]] += r["contribution"]
+        totals[r["doc_id"]] = r["total_score"]
+    for d, tot in totals.items():
+        assert abs(sums[d] - tot) < 1e-4
+    # breakdown docs == printed hits (same limit, same ranking)
+    assert len(totals) <= 5
+    rc3, out3 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                              "--query", "auth", "--mode", "prefix", "--explain"])
+    assert rc3 == 2 and "error" in json.loads(out3[-1])

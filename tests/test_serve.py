@@ -283,3 +283,58 @@ def test_cluster_phrase_and_span_near_twin_identical(spark, index):
         assert cluster.span_near(terms, slop, ordered=ordered) == single.span_near(
             terms, slop, ordered=ordered
         ), (terms, slop, ordered)
+
+
+# ----------------------------------------------------------- explain serving
+
+
+def test_shard_explain_matches_spark_explain(index, shard):
+    """LocalShard.explain must be VALUE-identical to bm25.explain_search:
+    same (doc, term) rows, same tf/doc_len/df, idf and contribution equal
+    at the Spark side's 6dp rounding, totals equal at 1e-9."""
+    from coderag_spark.operators.bm25 import explain_search
+
+    q = "user authentication"
+    spark_rows = explain_search(index, q, limit=5).collect()
+    assert spark_rows
+    got = shard.explain(q, limit=5)
+    assert len(got) == len(spark_rows)
+    for s, g in zip(spark_rows, got):
+        assert (s["doc_id"], s["term"]) == (g["doc_id"], g["term"])
+        assert (s["tf"], s["doc_len"], s["df"]) == (g["tf"], g["doc_len"], g["df"])
+        assert abs(s["idf"] - round(g["idf"], 6)) < 1e-12
+        assert abs(s["contribution"] - round(g["contribution"], 6)) < 1e-12
+        assert abs(s["total_score"] - g["total_score"]) < 1e-6
+
+
+def test_shard_explain_contributions_sum_to_total(shard):
+    rows = shard.explain("async function error", limit=4)
+    assert rows
+    import collections
+
+    by_doc = collections.defaultdict(float)
+    totals = {}
+    for r in rows:
+        by_doc[r["doc_id"]] += r["contribution"]
+        totals[r["doc_id"]] = r["total_score"]
+    for d, tot in totals.items():
+        assert abs(by_doc[d] - tot) < 1e-9
+    assert shard.explain("zzzz_no_such_term_zzzz") == []
+
+
+def test_cluster_explain_identical_to_single_shard(index, shard):
+    """Doc-sharded cluster explain == single shard explain, including the
+    corpus-wide df recovered from the global idf map (NOT the 1/N
+    shard-local posting length)."""
+    from coderag_spark.operators.serve import LocalCluster
+
+    cluster = LocalCluster.from_index(index, n_shards=3)
+    for q in ("user authentication", "DatabaseConnection", "handleRequest"):
+        a = shard.explain(q, limit=5)
+        b = cluster.explain(q, limit=5)
+        assert len(a) == len(b), q
+        for ra, rb in zip(a, b):
+            assert ra["doc_id"] == rb["doc_id"] and ra["term"] == rb["term"]
+            assert ra["df"] == rb["df"]  # global df on both paths
+            assert abs(ra["contribution"] - rb["contribution"]) < 1e-12
+            assert abs(ra["total_score"] - rb["total_score"]) < 1e-9
