@@ -943,6 +943,92 @@ def dismax_search(
     return ordered if limit is None else ordered.limit(limit)
 
 
+def cross_fields_search(
+    field_tokens: DataFrame,
+    terms: list[str],
+    tie_breaker: float = 0.0,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    limit: int | None = 10,
+) -> DataFrame:
+    """ES ``multi_match type=cross_fields`` / Lucene BlendedTermQuery —
+    the TERM-centric member of the multi_match trio (best_fields =
+    dismax_search, most_fields = bm25f_search).
+
+    cross_fields treats the fields as one logical field *per term*: a
+    term's document frequency is blended ACROSS fields (Lucene's
+    BlendedTermQuery takes the max df over the fields so a term common
+    in any one field is cheap everywhere — preventing the "rare in the
+    title, common in the body" idf imbalance that makes best_fields
+    misrank structured data like first/last name), then per term the
+    per-field scores — each computed with that shared blended idf but
+    the field's OWN length norm — combine dismax-style
+    (max + tie_breaker * rest, default pure max), and the query score is
+    the SUM over terms. With one field this degenerates to plain BM25.
+    n_docs for the idf smoothing is likewise the max per-field doc
+    count (the blended "virtual field" is as large as its largest
+    member).
+
+    Scale shape: same as dismax_search — term-filtered explode into one
+    (doc, field, term) partial-agg shuffle; the blended idf and
+    per-field stats frames are broadcast; the per-term max/sum fold and
+    the per-doc sum are one more partial-agg on doc_id; top-k is
+    TakeOrderedAndProject. One real data shuffle end-to-end.
+    """
+    if not terms:
+        raise ValueError("cross_fields_search needs at least one query term")
+    ft = field_tokens.select("doc_id", "field", "toks")
+    flen = ft.select("doc_id", "field", F.size("toks").alias("flen"))
+    avgl = flen.groupBy("field").agg(F.avg("flen").alias("avgl"))
+    n_blend = ft.groupBy("field").agg(
+        F.count_distinct("doc_id").alias("nd")
+    ).agg(F.max("nd").alias("n_docs"))
+    tf = (
+        ft.select("doc_id", "field", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "field", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # blended df: max over the per-field dfs (BlendedTermQuery.dismax)
+    idf = (
+        tf.groupBy("field", "term")
+        .agg(F.count("*").alias("df"))
+        .groupBy("term")
+        .agg(F.max("df").alias("df"))
+        .crossJoin(F.broadcast(n_blend))
+        .select(
+            "term",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    per_field = (
+        tf.join(flen, ["doc_id", "field"])
+        .join(F.broadcast(avgl), "field")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id", "term",
+            (
+                F.col("idf") * (F.col("tf") * (float(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + float(k1)
+                    * (1.0 - float(b) + (float(b) * F.col("flen")) / F.col("avgl"))
+                )
+            ).alias("s"),
+        )
+    )
+    tie = float(tie_breaker)
+    per_term = per_field.groupBy("doc_id", "term").agg(
+        (F.max("s") * (1.0 - tie) + F.sum("s") * tie).alias("ts")
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("ts").alias("score"),
+        F.count("*").cast("long").alias("matched_terms"),
+    )
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ordered if limit is None else ordered.limit(limit)
+
+
 def explain_search(
     index: Index,
     query: str,

@@ -1051,6 +1051,70 @@ FROM scored ORDER BY 2 DESC, 1 ASC LIMIT {k}
 """
 
 
+# ES multi_match type=cross_fields / Lucene BlendedTermQuery: term-centric
+# blending over the same title/body decomposition — per term the df is
+# blended (max across fields), per-field scores with that shared idf
+# combine by max (tie 0), and the doc score sums over terms. Completes
+# the multi_match trio (best_fields=dismax, most_fields=bm25f).
+def q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from coderag_spark.operators.bm25 import cross_fields_search
+
+    out = cross_fields_search(
+        _field_tokens(spark, sf_dir), query_terms(BM25_QUERY_MULTI),
+        tie_breaker=0.0, limit=None,
+    )
+    return (
+        out.select(
+            "doc_id", F.round("score", 6).alias("score"), "matched_terms"
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_cross_fields(terms: list[str], k: int) -> str:
+    return f"""
+WITH {SQL_FIELD_TOKENS},
+flen AS (SELECT doc_id, field, len(toks) AS flen FROM ft),
+avgl AS (SELECT field, avg(flen)::DOUBLE AS avgl FROM flen GROUP BY field),
+nb AS (
+  SELECT max(nd) AS n_docs
+  FROM (SELECT field, count(DISTINCT doc_id) AS nd FROM ft GROUP BY field)
+),
+qt AS ({_terms_sql(terms)}),
+tf AS (
+  SELECT doc_id, field, term, count(*) AS tf
+  FROM (SELECT doc_id, field, unnest(toks) AS term FROM ft)
+  JOIN qt USING (term)
+  GROUP BY 1, 2, 3
+),
+idf AS (
+  SELECT term, ln((nb.n_docs + 1.0) / (mx.max_df + 1.0)) + 1.0 AS idf
+  FROM (
+    SELECT term, max(df) AS max_df
+    FROM (SELECT field, term, count(*) AS df FROM tf GROUP BY 1, 2)
+    GROUP BY term
+  ) mx, nb
+),
+pf AS (
+  SELECT tf.doc_id, tf.term,
+         i.idf * (tf.tf * {BM25_K1 + 1.0}) /
+         (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + ({BM25_B} * fl.flen) / a.avgl)) AS s
+  FROM tf
+  JOIN flen fl ON fl.doc_id = tf.doc_id AND fl.field = tf.field
+  JOIN avgl a ON a.field = tf.field
+  JOIN idf i ON i.term = tf.term
+),
+pt AS (SELECT doc_id, term, max(s) AS ts FROM pf GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, sum(ts) AS score_raw, count(*) AS matched_terms
+  FROM pt GROUP BY doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score, matched_terms::BIGINT AS matched_terms
+FROM scored ORDER BY 2 DESC, 1 ASC LIMIT {k}
+"""
+
+
 # Lucene IndexSearcher.explain: per-(doc, term) score breakdown for the
 # top-k docs — tf, doc length, df, idf, contribution, total.
 EXPLAIN_K = 5
@@ -4159,6 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_topk": q_synonym_topk,
         "function_score": q_function_score,
         "dismax": q_dismax,
+        "cross_fields": q_cross_fields,
         "explain": q_explain,
         "collapse": q_collapse,
         "block_join": q_block_join,
@@ -4267,6 +4332,7 @@ def oracle_sql() -> dict[str, str]:
         "synonym_topk": _sql_synonym(SYNONYM_GROUPS, 10),
         "function_score": _sql_function_score(query_terms(BM25_QUERY_MULTI), 10),
         "dismax": _sql_dismax(query_terms(BM25_QUERY_MULTI), DISMAX_TIE, 10),
+        "cross_fields": _sql_cross_fields(query_terms(BM25_QUERY_MULTI), 10),
         "explain": _sql_explain(query_terms(BM25_QUERY_MULTI), EXPLAIN_K),
         "collapse": _sql_collapse(query_terms(BM25_QUERY_MULTI), COLLAPSE_K),
         "block_join": _sql_block_join(query_terms(BM25_QUERY_MULTI), BLOCKJOIN_K),

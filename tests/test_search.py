@@ -794,3 +794,86 @@ def test_join_to_parent_score_modes(spark):
 
     with _pt.raises(ValueError):
         join_to_parent(scores, parents, "src", "median")
+
+
+# --------------------------------------------------------- cross_fields
+
+
+def test_cross_fields_single_field_equals_dismax(spark):
+    """With one field the blended df IS that field's df, so cross_fields
+    degenerates to plain per-field BM25 — i.e. dismax over one field."""
+    from coderag_spark.operators.bm25 import cross_fields_search, dismax_search
+
+    rows = [
+        (1, "body", ["auth", "pad", "auth"]),
+        (2, "body", ["pad", "auth"]),
+        (3, "body", ["pad", "pad", "pad", "pad"]),
+    ]
+    ft = _ft(spark, rows)
+    a = {r["doc_id"]: r["score"]
+         for r in cross_fields_search(ft, ["auth", "pad"], limit=None).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in dismax_search(ft, ["auth", "pad"], tie_breaker=0.0, limit=None).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        assert abs(a[d] - b[d]) < 1e-9
+
+
+def test_cross_fields_blends_df_across_fields(spark):
+    """The signature cross_fields property: a term RARE in one field but
+    COMMON in another uses the blended (max) df everywhere, so a
+    title-only match cannot ride an artificially high title idf. Checked
+    against hand-computed scores."""
+    import math
+
+    from coderag_spark.operators.bm25 import BM25_B, BM25_K1, cross_fields_search
+
+    # 'smith' df: title=1, body=3 -> blended df=3; n_docs = max(4, 4) = 4
+    rows = [
+        (1, "title", ["smith", "x"]), (1, "body", ["a", "b", "c"]),
+        (2, "title", ["y", "x"]), (2, "body", ["smith", "b", "c"]),
+        (3, "title", ["z", "x"]), (3, "body", ["smith", "smith", "c"]),
+        (4, "title", ["w", "x"]), (4, "body", ["smith", "q", "c"]),
+    ]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in cross_fields_search(_ft(spark, rows), ["smith"], limit=None).collect()
+    }
+    idf = math.log((4 + 1.0) / (3 + 1.0)) + 1.0  # blended: df=3, NOT title's 1
+
+    def s(tf, flen, avgl):
+        return idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + (BM25_B * flen) / avgl)
+        )
+
+    avgl_t, avgl_b = 2.0, 3.0
+    want = {
+        1: s(1, 2, avgl_t),          # title-only match, blended idf
+        2: s(1, 3, avgl_b),
+        3: s(2, 3, avgl_b),
+        4: s(1, 3, avgl_b),
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+    # doc 1 (title match) scores like a body match of tf=1 modulo length
+    # norms — NOT boosted by title's local df of 1
+    assert abs(got[1] - got[2]) < abs(s(1, 2, avgl_t) * 0.5)
+
+
+def test_cross_fields_max_combines_duplicate_evidence(spark):
+    """tie_breaker=0: a term matching in BOTH fields contributes only its
+    best field's score per term (term-centric max), unlike bm25f's sum."""
+    from coderag_spark.operators.bm25 import cross_fields_search
+
+    ft = _ft(spark, [
+        (1, "title", ["auth", "x"]), (1, "body", ["auth", "pad"]),
+        (2, "title", ["pad", "x"]), (2, "body", ["pad", "pad"]),
+    ])
+    s0 = cross_fields_search(ft, ["auth"], tie_breaker=0.0).collect()[0]["score"]
+    s1 = cross_fields_search(ft, ["auth"], tie_breaker=1.0).collect()[0]["score"]
+    assert s1 > s0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cross_fields_search(ft, [])
