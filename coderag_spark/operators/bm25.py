@@ -435,6 +435,51 @@ def search_many(
     )
 
 
+def boosting_search(
+    index: Index,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    limit: int = 10,
+    analyzer=code_analyze,
+) -> DataFrame:
+    """Lucene BoostingQuery (ES ``boosting`` query): rank by the positive
+    query's BM25 score, DEMOTING — not excluding — docs that also match
+    the negative query by multiplying their score by ``negative_boost``
+    (0 < nb < 1 demotes; BoostingQuery's contract is that the context
+    clause affects score only, never the match set, so the result set is
+    exactly the positive query's OR retrieval).
+
+    Scale shape: the positive side is the standard score_terms
+    single-shuffle plan; the negative match set filters postings to the
+    negative terms BEFORE a distinct + LEFT join on the already-shuffled
+    doc_id (null -> multiplier 1.0), so only negative-term posting rows
+    move and no second corpus scan happens.
+    """
+    pos_terms = dedupe_query_tokens(positive, analyzer)
+    neg_terms = dedupe_query_tokens(negative, analyzer)
+    if not pos_terms:
+        raise ValueError("boosting_search needs a non-empty positive query")
+    scores = score_terms(index, pos_terms)
+    neg = (
+        index.postings.filter(F.col("term").isin(neg_terms))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_neg", F.lit(True))
+    )
+    out = scores.join(neg, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.col("_neg").isNotNull(),
+            F.col("score") * F.lit(float(negative_boost)),
+        )
+        .otherwise(F.col("score"))
+        .alias("score"),
+        "matched_terms",
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
 def prefix_search(
     index: Index,
     prefix: str,

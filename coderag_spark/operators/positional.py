@@ -43,6 +43,8 @@ __all__ = [
     "phrase_hits",
     "phrase_search",
     "proximity_hits",
+    "span_first_hits",
+    "span_not_hits",
     "best_fragments",
     "encode_positions",
     "decode_positions",
@@ -289,6 +291,96 @@ def span_near_hits(
     return (
         have.select("doc_id", min_span.cast("long").alias("min_span"))
         .filter(F.col("min_span") <= F.lit(k + slop))
+    )
+
+
+def span_first_hits(
+    positional: DataFrame, terms: list[str], end_limit: int
+) -> DataFrame:
+    """Lucene SpanFirstQuery(match, end): occurrences of the exact phrase
+    ``terms`` whose span ENDS within the first ``end_limit`` token
+    positions — with 0-based starts p and span end exclusive, the boundary
+    test is ``p + len(terms) <= end_limit`` (SpanPositionRangeQuery's
+    [0, end) contract). Returns (doc_id, n_hits) counting only qualifying
+    occurrences; docs whose every occurrence is deeper in the text drop
+    out even though the plain phrase query would match them.
+
+    Scale shape: identical to :func:`phrase_hits` — the isin filter keeps
+    only the phrase terms' posting lists, ONE groupBy(doc_id) shuffle
+    assembles the per-doc position map, and adjacency + the boundary test
+    run as whole-stage-codegen higher-order functions. The boundary
+    predicate only tightens the fold, so span_first is never more
+    expensive than the phrase query it wraps.
+    """
+    if not terms:
+        raise ValueError("span_first_hits needs at least one term")
+    m = len(terms)
+    if end_limit < m:
+        raise ValueError("end_limit shorter than the phrase can never match")
+    have = _doc_position_map(positional, terms)
+
+    def _ok_start(p: Column) -> Column:
+        cond = p + m <= F.lit(end_limit)
+        for i, t in enumerate(terms[1:], start=1):
+            cond = cond & F.array_contains(F.element_at("pmap", F.lit(t)), p + i)
+        return cond
+
+    n_hits = F.size(F.filter(F.element_at("pmap", F.lit(terms[0])), _ok_start))
+    return (
+        have.select("doc_id", n_hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def span_not_hits(
+    positional: DataFrame,
+    terms: list[str],
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+) -> DataFrame:
+    """Lucene SpanNotQuery(include, exclude, pre, post): occurrences of
+    the exact phrase ``terms`` with NO occurrence of ``exclude`` within
+    ``pre`` tokens before the span start or ``post`` tokens after the
+    span end — i.e. the exclude position q kills a start p iff
+    ``p - pre <= q <= p + len(terms) - 1 + post``. With pre=post=0 that
+    is pure overlap, which (one term per position) can only trigger when
+    ``exclude`` is one of the phrase's own terms; real use passes a
+    guard distance. Returns (doc_id, n_hits) for docs with >=1 surviving
+    occurrence.
+
+    Scale shape: the include side is the phrase plan (isin-filtered
+    postings, one doc_id shuffle); the exclude side filters postings to
+    the single exclude term BEFORE a LEFT join on the already-shuffled
+    doc_id (docs without the exclude term keep all their occurrences),
+    so only query-term posting rows ever move.
+    """
+    if not terms:
+        raise ValueError("span_not_hits needs at least one term")
+    m = len(terms)
+    have = _doc_position_map(positional, terms)
+    ex = positional.filter(F.col("term") == exclude).select(
+        "doc_id", F.col("positions").alias("_expos")
+    )
+    joined = have.join(ex, "doc_id", "left")
+    expos = F.coalesce(F.col("_expos"), F.array().cast("array<int>"))
+
+    def _ok_start(p: Column) -> Column:
+        cond = F.lit(True)
+        for i, t in enumerate(terms[1:], start=1):
+            cond = cond & F.array_contains(F.element_at("pmap", F.lit(t)), p + i)
+        near = F.size(
+            F.filter(
+                expos,
+                lambda q: (q >= p - F.lit(pre)) & (q <= p + F.lit(m - 1 + post)),
+            )
+        )
+        return cond & (near == 0)
+
+    n_hits = F.size(F.filter(F.element_at("pmap", F.lit(terms[0])), _ok_start))
+    return (
+        joined.select("doc_id", n_hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
     )
 
 

@@ -349,6 +349,7 @@ def _bm25(
     fuzzy: tuple[str, int] | None = None,
     boosts: dict[str, float] | None = None,
     min_match: int = 0,
+    neg: tuple[list[str], float] | None = None,
 ) -> DataFrame:
     """Stats (N, avgdl) ride along as a broadcast 1-row cross-join instead
     of a separate collect — the whole query is ONE Spark job (one fewer
@@ -357,13 +358,17 @@ def _bm25(
     ``prefix`` switches term selection from an IN list to a StartsWith
     predicate (PrefixQuery expansion — every matching dictionary term
     scores with its own idf); ``fuzzy=(term, max_edits)`` to a
-    length-banded Levenshtein predicate (FuzzyQuery expansion)."""
+    length-banded Levenshtein predicate (FuzzyQuery expansion);
+    ``neg=(terms, nb)`` is Lucene BoostingQuery — docs matching any
+    negative term have their (unrounded) score multiplied by nb before
+    the final round, never excluded."""
     tok = _tokdocs(spark, sf_dir)
     stats = tok.agg(
         F.count("*").alias("n_docs"),
         F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl"),
     )
-    post = _doc_postings(spark, sf_dir)
+    post_all = _doc_postings(spark, sf_dir)
+    post = post_all
     if prefix is not None:
         post = post.filter(F.col("term").startswith(prefix))
     elif regex is not None:
@@ -401,10 +406,25 @@ def _bm25(
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum(per_term), 6).alias("score"),
+            F.sum(per_term).alias("_raw"),
             F.count("*").cast("long").alias("matched_terms"),
         )
     )
+    if neg is not None:
+        nterms, nb = neg
+        negdocs = (
+            post_all.filter(F.col("term").isin(sorted(nterms)))
+            .select("doc_id")
+            .distinct()
+            .withColumn("_neg", F.lit(True))
+        )
+        scored = scored.join(negdocs, "doc_id", "left").withColumn(
+            "_raw",
+            F.when(F.col("_neg").isNotNull(), F.col("_raw") * F.lit(float(nb)))
+            .otherwise(F.col("_raw")),
+        ).drop("_neg")
+    scored = scored.withColumn("score", F.round(F.col("_raw"), 6)).drop("_raw")
+    scored = scored.select("doc_id", "score", "matched_terms")
     if min_match > 0:
         scored = scored.filter(F.col("matched_terms") >= F.lit(min_match))
     else:
@@ -425,7 +445,10 @@ def _sql_bm25(
     fuzzy: tuple[str, int] | None = None,
     boosts: dict[str, float] | None = None,
     min_match: int = 0,
+    neg: tuple[list[str], float] | None = None,
 ) -> str:
+    if neg is not None and (min_score > 0 or min_match > 0):
+        raise ValueError("neg boost oracle doesn't compose with HAVING filters")
     conds = []
     if min_score > 0:
         conds.append(f"round(score_raw, 6) >= {min_score}")
@@ -453,6 +476,17 @@ def _sql_bm25(
         qt_sql = f"SELECT DISTINCT term FROM post WHERE regexp_matches(term, '{esc}')"
     else:
         qt_sql = _terms_sql(terms)
+    neg_cte, neg_mult = "", ""
+    if neg is not None:
+        nterms, nb = neg
+        in_list = ", ".join(f"'{t}'" for t in sorted(nterms))
+        neg_cte = (
+            f",\nnegdocs AS (SELECT DISTINCT doc_id FROM post WHERE term IN ({in_list}))"
+        )
+        neg_mult = (
+            f" * (CASE WHEN doc_id IN (SELECT doc_id FROM negdocs)"
+            f" THEN {float(nb)!r}::DOUBLE ELSE 1.0 END)"
+        )
     return f"""
 WITH tok AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 stats AS (SELECT count(*) AS n_docs, greatest(avg(len(toks) * 1.0), 1.0) AS avgdl FROM tok),
@@ -478,8 +512,8 @@ scored AS (
        JOIN dl d ON d.doc_id = p.doc_id, stats s
   GROUP BY p.doc_id
   {having}
-)
-SELECT doc_id, round(score_raw, 6) AS score{matched_sel} FROM scored
+){neg_cte}
+SELECT doc_id, round(score_raw{neg_mult}, 6) AS score{matched_sel} FROM scored
 {"ORDER BY 2 DESC, 1 ASC LIMIT " + str(k) if k is not None else ""}
 """
 
@@ -504,6 +538,19 @@ def q_boosted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions — re-ranks without changing the match set."""
     return _bm25(
         spark, sf_dir, query_terms(BM25_QUERY_MULTI), 10, boosts=BOOST_WEIGHTS
+    )
+
+
+BOOSTING_NEG = (["slow"], 0.3)  # demote docs mentioning 'slow' to 30%
+
+
+def q_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene BoostingQuery (ES ``boosting`` query, bm25.boosting_search):
+    positive BM25 retrieval for the multi-term query; docs ALSO containing
+    the negative term are demoted by x0.3 — re-ranked, never excluded
+    (the context clause affects score only, not the match set)."""
+    return _bm25(
+        spark, sf_dir, query_terms(BM25_QUERY_MULTI), 10, neg=BOOSTING_NEG
     )
 
 
@@ -2024,6 +2071,79 @@ def q_span_near_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return px.span_near_hits(
         _positional(spark, sf_dir), SPAN_TERMS, slop=SPAN_SLOP_ORDERED, ordered=True
     )
+
+
+SPAN_FIRST_LIMIT = 40  # phrase must END within the first 40 tokens
+SPAN_NOT_GUARD = 3  # no 'slow' within 3 tokens either side of the span
+
+
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanFirstQuery (positional.span_first_hits): occurrences of
+    the exact phrase 'table hash' whose span ends within the first 40
+    token positions — lead-of-document phrase matching, the primitive
+    behind 'match in title/header' heuristics on untyped text."""
+    from coderag_spark.operators import positional as px
+
+    return px.span_first_hits(
+        _positional(spark, sf_dir), PHRASE_2, SPAN_FIRST_LIMIT
+    )
+
+
+def _sql_span_first(terms: list[str], end_limit: int) -> str:
+    """DuckDB mirror: 1-based starts i correspond to 0-based p = i - 1,
+    so the boundary p + m <= end becomes i <= end - m + 1."""
+    m = len(terms)
+    conds = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms))
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks) - {m - 1} + 1),
+             i -> i <= {end_limit - m + 1} AND {conds}))::BIGINT AS n_hits
+  FROM tok WHERE len(toks) >= {m}
+)
+SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+"""
+
+
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNotQuery (positional.span_not_hits): occurrences of the
+    exact phrase 'table hash' with no 'slow' within 3 tokens on either
+    side — negative-context phrase matching (pre=post=3)."""
+    from coderag_spark.operators import positional as px
+
+    return px.span_not_hits(
+        _positional(spark, sf_dir),
+        PHRASE_2,
+        "slow",
+        pre=SPAN_NOT_GUARD,
+        post=SPAN_NOT_GUARD,
+    )
+
+
+def _sql_span_not(terms: list[str], exclude: str, pre: int, post: int) -> str:
+    """DuckDB mirror: both sides 1-based, so the kill window around a
+    start i is [i - pre, i + m - 1 + post] exactly as in token space."""
+    m = len(terms)
+    conds = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms))
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+pe AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks) + 1), j -> toks[j] = '{exclude}') AS expos
+  FROM tok WHERE len(toks) >= {m}
+),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(toks) - {m - 1} + 1),
+             i -> {conds}
+                  AND len(list_filter(expos,
+                          q -> q >= i - {pre} AND q <= i + {m - 1 + post})) = 0
+            ))::BIGINT AS n_hits
+  FROM pe
+)
+SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+"""
 
 
 def _sql_span_near(terms: list[str], slop: int, ordered: bool) -> str:
@@ -4198,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25": q_fuzzy_bm25,
         "wildcard_bm25": q_wildcard_bm25,
         "boosted_bm25": q_boosted_bm25,
+        "boosting": q_boosting,
         "mlt_topk": q_mlt_topk,
         "spell_suggest": q_spell_suggest,
         "bm25f_topk": q_bm25f_topk,
@@ -4215,6 +4336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_ordered": q_proximity_ordered,
         "span_near": q_span_near,
         "span_near_ordered": q_span_near_ordered,
+        "span_first": q_span_first,
+        "span_not": q_span_not,
         "lmd_topk": q_lmd_topk,
         "classic_topk": q_classic_topk,
         "search_after": q_search_after,
@@ -4303,6 +4426,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_bm25": _sql_bm25([], 15, fuzzy=FUZZY_QUERY),
         "wildcard_bm25": _sql_bm25([], 15, regex="^.*ow$"),
         "boosted_bm25": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10, boosts=BOOST_WEIGHTS),
+        "boosting": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10, neg=BOOSTING_NEG),
         "mlt_topk": SQL_MLT_TOPK,
         "spell_suggest": SQL_SPELL_SUGGEST,
         "bm25f_topk": _sql_bm25f(query_terms(BM25_QUERY_MULTI), 10),
@@ -4320,6 +4444,8 @@ def oracle_sql() -> dict[str, str]:
         "proximity_ordered": _sql_proximity_ordered(*PROX_TERMS, PROX_WINDOW),
         "span_near": _sql_span_near(SPAN_TERMS, SPAN_SLOP, ordered=False),
         "span_near_ordered": _sql_span_near(SPAN_TERMS, SPAN_SLOP_ORDERED, ordered=True),
+        "span_first": _sql_span_first(PHRASE_2, SPAN_FIRST_LIMIT),
+        "span_not": _sql_span_not(PHRASE_2, "slow", SPAN_NOT_GUARD, SPAN_NOT_GUARD),
         "lmd_topk": SQL_LMD_TOPK.format(qt=_terms_sql(query_terms(BM25_QUERY_MULTI))),
         "classic_topk": SQL_CLASSIC_TOPK.format(
             toks=TOKS_SQL,

@@ -464,3 +464,64 @@ def test_best_fragments_width_one_counts_single_positions(frag_docs):
     }
     # every window holds exactly one match; earliest match anchors
     assert got[0] == (2, 1) and got[2] == (0, 1)
+
+
+# --------------------------------------------------- span_first / span_not
+
+
+def test_span_first_boundary(pos):
+    # DOCS: "alpha beta" starts — doc0 @{0,3}, doc1 @{1}, doc3 @{0}
+    tight = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.span_first_hits(pos, ["alpha", "beta"], end_limit=2).collect()
+    }
+    assert tight == {0: 1, 3: 1}  # only starts at p=0 end within 2 tokens
+    wide = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.span_first_hits(pos, ["alpha", "beta"], end_limit=5).collect()
+    }
+    assert wide == {0: 2, 1: 1, 3: 1}
+    with pytest.raises(ValueError):
+        px.span_first_hits(pos, ["alpha", "beta"], end_limit=1)
+    with pytest.raises(ValueError):
+        px.span_first_hits(pos, [], end_limit=3)
+
+
+def test_span_first_single_term(pos):
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.span_first_hits(pos, ["beta"], end_limit=2).collect()
+    }
+    # beta within the first two positions: doc0 @1, doc1 @0, doc3 @1
+    assert got == {0: 1, 1: 1, 3: 1}
+
+
+def test_span_not_overlap_and_guard(pos):
+    # pre=post=0: exclusion can only overlap the span itself — 'gamma'
+    # never sits inside an "alpha beta" span, so all phrase hits survive
+    plain = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.span_not_hits(pos, ["alpha", "beta"], "gamma").collect()
+    }
+    assert plain == {0: 2, 1: 1, 3: 1}
+    # guard distance 1: doc0's gamma@2 kills both starts ([-1,2] and [2,5]),
+    # doc1's gamma@3 kills its start ([0,3]); doc3 has no gamma at all
+    guarded = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.span_not_hits(
+            pos, ["alpha", "beta"], "gamma", pre=1, post=1
+        ).collect()
+    }
+    assert guarded == {3: 1}
+    with pytest.raises(ValueError):
+        px.span_not_hits(pos, [], "gamma")
+
+
+def test_span_not_absent_exclude_keeps_all(pos):
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.span_not_hits(
+            pos, ["alpha", "beta"], "never_in_corpus", pre=99, post=99
+        ).collect()
+    }
+    assert got == {0: 2, 1: 1, 3: 1}

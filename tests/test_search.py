@@ -877,3 +877,38 @@ def test_cross_fields_max_combines_duplicate_evidence(spark):
 
     with _pt.raises(ValueError):
         cross_fields_search(ft, [])
+
+
+def test_boosting_demotes_not_excludes(index):
+    from coderag_spark.operators.bm25 import boosting_search, score_terms
+
+    pos_q, neg_q, nb = "user database", "token", 0.25
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in score_terms(index, dedupe_query_tokens(pos_q)).collect()
+    }
+    neg_docs = {
+        r["doc_id"]
+        for r in index.postings.filter(
+            F.col("term").isin(dedupe_query_tokens(neg_q))
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    got = boosting_search(index, pos_q, neg_q, negative_boost=nb, limit=10_000).collect()
+    # BoostingQuery contract: the match set IS the positive OR retrieval
+    assert {r["doc_id"] for r in got} == set(plain)
+    assert neg_docs & set(plain), "fixture must exercise the demotion path"
+    for r in got:
+        want = plain[r["doc_id"]] * (nb if r["doc_id"] in neg_docs else 1.0)
+        assert r["score"] == pytest.approx(want, rel=1e-12)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_boosting_empty_positive_raises(index):
+    from coderag_spark.operators.bm25 import boosting_search
+
+    with pytest.raises(ValueError):
+        boosting_search(index, "", "token")
