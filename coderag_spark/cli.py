@@ -202,6 +202,37 @@ def _cmd_query(args) -> int:
             ).collect()
             if r["score"] >= args.min_score
         ]
+    elif getattr(args, "negative", None):
+        # BoostingQuery surface (Lucene BoostingQuery / ES `boosting`):
+        # rank by the positive query, demote docs matching --negative by
+        # x--negative-boost; the match set never changes
+        if args.synonyms or args.mode != "keyword":
+            print(json.dumps({"error": "--negative needs plain keyword mode"}))
+            return 2
+        if args.file_extensions or args.path_filter or args.exclude_paths:
+            print(json.dumps({"error": "--negative does not compose with attribute filters"}))
+            return 2
+        if args.local:
+            from coderag_spark.operators.serve import LocalShard
+
+            shard = LocalShard.from_index(idx, with_docs=True)
+            raw = shard.search_boosting(
+                args.query, args.negative, args.negative_boost, limit=args.limit
+            )
+        else:
+            from coderag_spark.operators.bm25 import boosting_search
+
+            raw = [
+                (r["doc_id"], r["score"])
+                for r in boosting_search(
+                    idx,
+                    args.query,
+                    args.negative,
+                    negative_boost=args.negative_boost,
+                    limit=args.limit,
+                ).collect()
+            ]
+        hits = [(d, s) for d, s in raw if s >= args.min_score]
     elif args.local:
         # serving-node mode: compact + download the shard (with its doc
         # attribute table) once; scoring AND attribute filtering run
@@ -577,6 +608,17 @@ def main(argv: list[str] | None = None) -> int:
         help="minimumNumberShouldMatch: docs must match >= N distinct query terms",
     )
     q.add_argument("--local", action="store_true", help="serve from an in-process shard")
+    q.add_argument(
+        "--negative",
+        default=None,
+        help="BoostingQuery: demote (never exclude) docs matching this query",
+    )
+    q.add_argument(
+        "--negative-boost",
+        type=float,
+        default=0.5,
+        help="score multiplier for docs matching --negative",
+    )
     q.add_argument(
         "--explain", action="store_true",
         help="add the per-(doc, term) BM25 score breakdown (keyword mode)",

@@ -957,6 +957,123 @@ class LocalShard:
                 out.append((d, best))
         return out
 
+    def span_first(
+        self, terms: list[str], end_limit: int, limit: int = 10
+    ) -> list[tuple[int, int]]:
+        """SpanFirstQuery from the attached position store: [(doc_id,
+        n_hits)] counting phrase occurrences whose span ends within the
+        first ``end_limit`` positions — identical semantics to
+        positional.span_first_hits (0-based starts p, p + m <= end)."""
+        from coderag_spark.operators.positional import decode_positions
+
+        if not terms:
+            raise ValueError("span_first needs at least one term")
+        m = len(terms)
+        if end_limit < m:
+            raise ValueError("end_limit shorter than the phrase can never match")
+        pos = getattr(self, "positions", None)
+        if pos is None:
+            raise ValueError("call attach_positions(...) first")
+        maps = []
+        for t in dict.fromkeys(terms):
+            mm = pos.get(t)
+            if mm is None:
+                return []
+            maps.append(mm)
+        cand = set(min(maps, key=len))
+        for mm in maps:
+            cand &= mm.keys()
+        hits: list[tuple[int, int]] = []
+        for d in cand:
+            first = decode_positions(pos[terms[0]][d])
+            later = [set(decode_positions(pos[t][d])) for t in terms[1:]]
+            n = sum(
+                1
+                for p in first
+                if p + m <= end_limit
+                and all(p + i in s for i, s in enumerate(later, start=1))
+            )
+            if n:
+                hits.append((d, n))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:limit]
+
+    def span_not(
+        self,
+        terms: list[str],
+        exclude: str,
+        pre: int = 0,
+        post: int = 0,
+        limit: int = 10,
+    ) -> list[tuple[int, int]]:
+        """SpanNotQuery from the attached position store: [(doc_id,
+        n_hits)] counting phrase occurrences with NO ``exclude`` position
+        inside [p - pre, p + m - 1 + post] — identical semantics to
+        positional.span_not_hits (docs without the exclude term keep all
+        their occurrences)."""
+        from coderag_spark.operators.positional import decode_positions
+
+        if not terms:
+            raise ValueError("span_not needs at least one term")
+        m = len(terms)
+        pos = getattr(self, "positions", None)
+        if pos is None:
+            raise ValueError("call attach_positions(...) first")
+        maps = []
+        for t in dict.fromkeys(terms):
+            mm = pos.get(t)
+            if mm is None:
+                return []
+            maps.append(mm)
+        cand = set(min(maps, key=len))
+        for mm in maps:
+            cand &= mm.keys()
+        ex_map = pos.get(exclude, {})
+        hits: list[tuple[int, int]] = []
+        for d in cand:
+            first = decode_positions(pos[terms[0]][d])
+            later = [set(decode_positions(pos[t][d])) for t in terms[1:]]
+            expos = decode_positions(ex_map[d]) if d in ex_map else []
+            n = 0
+            for p in first:
+                if not all(p + i in s for i, s in enumerate(later, start=1)):
+                    continue
+                lo, hi = p - pre, p + m - 1 + post
+                if any(lo <= q <= hi for q in expos):
+                    continue
+                n += 1
+            if n:
+                hits.append((d, n))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:limit]
+
+    def search_boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        limit: int = 10,
+        analyzer=code_analyze,
+    ) -> list[tuple[int, float]]:
+        """Lucene BoostingQuery on the serving shard — rank-identical to
+        bm25.boosting_search: the positive query's FULL OR retrieval
+        scored by the vector kernel, docs matching any negative term
+        demoted by ``negative_boost``, then re-top-k. The match set never
+        changes (the context clause affects score only)."""
+        pos_terms = dedupe_query_tokens(positive, analyzer)
+        if not pos_terms:
+            raise ValueError("search_boosting needs a non-empty positive query")
+        full = self.search(positive, limit=1 << 60, analyzer=analyzer)
+        if not full:
+            return []
+        neg: set[int] = set()
+        for t in dict.fromkeys(dedupe_query_tokens(negative, analyzer)):
+            neg.update(int(d) for d in self._docs_with_term(t))
+        nb = float(negative_boost)
+        rescored = [(d, s * nb if d in neg else s) for d, s in full]
+        rescored.sort(key=lambda x: (-x[1], x[0]))
+        return rescored[:limit]
+
 
 class LocalCluster:
     """N serving shards + top-k fan-in — the full serving topology.
@@ -1091,6 +1208,56 @@ class LocalCluster:
             merged.extend(sh.span_near(terms, slop, ordered=ordered))
         merged.sort(key=lambda e: e[0])
         return merged
+
+    def span_first(
+        self, terms: list[str], end_limit: int, limit: int = 10
+    ) -> list[tuple[int, int]]:
+        """SpanFirst across the doc-sharded cluster: doc-local op, so the
+        fan-in is the same (hits desc, doc asc) k-way merge as phrase."""
+        merged: list[tuple[int, int]] = []
+        for sh in self.shards:
+            merged.extend(sh.span_first(terms, end_limit, limit))
+        merged.sort(key=lambda e: (-e[1], e[0]))
+        return merged[:limit]
+
+    def span_not(
+        self,
+        terms: list[str],
+        exclude: str,
+        pre: int = 0,
+        post: int = 0,
+        limit: int = 10,
+    ) -> list[tuple[int, int]]:
+        """SpanNot across the doc-sharded cluster: both the phrase spans
+        and the exclude positions of a doc live in its own shard, so
+        per-shard span_not + k-way merge is exact."""
+        merged: list[tuple[int, int]] = []
+        for sh in self.shards:
+            merged.extend(sh.span_not(terms, exclude, pre, post, limit))
+        merged.sort(key=lambda e: (-e[1], e[0]))
+        return merged[:limit]
+
+    def search_boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        limit: int = 10,
+        analyzer=code_analyze,
+    ) -> list[tuple[int, float]]:
+        """BoostingQuery across the doc-sharded cluster. Exact: the
+        demotion is doc-local (a doc's negative-term postings live in its
+        own shard) and a globally-kept doc ranks at least as high inside
+        its own shard, so per-shard top-``limit`` + k-way merge is
+        rank-identical to the single shard — the same argument as
+        ``search``."""
+        merged: list[tuple[int, float]] = []
+        for sh in self.shards:
+            merged.extend(
+                sh.search_boosting(positive, negative, negative_boost, limit, analyzer)
+            )
+        merged.sort(key=lambda e: (-e[1], e[0]))
+        return merged[:limit]
 
     def apply_delta(self, index: Index, delta, **kw) -> int:
         """Cluster-wide incremental refresh: every doc-shard recompacts

@@ -393,3 +393,27 @@ def test_query_explain_breakdown(built, capsys):
     rc3, out3 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
                               "--query", "auth", "--mode", "prefix", "--explain"])
     assert rc3 == 2 and "error" in json.loads(out3[-1])
+
+
+def test_query_boosting_spark_vs_local_identical(built, capsys):
+    _, index_path = built
+    base = ["--cores", "4", "query", "--index", index_path,
+            "--query", "authenticate user", "--limit", "5",
+            "--negative", "token", "--negative-boost", "0.25"]
+    rc1, out1 = _run(capsys, base)
+    rc2, out2 = _run(capsys, base + ["--local"])
+    assert rc1 == rc2 == 0
+    res1 = json.loads(out1[-1])["results"]
+    assert res1 == json.loads(out2[-1])["results"]
+    # demotion reorders vs the plain query but never shrinks the match set
+    rc3, out3 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                              "--query", "authenticate user", "--limit", "5"])
+    assert rc3 == 0 and len(res1) == len(json.loads(out3[-1])["results"])
+
+
+def test_query_boosting_rejects_filters(built, capsys):
+    _, index_path = built
+    rc, out = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                            "--query", "auth", "--negative", "token",
+                            "--file-extensions", ".py"])
+    assert rc == 2 and "error" in json.loads(out[-1])

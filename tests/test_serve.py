@@ -338,3 +338,122 @@ def test_cluster_explain_identical_to_single_shard(index, shard):
             assert ra["df"] == rb["df"]  # global df on both paths
             assert abs(ra["contribution"] - rb["contribution"]) < 1e-12
             assert abs(ra["total_score"] - rb["total_score"]) < 1e-9
+
+
+# ------------------------------------------- span_first / span_not serving
+
+
+def test_shard_span_first_and_span_not_match_spark_plan(spark, index):
+    """attach_positions + span_first/span_not == the Spark positional
+    plans, served in-process off compressed blobs."""
+    from coderag_spark.operators import positional as px
+    from coderag_spark.operators.serve import LocalShard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta alpha beta gamma"),
+            (3, "alpha gamma beta"),
+            (4, "alpha beta"),
+            (5, "zz zz zz zz zz zz alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    pos = px.positional_postings(docs)
+    shard = LocalShard.from_index(index)
+    shard.attach_positions(px.compress_positional(pos))
+    for terms, end in ((["alpha", "beta"], 2), (["alpha", "beta"], 5), (["beta"], 2)):
+        want = sorted(
+            (
+                (r["doc_id"], r["n_hits"])
+                for r in px.span_first_hits(pos, terms, end).collect()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert shard.span_first(terms, end, limit=10) == want, (terms, end)
+    for terms, ex, g in (
+        (["alpha", "beta"], "gamma", 0),
+        (["alpha", "beta"], "gamma", 1),
+        (["alpha", "beta"], "never_in_corpus", 99),
+    ):
+        want = sorted(
+            (
+                (r["doc_id"], r["n_hits"])
+                for r in px.span_not_hits(pos, terms, ex, pre=g, post=g).collect()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert shard.span_not(terms, ex, pre=g, post=g, limit=10) == want, (terms, ex, g)
+    assert shard.span_first(["alpha", "zz_missing"], 10) == []
+    assert shard.span_not(["alpha", "zz_missing"], "gamma") == []
+    with pytest.raises(ValueError):
+        shard.span_first([], 5)
+    with pytest.raises(ValueError):
+        shard.span_first(["alpha", "beta"], 1)
+    with pytest.raises(ValueError):
+        shard.span_not([], "gamma")
+    fresh = LocalShard.from_index(index)
+    with pytest.raises(ValueError):
+        fresh.span_first(["alpha"], 5)
+    with pytest.raises(ValueError):
+        fresh.span_not(["alpha"], "gamma")
+
+
+def test_cluster_span_first_span_not_twin_identical(spark, index):
+    from coderag_spark.operators import positional as px
+    from coderag_spark.operators.serve import LocalCluster, LocalShard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta alpha beta gamma"),
+            (3, "alpha gamma beta"),
+            (4, "alpha beta"),
+            (5, "gamma gamma alpha zeta beta alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    compressed = px.compress_positional(px.positional_postings(docs))
+    single = LocalShard.from_index(index)
+    single.attach_positions(compressed)
+    cluster = LocalCluster.from_index(index, n_shards=3)
+    cluster.attach_positions(compressed)
+    for terms, end in ((["alpha", "beta"], 2), (["alpha", "beta"], 7)):
+        assert cluster.span_first(terms, end) == single.span_first(terms, end)
+    for g in (0, 1, 3):
+        assert cluster.span_not(["alpha", "beta"], "gamma", pre=g, post=g) == (
+            single.span_not(["alpha", "beta"], "gamma", pre=g, post=g)
+        )
+
+
+# ------------------------------------------------------- boosting serving
+
+
+def test_shard_boosting_rank_identical_to_spark(index, shard):
+    """LocalShard.search_boosting == bm25.boosting_search at 6dp, and the
+    match set is exactly the positive OR retrieval."""
+    from coderag_spark.operators.bm25 import boosting_search
+
+    pos_q, neg_q, nb = "user database", "token", 0.25
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in boosting_search(index, pos_q, neg_q, negative_boost=nb, limit=15).collect()
+    ]
+    got = [(d, round(s, 6)) for d, s in shard.search_boosting(pos_q, neg_q, nb, limit=15)]
+    assert got == want
+    assert want, "fixture must produce matches"
+    base = {d for d, _ in shard.search(pos_q, limit=1 << 60)}
+    assert {d for d, _ in shard.search_boosting(pos_q, neg_q, nb, limit=1 << 60)} == base
+    with pytest.raises(ValueError):
+        shard.search_boosting("", neg_q)
+
+
+def test_cluster_boosting_twin_identical(index):
+    from coderag_spark.operators.serve import LocalCluster, LocalShard
+
+    single = LocalShard.from_index(index)
+    cluster = LocalCluster.from_index(index, n_shards=3)
+    pos_q, neg_q, nb = "user database", "token", 0.25
+    got_c = [(d, round(s, 6)) for d, s in cluster.search_boosting(pos_q, neg_q, nb, limit=15)]
+    got_s = [(d, round(s, 6)) for d, s in single.search_boosting(pos_q, neg_q, nb, limit=15)]
+    assert got_c == got_s and got_c
