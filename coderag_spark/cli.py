@@ -209,15 +209,22 @@ def _cmd_query(args) -> int:
         if args.synonyms or args.mode != "keyword":
             print(json.dumps({"error": "--negative needs plain keyword mode"}))
             return 2
-        if args.file_extensions or args.path_filter or args.exclude_paths:
-            print(json.dumps({"error": "--negative does not compose with attribute filters"}))
+        has_filters = args.file_extensions or args.path_filter or args.exclude_paths
+        if has_filters and not args.local:
+            print(json.dumps({"error": "--negative composes with attribute filters only under --local"}))
             return 2
         if args.local:
             from coderag_spark.operators.serve import LocalShard
 
             shard = LocalShard.from_index(idx, with_docs=True)
+            allowed = shard.allowed_docs(
+                file_extensions=_split_flag(args.file_extensions),
+                path_filter=args.path_filter,
+                exclude_paths=_split_flag(args.exclude_paths),
+            )
             raw = shard.search_boosting(
-                args.query, args.negative, args.negative_boost, limit=args.limit
+                args.query, args.negative, args.negative_boost,
+                limit=args.limit, allowed_docs=allowed,
             )
         else:
             from coderag_spark.operators.bm25 import boosting_search

@@ -80,6 +80,16 @@ SEARCH_INPUT_SCHEMA = {
             " Lucene subset (terms, prefix*, term~, te?t, term^w, AND/NOT,"
             " +req, -excl, +(a OR b), field:[lo TO hi]) (beyond-reference)",
         },
+        "negative": {
+            "type": "string",
+            "description": "BoostingQuery: demote (never exclude) docs also"
+            " matching this query; keyword mode only (beyond-reference)",
+        },
+        "negative_boost": {
+            "type": "number",
+            "description": "score multiplier for docs matching `negative`"
+            " (default: 0.5)",
+        },
     },
     "required": ["query"],
 }
@@ -201,6 +211,8 @@ class CodebaseSearchBackend:
         max_snippet_chars: int = 2000,
         max_snippet_blocks: int = 4,
         mode: str = "keyword",
+        negative: str | None = None,
+        negative_boost: float = 0.5,
     ) -> str:
         """The codebase_search handler body: BM25 top-k over the shard,
         formatted as the reference's LLM-oriented markdown
@@ -221,6 +233,10 @@ class CodebaseSearchBackend:
             hits = self.shard.search_expanded(regex=query, limit=limit, allowed_docs=allowed)
         elif mode == "struct":
             hits = self.shard.query_struct(query, limit=limit, allowed_docs=allowed)
+        elif negative:
+            hits = self.shard.search_boosting(
+                query, negative, negative_boost, limit=limit, allowed_docs=allowed
+            )
         else:
             hits = self.shard.search(query, limit=limit, allowed_docs=allowed)
         if not hits:
@@ -340,6 +356,8 @@ class McpServer:
                 max_snippet_chars=int(args.get("max_snippet_chars", 2000)),
                 max_snippet_blocks=int(args.get("max_snippet_blocks", 4)),
                 mode=str(args.get("mode", "keyword")),
+                negative=args.get("negative"),
+                negative_boost=float(args.get("negative_boost", 0.5)),
             )
         elif name == "get_indexing_status":
             text = json.dumps(self.backend.status_json())

@@ -45,6 +45,7 @@ __all__ = [
     "proximity_hits",
     "span_first_hits",
     "span_not_hits",
+    "phrase_prefix_hits",
     "best_fragments",
     "encode_positions",
     "decode_positions",
@@ -378,6 +379,63 @@ def span_not_hits(
         return cond & (near == 0)
 
     n_hits = F.size(F.filter(F.element_at("pmap", F.lit(terms[0])), _ok_start))
+    return (
+        joined.select("doc_id", n_hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def phrase_prefix_hits(
+    positional: DataFrame,
+    terms: list[str],
+    prefix: str,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (Lucene MultiPhraseQuery with the last
+    position expanded): the exact sequence ``terms`` immediately followed
+    by ANY term starting with ``prefix`` — the type-as-you-search phrase
+    query. Like Lucene, the expansion set is capped at ``max_expansions``
+    terms; the cap is DETERMINISTIC here (lexicographically first, which
+    is Lucene's term-dictionary order), so an occurrence completed only by
+    a term beyond the cap does not match on either engine.
+
+    Returns (doc_id, n_hits) over qualifying occurrences.
+
+    Scale shape: the body terms follow the phrase_hits plan (isin filter,
+    one doc_id shuffle); the expansion list is a dictionary-scale distinct
+    + orderBy + limit (tiny — term space, not posting space), broadcast
+    into a semi-filtered second aggregation whose flattened position
+    arrays join the same doc_id shuffle key. No per-expansion explosion:
+    all expansion positions merge into ONE sorted array per doc before
+    the codegen adjacency fold.
+    """
+    if not terms:
+        raise ValueError("phrase_prefix_hits needs at least one body term")
+    if not prefix:
+        raise ValueError("phrase_prefix_hits needs a non-empty prefix")
+    m = len(terms)
+    exp = (
+        positional.filter(F.col("term").startswith(prefix))
+        .select("term")
+        .distinct()
+        .orderBy("term")
+        .limit(max_expansions)
+    )
+    have = _doc_position_map(positional, terms)
+    epos = (
+        positional.join(F.broadcast(exp), "term")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.flatten(F.collect_list("positions"))).alias("_epos"))
+    )
+    joined = have.join(epos, "doc_id")  # doc must hold some expansion too
+
+    def _is_start(p: Column) -> Column:
+        cond = F.array_contains(F.col("_epos"), p + m)
+        for i, t in enumerate(terms[1:], start=1):
+            cond = cond & F.array_contains(F.element_at("pmap", F.lit(t)), p + i)
+        return cond
+
+    n_hits = F.size(F.filter(F.element_at("pmap", F.lit(terms[0])), _is_start))
     return (
         joined.select("doc_id", n_hits.cast("long").alias("n_hits"))
         .filter(F.col("n_hits") > 0)

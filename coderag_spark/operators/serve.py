@@ -1047,6 +1047,68 @@ class LocalShard:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:limit]
 
+    def phrase_prefix(
+        self,
+        terms: list[str],
+        prefix: str,
+        max_expansions: int = 50,
+        limit: int = 10,
+        _expansions: list[str] | None = None,
+    ) -> list[tuple[int, int]]:
+        """ES match_phrase_prefix from the attached position store —
+        identical semantics to positional.phrase_prefix_hits (body phrase
+        followed by any of the lexicographically-first ``max_expansions``
+        prefix completions). ``_expansions`` overrides the expansion set
+        (LocalCluster passes the GLOBAL selection — a shard's own
+        vocabulary is only its docs', so per-shard caps could disagree)."""
+        from coderag_spark.operators.positional import decode_positions
+
+        if not terms:
+            raise ValueError("phrase_prefix needs at least one body term")
+        if not prefix:
+            raise ValueError("phrase_prefix needs a non-empty prefix")
+        pos = getattr(self, "positions", None)
+        if pos is None:
+            raise ValueError("call attach_positions(...) first")
+        m = len(terms)
+        maps = []
+        for t in dict.fromkeys(terms):
+            mm = pos.get(t)
+            if mm is None:
+                return []
+            maps.append(mm)
+        exp_terms = (
+            _expansions
+            if _expansions is not None
+            else sorted(t for t in pos if t.startswith(prefix))[:max_expansions]
+        )
+        exp_maps = [pos[t] for t in exp_terms if t in pos]
+        if not exp_maps:
+            return []
+        cand = set(min(maps, key=len))
+        for mm in maps:
+            cand &= mm.keys()
+        hits: list[tuple[int, int]] = []
+        for d in cand:
+            eset: set[int] = set()
+            for mm in exp_maps:
+                if d in mm:
+                    eset.update(decode_positions(mm[d]))
+            if not eset:
+                continue
+            first = decode_positions(pos[terms[0]][d])
+            later = [set(decode_positions(pos[t][d])) for t in terms[1:]]
+            n = sum(
+                1
+                for p in first
+                if p + m in eset
+                and all(p + i in s for i, s in enumerate(later, start=1))
+            )
+            if n:
+                hits.append((d, n))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:limit]
+
     def search_boosting(
         self,
         positive: str,
@@ -1054,16 +1116,22 @@ class LocalShard:
         negative_boost: float = 0.5,
         limit: int = 10,
         analyzer=code_analyze,
+        allowed_docs: "np.ndarray | None" = None,
     ) -> list[tuple[int, float]]:
         """Lucene BoostingQuery on the serving shard — rank-identical to
         bm25.boosting_search: the positive query's FULL OR retrieval
         scored by the vector kernel, docs matching any negative term
         demoted by ``negative_boost``, then re-top-k. The match set never
-        changes (the context clause affects score only)."""
+        changes (the context clause affects score only).
+        ``allowed_docs`` applies the score-safe attribute filter to the
+        positive retrieval before the demotion (same contract as
+        ``search``)."""
         pos_terms = dedupe_query_tokens(positive, analyzer)
         if not pos_terms:
             raise ValueError("search_boosting needs a non-empty positive query")
-        full = self.search(positive, limit=1 << 60, analyzer=analyzer)
+        full = self.search(
+            positive, limit=1 << 60, analyzer=analyzer, allowed_docs=allowed_docs
+        )
         if not full:
             return []
         neg: set[int] = set()
@@ -1234,6 +1302,33 @@ class LocalCluster:
         merged: list[tuple[int, int]] = []
         for sh in self.shards:
             merged.extend(sh.span_not(terms, exclude, pre, post, limit))
+        merged.sort(key=lambda e: (-e[1], e[0]))
+        return merged[:limit]
+
+    def phrase_prefix(
+        self,
+        terms: list[str],
+        prefix: str,
+        max_expansions: int = 50,
+        limit: int = 10,
+    ) -> list[tuple[int, int]]:
+        """match_phrase_prefix across the doc-sharded cluster. The
+        expansion cap is selected over the UNION of shard vocabularies
+        (the global term-dictionary order), then pushed to every shard —
+        a shard's own vocabulary covers only its docs, so per-shard caps
+        could select different completion sets and break exactness."""
+        vocab: set[str] = set()
+        for sh in self.shards:
+            pos = getattr(sh, "positions", None)
+            if pos is None:
+                raise ValueError("call attach_positions(...) first")
+            vocab.update(t for t in pos if t.startswith(prefix))
+        exp = sorted(vocab)[:max_expansions]
+        merged: list[tuple[int, int]] = []
+        for sh in self.shards:
+            merged.extend(
+                sh.phrase_prefix(terms, prefix, max_expansions, limit, _expansions=exp)
+            )
         merged.sort(key=lambda e: (-e[1], e[0]))
         return merged[:limit]
 

@@ -2073,6 +2073,50 @@ def q_span_near_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PP_BODY = ["table"]  # match_phrase_prefix body
+PP_PREFIX = "s"  # last position expands to s* terms
+PP_MAX_EXP = 4  # cap binds: first-4 lexicographic {scan, slow, small, sort}
+
+
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix (positional.phrase_prefix_hits): the exact
+    term 'table' immediately followed by any s*-term, expansion set
+    capped at the 4 lexicographically-first candidates (Lucene's
+    term-dictionary order) — the cap genuinely binds here (6 s* terms in
+    the corpus), so both engines must agree on the selected set."""
+    from coderag_spark.operators import positional as px
+
+    return px.phrase_prefix_hits(
+        _positional(spark, sf_dir), PP_BODY, PP_PREFIX, max_expansions=PP_MAX_EXP
+    )
+
+
+def _sql_phrase_prefix(terms: list[str], prefix: str, max_expansions: int) -> str:
+    """DuckDB mirror: the expansion CTE replays the deterministic
+    lexicographic cap; starts carry toks so the completion check is a
+    plain join on toks[i + m]."""
+    m = len(terms)
+    conds = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(terms))
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+exp AS (
+  SELECT DISTINCT term FROM (SELECT unnest(toks) AS term FROM tok)
+  WHERE term LIKE '{prefix}%' ORDER BY term LIMIT {max_expansions}
+),
+starts AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(toks) - {m} + 1),
+                                    i -> {conds})) AS i, toks
+  FROM tok WHERE len(toks) > {m}
+),
+good AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM starts s JOIN exp e ON s.toks[s.i + {m}] = e.term
+  GROUP BY 1
+)
+SELECT doc_id, n_hits::BIGINT AS n_hits FROM good
+"""
+
+
 SPAN_FIRST_LIMIT = 40  # phrase must END within the first 40 tokens
 SPAN_NOT_GUARD = 3  # no 'slow' within 3 tokens either side of the span
 
@@ -4337,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near": q_span_near,
         "span_near_ordered": q_span_near_ordered,
         "span_first": q_span_first,
+        "phrase_prefix": q_phrase_prefix,
         "span_not": q_span_not,
         "lmd_topk": q_lmd_topk,
         "classic_topk": q_classic_topk,
@@ -4445,6 +4490,7 @@ def oracle_sql() -> dict[str, str]:
         "span_near": _sql_span_near(SPAN_TERMS, SPAN_SLOP, ordered=False),
         "span_near_ordered": _sql_span_near(SPAN_TERMS, SPAN_SLOP_ORDERED, ordered=True),
         "span_first": _sql_span_first(PHRASE_2, SPAN_FIRST_LIMIT),
+        "phrase_prefix": _sql_phrase_prefix(PP_BODY, PP_PREFIX, PP_MAX_EXP),
         "span_not": _sql_span_not(PHRASE_2, "slow", SPAN_NOT_GUARD, SPAN_NOT_GUARD),
         "lmd_topk": SQL_LMD_TOPK.format(qt=_terms_sql(query_terms(BM25_QUERY_MULTI))),
         "classic_topk": SQL_CLASSIC_TOPK.format(

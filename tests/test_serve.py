@@ -457,3 +457,50 @@ def test_cluster_boosting_twin_identical(index):
     got_c = [(d, round(s, 6)) for d, s in cluster.search_boosting(pos_q, neg_q, nb, limit=15)]
     got_s = [(d, round(s, 6)) for d, s in single.search_boosting(pos_q, neg_q, nb, limit=15)]
     assert got_c == got_s and got_c
+
+
+# --------------------------------------------------- phrase_prefix serving
+
+
+def test_shard_and_cluster_phrase_prefix_match_spark_plan(spark, index):
+    """Shard == Spark plan, and the doc-sharded cluster == the single
+    shard even when the capped expansion set must be selected globally
+    (per-shard vocabularies differ under doc-hash sharding)."""
+    from coderag_spark.operators import positional as px
+    from coderag_spark.operators.serve import LocalCluster, LocalShard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "top bat top bar"),
+            (2, "top baz"),
+            (3, "top qux"),
+            (4, "bat top bar zz top bat"),
+            (5, "top baz top bar"),
+        ],
+        "doc_id long, text string",
+    )
+    pos = px.positional_postings(docs)
+    compressed = px.compress_positional(pos)
+    single = LocalShard.from_index(index)
+    single.attach_positions(compressed)
+    cluster = LocalCluster.from_index(index, n_shards=3)
+    cluster.attach_positions(compressed)
+    for cap in (2, 3, 50):
+        want = sorted(
+            (
+                (r["doc_id"], r["n_hits"])
+                for r in px.phrase_prefix_hits(pos, ["top"], "ba", max_expansions=cap).collect()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert single.phrase_prefix(["top"], "ba", max_expansions=cap, limit=10) == want, cap
+        assert cluster.phrase_prefix(["top"], "ba", max_expansions=cap, limit=10) == want, cap
+    assert single.phrase_prefix(["missing"], "ba") == []
+    assert single.phrase_prefix(["top"], "zz_nothing") == []
+    with pytest.raises(ValueError):
+        single.phrase_prefix([], "ba")
+    with pytest.raises(ValueError):
+        single.phrase_prefix(["top"], "")
+    fresh = LocalShard.from_index(index)
+    with pytest.raises(ValueError):
+        fresh.phrase_prefix(["top"], "ba")
