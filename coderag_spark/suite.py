@@ -3971,6 +3971,145 @@ FROM rated WHERE u < rate
 """
 
 
+_PIPE_MIN_WORDS = 40
+_PIPE_DECONTAM_N = 3
+_PIPE_DECONTAM_MAX = 0.5
+_PIPE_MIX_RATES = {"src0": 1.0, "src1": 1.0, "src2": 0.5, "src3": 0.5}
+_PIPE_MIX_DEFAULT = 0.7
+
+
+def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data filter chain in ONE Spark job — the
+    composition proof that the per-operator plans fuse into a pipeline:
+    even-id docs (train side) -> Gopher quality gate (min_words=40) ->
+    exact-dedup keeper -> 3-gram decontamination vs the odd-id eval split
+    (hit_frac <= 0.5) -> stratified source mixing. One row per stage with
+    the survivor count. Each stage IS the operator module (gopher_quality,
+    exact_dedup, decontaminate, stratified_sample) filtered into the next
+    via left-semi joins — no collects between stages, so Catalyst plans
+    the whole chain end to end."""
+    from coderag_spark.operators import dedup as dd
+    from coderag_spark.operators import pipeline as pl
+    from coderag_spark.operators import textops as tx
+
+    docs = _documents(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    eval_side = docs.filter(F.col("doc_id") % 2 == 1)
+    g = tx.gopher_quality(train, min_words=_PIPE_MIN_WORDS)
+    s1 = train.join(
+        g.filter(F.col("passes")).select("doc_id"), "doc_id", "left_semi"
+    )
+    keepers = dd.exact_dedup(s1).select(F.col("keeper").alias("doc_id"))
+    s2 = s1.join(keepers, "doc_id", "left_semi")
+    dc = pl.decontaminate(s2, eval_side, n=_PIPE_DECONTAM_N)
+    s3 = s2.join(
+        dc.filter(F.col("hit_frac") <= F.lit(_PIPE_DECONTAM_MAX)).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    s4 = pl.stratified_sample(
+        s3, rates=_PIPE_MIX_RATES, default_rate=_PIPE_MIX_DEFAULT
+    )
+    stages = [
+        ("0_train_split", train),
+        ("1_gopher", s1),
+        ("2_exact_dedup", s2),
+        ("3_decontam", s3),
+        ("4_source_mix", s4),
+    ]
+    counts = None
+    for name, frame in stages:
+        c = frame.agg(F.count("*").cast("long").alias("docs_out")).select(
+            F.lit(name).alias("stage"), "docs_out"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts.orderBy("stage")
+
+
+def _sql_pipeline_filter() -> str:
+    """DuckDB mirror of the whole chain: every stage replays the
+    corresponding oracle's arithmetic (rounded comparisons where the
+    Spark side compares rounded columns)."""
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r!r}" for s, r in _PIPE_MIX_RATES.items()
+    )
+    return f"""
+WITH
+train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM train
+),
+base AS (
+  SELECT doc_id, len(words)::BIGINT AS n_words,
+         round(CASE WHEN len(words) > 0
+               THEN list_sum(list_transform(words, x -> len(x))) * 1.0 / len(words)
+               ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN len(words) > 0
+               THEN len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(words)
+               ELSE 0.0 END, 6) AS alpha_frac
+  FROM w
+),
+t2 AS (SELECT doc_id, {{toks}} AS toks FROM train),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t2 WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+topb AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_grams FROM cnt GROUP BY 1),
+jg AS (SELECT b.*, round(CASE WHEN t.n_grams > 0 THEN t.top_cnt * 1.0 / t.n_grams
+                         ELSE 0.0 END, 6) AS tbf
+       FROM base b LEFT JOIN topb t USING (doc_id)),
+s1 AS (
+  SELECT doc_id FROM jg
+  WHERE n_words BETWEEN {_PIPE_MIN_WORDS} AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND alpha_frac >= 0.80 AND coalesce(tbf, 0.0) <= 0.20
+),
+s2 AS (
+  SELECT min(tr.doc_id) AS doc_id
+  FROM train tr JOIN s1 USING (doc_id)
+  GROUP BY sha256(coalesce(tr.text, ''))
+),
+tok3 AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+g3 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS grams
+  FROM tok3
+),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g3 WHERE doc_id % 2 = 1),
+tr3 AS (SELECT s2.doc_id, unnest(g3.grams) AS gram FROM g3 JOIN s2 USING (doc_id)),
+hf AS (
+  SELECT t.doc_id, count(*) AS n, count(e.gram) AS h
+  FROM tr3 t LEFT JOIN ev e USING (gram) GROUP BY 1
+),
+s3 AS (
+  SELECT doc_id FROM (
+    SELECT s2.doc_id,
+           coalesce(round(h * 1.0 / nullif(n, 0), 6), 0.0) AS hfrac
+    FROM s2 LEFT JOIN hf USING (doc_id)
+  ) WHERE hfrac <= {_PIPE_DECONTAM_MAX}
+),
+s4 AS (
+  SELECT d.doc_id FROM train d JOIN s3 USING (doc_id)
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0
+        < (CASE {whens} ELSE {_PIPE_MIX_DEFAULT!r} END)
+)
+SELECT stage, docs_out FROM (
+  SELECT '0_train_split' AS stage, (SELECT count(*) FROM train)::BIGINT AS docs_out
+  UNION ALL SELECT '1_gopher', (SELECT count(*) FROM s1)::BIGINT
+  UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM s2)::BIGINT
+  UNION ALL SELECT '3_decontam', (SELECT count(*) FROM s3)::BIGINT
+  UNION ALL SELECT '4_source_mix', (SELECT count(*) FROM s4)::BIGINT
+) ORDER BY stage
+""".replace("{toks}", TOKS_SQL)
+
+
 def q_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-line (boilerplate) statistics. The synthetic corpus has no
     newlines, so the query first wraps each doc into deterministic 8-token
@@ -4445,6 +4584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher": q_gopher,
         "fuzzy_decontam": q_fuzzy_decontam,
         "source_mix": q_source_mix,
+        "pipeline_filter": q_pipeline_filter,
         "line_stats": q_line_stats,
         "dup_ngrams": q_dup_ngrams,
         "table_profile": q_table_profile,
@@ -4560,6 +4700,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": SQL_MEDIA_FEATURES,
         "media_decode_exact": SQL_MEDIA_DECODE_EXACT,
         "source_mix": _sql_source_mix(),
+        "pipeline_filter": _sql_pipeline_filter(),
         "line_stats": SQL_LINE_STATS,
         "dup_ngrams": SQL_DUP_NGRAMS,
         "table_profile": SQL_TABLE_PROFILE,
