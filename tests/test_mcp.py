@@ -55,11 +55,12 @@ def test_tools_list_schema(server):
     schema = tools["codebase_search"]["inputSchema"]
     assert schema["required"] == ["query"]
     # the reference's full option surface (mcp-server index.ts:154-186)
-    # plus the beyond-reference 'mode' (prefix/regex expansion)
+    # plus the beyond-reference 'mode' (prefix/regex/struct expansion) and
+    # BoostingQuery demotion (negative / negative_boost)
     assert set(schema["properties"]) == {
         "query", "limit", "include_content", "file_extensions", "path_filter",
         "exclude_paths", "context_lines", "max_snippet_chars", "max_snippet_blocks",
-        "mode",
+        "mode", "negative", "negative_boost",
     }
 
 
