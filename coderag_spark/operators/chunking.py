@@ -109,10 +109,13 @@ class Chunk:
     end_line: int
     chunk_index: int
     entities: list[str] = None  # "kind:name" pairs from definition lines
+    scope: list[str] = None  # enclosing-definition chain, outermost first
 
     def __post_init__(self):
         if self.entities is None:
             self.entities = []
+        if self.scope is None:
+            self.scope = []
 
 
 def chunk_text(text: str, max_chunk_size: int = MAX_CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> list[str]:
@@ -537,7 +540,42 @@ def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
             spans.extend(_split_oversize(lines, code, flags, prefix, s, e, lang, max_chunk_size))
         else:
             spans.append((s, e))
-    return _pack_spans(lines, code, flags, prefix, spans, max_chunk_size)
+    chunks = _pack_spans(lines, code, flags, prefix, spans, max_chunk_size)
+    _attach_scopes(chunks, lines, code, flags, lang)
+    return chunks
+
+
+def _attach_scopes(
+    chunks: list[Chunk], lines: list[str], code: list[str], flags: list[bool], lang: str
+) -> None:
+    """Fill each chunk's enclosing-definition chain (tree-sitter's
+    ``scope`` metadata, chunk-worker.ts:16,32 via the code-chunk package):
+    every definition whose body strictly encloses the chunk's line span,
+    outermost first. Non-empty exactly when an oversize unit was split —
+    a whole top-level definition has no ancestors, but a method piece
+    carved out of an oversize class carries ``["class:Big"]`` (and deeper
+    nestings stack). The chunk's own header line is its first ENTITY, not
+    scope, so pieces that still hold the header don't repeat it here."""
+    braces = lang != "Python"
+    def_spans: list[tuple[int, int, str]] = []
+    for i, fl in enumerate(flags):
+        if not fl:
+            continue
+        ent = _entity_of_line(code[i], True)
+        if ent is None:
+            continue
+        end = _body_end_brace(code, i) if braces else _body_end_indent(lines, i)
+        def_spans.append((i, end, ent))
+    for c in chunks:
+        if c.start_line <= 0:
+            continue  # fallback text chunks carry no line anchors
+        s0, e0 = c.start_line - 1, c.end_line  # 0-based [s0, e0)
+        # trailing blank lines packed into the piece are not content —
+        # without this shrink the last piece of a class body (closing
+        # brace + trailing newline) would fall "outside" its own class
+        while e0 > s0 and not lines[e0 - 1].strip():
+            e0 -= 1
+        c.scope = [ent for (i, end, ent) in def_spans if i < s0 and end >= e0]
 
 
 _KIND_MAP = {
@@ -548,26 +586,32 @@ _KIND_MAP = {
 }
 
 
+def _entity_of_line(cl: str, flag: bool) -> str | None:
+    """Entity ("kind:name") declared on a single stripped code line, or
+    None — the shared extraction behind chunk entities AND scope chains."""
+    if not (flag or "function" in cl):
+        return None  # entity lines are def lines (or mid-line `function`)
+    m = _ENTITY_RE.search(cl)
+    if m:
+        return f"{_KIND_MAP[m.group(1)]}:{m.group(2)}"
+    am = _ARROW_RE.match(cl)
+    if am:
+        return f"function:{am.group(1)}"
+    if flag and _MODIFIER_DEF_RE.match(cl):
+        nm = _METHOD_NAME_RE.search(cl)
+        if nm:
+            return f"function:{nm.group(1)}"
+    return None
+
+
 def _mk_chunk(
     lines: list[str], code: list[str], flags: list[bool], s: int, e: int, idx: int
 ) -> Chunk:
     entities: list[str] = []
     for i in range(s, e):
-        cl = code[i]
-        if not (flags[i] or "function" in cl):
-            continue  # entity lines are def lines (or mid-line `function`)
-        m = _ENTITY_RE.search(cl)
-        if m:
-            entities.append(f"{_KIND_MAP[m.group(1)]}:{m.group(2)}")
-            continue
-        am = _ARROW_RE.match(cl)
-        if am:
-            entities.append(f"function:{am.group(1)}")
-            continue
-        if flags[i] and _MODIFIER_DEF_RE.match(cl):
-            nm = _METHOD_NAME_RE.search(cl)
-            if nm:
-                entities.append(f"function:{nm.group(1)}")
+        ent = _entity_of_line(code[i], flags[i])
+        if ent is not None:
+            entities.append(ent)
     # chunk type = first entity's type, else 'chunk' (ast-chunking.ts:71-73)
     chunk_type = entities[0].split(":", 1)[0] if entities else "chunk"
     return Chunk(
@@ -608,6 +652,7 @@ CHUNK_STRUCT = T.ArrayType(
             T.StructField("end_line", T.IntegerType()),
             T.StructField("chunk_index", T.IntegerType()),
             T.StructField("entities", T.ArrayType(T.StringType())),
+            T.StructField("scope", T.ArrayType(T.StringType())),
         ]
     )
 )
@@ -628,7 +673,7 @@ def chunk_corpus(corpus: DataFrame, max_chunk_size: int = MAX_CHUNK_SIZE, max_fi
         return pd.Series(
             [
                 [
-                    (c.content, c.chunk_type, c.start_line, c.end_line, c.chunk_index, c.entities)
+                    (c.content, c.chunk_type, c.start_line, c.end_line, c.chunk_index, c.entities, c.scope)
                     for c in chunk_file(cnt if isinstance(cnt, str) else "", lg, max_chunk_size)
                 ]
                 for cnt, lg in zip(content, lang)
@@ -650,6 +695,7 @@ def chunk_corpus(corpus: DataFrame, max_chunk_size: int = MAX_CHUNK_SIZE, max_fi
             F.col("chunk.end_line").alias("end_line"),
             F.col("chunk.chunk_index").alias("chunk_index"),
             F.col("chunk.entities").alias("entities"),
+            F.col("chunk.scope").alias("scope"),
         )
         .withColumn(
             "doc_id",

@@ -570,3 +570,44 @@ def test_reference_tree_structural_invariants(path):
             assert len(c.content) <= 1000 * 1.6 + 200, (
                 f"{path.name}: [{c.start_line}-{c.end_line}] {len(c.content)} chars"
             )
+
+
+# ------------------------------------------------------------ scope chains
+
+
+def test_scope_chain_on_split_class_pieces():
+    """tree-sitter's `scope` metadata (chunk-worker.ts:16,32): pieces
+    carved out of an oversize class carry the enclosing-definition chain;
+    whole top-level definitions carry none."""
+    body_a = "\n".join(f"    const a{i} = {i};" for i in range(30))
+    body_b = "\n".join(f"    const b{i} = {i};" for i in range(30))
+    ts = (
+        "class Big {\n  one(): void {\n" + body_a + "\n  }\n"
+        "  two(): void {\n" + body_b + "\n  }\n}\n"
+    )
+    chunks = chunk_file(ts, "TypeScript", max_chunk_size=300)
+    assert chunks[0].entities[:1] == ["class:Big"] and chunks[0].scope == []
+    inner = [c for c in chunks if "class:Big" not in c.entities]
+    assert inner, "oversize class must split"
+    assert all(c.scope == ["class:Big"] for c in inner)
+
+
+def test_scope_chain_nested_python():
+    body_a = "\n".join(f"        x{i} = {i}" for i in range(25))
+    body_b = "\n".join(f"        y{i} = {i}" for i in range(25))
+    py = (
+        "class Outer:\n    def alpha(self):\n" + body_a + "\n"
+        "    def beta(self):\n" + body_b + "\n"
+    )
+    chunks = chunk_file(py, "Python", max_chunk_size=250)
+    by_scope = {tuple(c.scope) for c in chunks}
+    assert () in by_scope  # the class header piece
+    assert ("class:Outer",) in by_scope  # a method split at class level
+    assert ("class:Outer", "function:beta") in by_scope  # body piece, outermost first
+
+
+def test_scope_empty_for_top_level_and_fallback():
+    js = "function a() {\n  return 1;\n}\nfunction b() {\n  return 2;\n}\n"
+    assert all(c.scope == [] for c in chunk_file(js, "JavaScript", max_chunk_size=1000))
+    # fallback text chunks have no line anchors and no scope
+    assert all(c.scope == [] for c in chunk_file("x " * 800, None, max_chunk_size=500))
