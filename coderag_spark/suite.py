@@ -3972,8 +3972,14 @@ FROM rated WHERE u < rate
 
 
 _PIPE_MIN_WORDS = 40
-_PIPE_DECONTAM_N = 3
-_PIPE_DECONTAM_MAX = 0.5
+# 5-gram exact-overlap contamination, drop above 5% — chosen to stay
+# non-degenerate across scale steps: at sf0.01 it drops 12/157 surviving
+# docs, at sf0.1 ~6% of the train side; the 3-gram variant saturated to
+# hit_frac > 0.5 for EVERY doc at sf0.1 (10x eval side), zeroing the
+# funnel. True contamination (the generator's near-clones) still lands
+# at hit_frac ~1.0 and is always caught.
+_PIPE_DECONTAM_N = 5
+_PIPE_DECONTAM_MAX = 0.05
 _PIPE_MIX_RATES = {"src0": 1.0, "src1": 1.0, "src2": 0.5, "src3": 0.5}
 _PIPE_MIX_DEFAULT = 0.7
 
@@ -3982,8 +3988,8 @@ def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data filter chain in ONE Spark job — the
     composition proof that the per-operator plans fuse into a pipeline:
     even-id docs (train side) -> Gopher quality gate (min_words=40) ->
-    exact-dedup keeper -> 3-gram decontamination vs the odd-id eval split
-    (hit_frac <= 0.5) -> stratified source mixing. One row per stage with
+    exact-dedup keeper -> 5-gram decontamination vs the odd-id eval split
+    (hit_frac <= 0.05) -> stratified source mixing. One row per stage with
     the survivor count. Each stage IS the operator module (gopher_quality,
     exact_dedup, decontaminate, stratified_sample) filtered into the next
     via left-semi joins — no collects between stages, so Catalyst plans
@@ -4033,6 +4039,8 @@ def _sql_pipeline_filter() -> str:
     whens = " ".join(
         f"WHEN source = '{s}' THEN {r!r}" for s, r in _PIPE_MIX_RATES.items()
     )
+    n = _PIPE_DECONTAM_N
+    gram_expr = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
     return f"""
 WITH
 train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
@@ -4078,8 +4086,8 @@ s2 AS (
 tok3 AS (SELECT doc_id, {{toks}} AS toks FROM documents),
 g3 AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS grams
+         list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                       i -> {gram_expr})) AS grams
   FROM tok3
 ),
 ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g3 WHERE doc_id % 2 = 1),
