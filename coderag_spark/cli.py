@@ -92,10 +92,38 @@ def _cmd_query(args) -> int:
         # the SAME analyzer that built the positions (a phrase is a token
         # sequence, so query and corpus must share one token space; the
         # code analyzer's subtoken expansion would break adjacency)
-        terms = simple_word_tokenize(args.query)
-        hits_df = phrase_search(
-            corpus, terms, k=args.limit, text_col="content", id_col="_fid"
-        ).join(corpus.select("_fid", "repo", "path"), F.col("doc_id") == F.col("_fid"))
+        raw = args.query.strip()
+        prefix = None
+        if raw.endswith("*"):
+            # match_phrase_prefix: "const max*" = exact body phrase
+            # followed by any max*-completion (type-as-you-search grep)
+            parts = raw.rsplit(None, 1)
+            body, last = (parts if len(parts) == 2 else ("", parts[0]))
+            prefix = last.rstrip("*").lower()
+            terms = simple_word_tokenize(body)
+            if not prefix or not terms:
+                print(json.dumps({"error": "phrase prefix needs 'body terms last*'"}))
+                return 2
+        else:
+            terms = simple_word_tokenize(raw)
+        if prefix is not None:
+            from coderag_spark.operators.positional import (
+                phrase_prefix_hits,
+                positional_postings,
+            )
+
+            pos = positional_postings(corpus, text_col="content", id_col="_fid")
+            hits = phrase_prefix_hits(pos, terms, prefix).orderBy(
+                F.desc("n_hits"), F.asc("doc_id")
+            ).limit(args.limit)
+            hits_df = hits.join(
+                corpus.select("_fid", "repo", "path"), F.col("doc_id") == F.col("_fid")
+            )
+            terms = [*terms, f"{prefix}*"]
+        else:
+            hits_df = phrase_search(
+                corpus, terms, k=args.limit, text_col="content", id_col="_fid"
+            ).join(corpus.select("_fid", "repo", "path"), F.col("doc_id") == F.col("_fid"))
         out = [
             {"repo": r["repo"], "path": r["path"], "nHits": r["n_hits"]}
             for r in hits_df.orderBy(F.desc("n_hits"), F.asc("path")).collect()

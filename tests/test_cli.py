@@ -417,3 +417,30 @@ def test_query_boosting_rejects_filters(built, capsys):
                             "--query", "auth", "--negative", "token",
                             "--file-extensions", ".py"])
     assert rc == 2 and "error" in json.loads(out[-1])
+
+
+def test_query_phrase_prefix_mode(built, capsys):
+    """A trailing * on the last phrase term switches to
+    match_phrase_prefix: exact body phrase + any completion."""
+    corpus_path, index_path = built
+    rc, out = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                            "--corpus", corpus_path,
+                            "--query", "const max*", "--mode", "phrase",
+                            "--limit", "5"])
+    assert rc == 0
+    res = json.loads(out[-1])
+    assert res["terms"][-1] == "max*"
+    assert res["results"], "fixture corpus has 'const MAX_RETRIES' lines"
+    # the prefix expansion must cover at least the exact-phrase matches
+    rc2, out2 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                              "--corpus", corpus_path,
+                              "--query", "const max_retries", "--mode", "phrase",
+                              "--limit", "5"])
+    exact_paths = {r["path"] for r in json.loads(out2[-1])["results"]}
+    prefix_paths = {r["path"] for r in res["results"]}
+    assert exact_paths and exact_paths <= prefix_paths
+    # a bare '*' (no body) is a usage error
+    rc3, out3 = _run(capsys, ["--cores", "4", "query", "--index", index_path,
+                              "--corpus", corpus_path,
+                              "--query", "max*", "--mode", "phrase"])
+    assert rc3 == 2 and "error" in json.loads(out3[-1])
