@@ -456,3 +456,173 @@ def sequence_pack(
         )
     )
     return packed
+
+
+# --------------------------------------------------------------- code corpus
+
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    # the credential shapes a source-code training corpus actually leaks
+    # (the BigCode/The-Stack pipeline runs exactly this class of scan
+    # before release; shapes are the published vendor formats)
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("github_token", r"\bghp_[A-Za-z0-9]{36}\b", "<GH_TOKEN>"),
+    ("slack_token", r"\bxox[baprs]-[A-Za-z0-9-]{10,48}\b", "<SLACK_TOKEN>"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    ("jwt", r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}", "<JWT>"),
+]
+
+
+def secrets_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc credential detection + redaction for code corpora: AWS
+    access keys, GitHub PATs, Slack tokens, PEM private-key headers, and
+    JWTs. Returns (doc_id, n_<type>..., has_secret, clean).
+
+    Same contract as :func:`pii_scrub` (counts on the ORIGINAL text,
+    redaction sequential in SECRET_PATTERNS order) and the same shape at
+    100 TB: pure regexp column expressions, whole-stage codegen, zero
+    shuffle — the scan rides along any corpus pass for free. The pattern
+    list is deliberately high-precision (vendor-prefixed formats), the
+    policy the published code-corpus pipelines converged on: entropy
+    scanners flag test fixtures and hashes, prefix scanners don't."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in SECRET_PATTERNS
+    ]
+    clean = text
+    for _name, pat, repl in SECRET_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    has = None
+    for name, _pat, _repl in SECRET_PATTERNS:
+        c = F.size(F.regexp_extract_all(text, F.lit(_pat), F.lit(0))) > 0
+        has = c if has is None else (has | c)
+    return df.select(
+        F.col(id_col).alias("doc_id"), *counts, has.alias("has_secret"),
+        clean.alias("clean"),
+    )
+
+
+AUTOGEN_PATTERN = r"(?i)(auto[- ]?generated|do not edit|generated by)"
+
+
+def code_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_len: int = 1000,
+    max_avg_line_len: float = 100.0,
+    min_alnum_frac: float = 0.25,
+) -> DataFrame:
+    """The Stack's per-file code-quality filter (Kocetkov et al. 2022,
+    §III; also the StarCoder data pipeline): maximum line length, average
+    line length, alphanumeric-character fraction, and an auto-generated
+    marker scan, plus the combined ``passes`` flag. Minified bundles trip
+    the line-length bounds, encoded blobs trip the alnum fraction (binary
+    dumps are symbol-heavy; base64 walls sit on one giant line), and
+    codegen output self-identifies.
+
+    Lines are the raw newline split (no trim/drop — a blank line is real
+    vertical whitespace that counts toward the average, exactly as
+    published). All pure column expressions over one scan: no shuffle, no
+    Python, rides a 100 TB corpus pass for free."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    max_ll = F.array_max(F.transform(lines, lambda x: F.length(x)))
+    avg_ll = F.round(
+        F.aggregate(lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / n_lines,
+        6,
+    )
+    n_chars = F.length(text)
+    alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
+    alnum_frac = F.round(
+        F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0)), 6
+    )
+    autogen = text.rlike(AUTOGEN_PATTERN)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        max_ll.cast("long").alias("max_line_len"),
+        avg_ll.alias("avg_line_len"),
+        alnum_frac.alias("alnum_frac"),
+        autogen.alias("autogen"),
+        (
+            (max_ll <= max_line_len)
+            & (avg_ll <= max_avg_line_len)
+            & (alnum_frac >= min_alnum_frac)
+            & ~autogen
+        ).alias("passes"),
+    )
+
+
+SPDX_PATTERN = r"SPDX-License-Identifier:[ \t]*([0-9A-Za-z.+-]+)"
+
+# SPDX id -> family; the ids a code corpus actually carries. Unmapped or
+# absent ids classify as "unknown" (conservative: unknown is NOT allowed).
+LICENSE_FAMILY: dict[str, str] = {
+    "MIT": "permissive",
+    "Apache-2.0": "permissive",
+    "BSD-2-Clause": "permissive",
+    "BSD-3-Clause": "permissive",
+    "ISC": "permissive",
+    "Unlicense": "public-domain",
+    "CC0-1.0": "public-domain",
+    "GPL-2.0-only": "copyleft",
+    "GPL-3.0-only": "copyleft",
+    "AGPL-3.0-only": "copyleft",
+    "GPL": "copyleft",           # text-detected, version unknown
+    "LGPL-2.1-only": "weak-copyleft",
+    "MPL-2.0": "weak-copyleft",
+    "EPL-2.0": "weak-copyleft",
+}
+
+# license-body fingerprints, tried in order when no SPDX tag is present:
+# (detected id, distinctive phrase from the license text itself)
+LICENSE_PHRASES: list[tuple[str, str]] = [
+    ("MIT", "Permission is hereby granted, free of charge"),
+    ("Apache-2.0", "Apache License"),
+    ("GPL", "GNU General Public License"),
+]
+
+
+def license_detect(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-file license detection — the first gate of every code-corpus
+    pipeline (The Stack keeps permissive-only): extract an
+    ``SPDX-License-Identifier`` tag if present, else fingerprint the
+    license body by its distinctive phrase, then classify into
+    permissive / public-domain / weak-copyleft / copyleft / unknown and
+    emit the ``allowed`` flag (permissive + public-domain).
+
+    Returns (doc_id, license, method, family, allowed) where method is
+    'spdx' | 'text' | 'none'. Pure column expressions (regexp_extract +
+    literal CASE chains), zero shuffle at any scale."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    spdx = F.regexp_extract(text, SPDX_PATTERN, 1)
+    by_text = None
+    for lic, phrase in LICENSE_PHRASES:
+        b = F.when(F.contains(text, F.lit(phrase)), F.lit(lic))
+        by_text = b if by_text is None else by_text.when(
+            F.contains(text, F.lit(phrase)), F.lit(lic)
+        )
+    by_text = by_text.otherwise(F.lit(""))
+    lic = F.when(spdx != "", spdx).otherwise(by_text)
+    method = (
+        F.when(spdx != "", F.lit("spdx"))
+        .when(by_text != "", F.lit("text"))
+        .otherwise(F.lit("none"))
+    )
+    fam = None
+    for sid, family in LICENSE_FAMILY.items():
+        b = F.when(lic == sid, F.lit(family))
+        fam = b if fam is None else fam.when(lic == sid, F.lit(family))
+    fam = fam.otherwise(F.lit("unknown"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        lic.alias("license"),
+        method.alias("method"),
+        fam.alias("family"),
+        fam.isin("permissive", "public-domain").alias("allowed"),
+    )
