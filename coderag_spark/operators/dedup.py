@@ -654,3 +654,64 @@ def collapse_duplicates(
         F.col("component").alias(id_col), F.col("n_members")
     )
     return docs.join(keepers, id_col)
+
+
+def fork_pairs(
+    df: DataFrame,
+    repo_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_sha_df: int | None = 1000,
+) -> DataFrame:
+    """Repo-level fork detection — the granularity ABOVE file dedup that
+    every code-corpus pipeline runs first (The Stack deduplicates forks
+    before file-level near-dedup; GitHub forks share most file contents
+    verbatim): two repos are fork candidates when the Jaccard similarity
+    of their file-content-hash SETS clears the threshold. Returns
+    (repo_a, repo_b, shared, n_a, n_b, jaccard) with repo_a < repo_b.
+
+    Shape at 100 TB: the self-join is blocked by content sha (exactly the
+    shingle-blocking of :func:`ngram_jaccard_pairs` with the sha as the
+    shingle), so cost is linear in sha postings, never quadratic in repos.
+    ``max_sha_df`` drops ultra-hot shas before the join — an empty
+    __init__.py or a vendored LICENSE file present in m repos contributes
+    m^2 candidate pairs; dropped shas leave intersection AND sizes
+    consistently, like the shingle guard. Only (repo, sha) pairs ever
+    shuffle — content stays in the scan."""
+    files = df.select(
+        F.col(repo_col).alias("repo"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("sha"),
+    ).distinct()
+    files = _persist(files)
+    if max_sha_df:
+        hot = (
+            files.groupBy("sha")
+            .agg(F.count("*").alias("s_df"))
+            .filter(F.col("s_df") > max_sha_df)
+            .select("sha")
+        )
+        files = _persist(files.join(F.broadcast(hot), "sha", "left_anti"))
+    sizes = files.groupBy("repo").agg(F.count("*").alias("n"))
+    a = files.alias("a")
+    b = files.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sha") == F.col("b.sha")) & (F.col("a.repo") < F.col("b.repo")))
+        .groupBy(F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("repo").alias("repo_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("repo").alias("repo_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(sa, "repo_a")
+        .join(sb, "repo_b")
+        .filter(jac >= F.lit(threshold))
+        .select(
+            "repo_a", "repo_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -4693,6 +4693,54 @@ FROM lics
 """
 
 
+def q_fork_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level fork detection end-to-end: each source gets a synthetic
+    fork carrying 80% of its files (doc_id % 5 != 0), then fork_pairs must
+    recover every (src, src_fork) pair from the file-hash Jaccard. The
+    corpus is (source → repo); cross-source pairs appear too if sources
+    share identical texts — the oracle replays the same arithmetic."""
+    from coderag_spark.operators import dedup as ddx
+
+    docs = _documents(spark, sf_dir)
+    base = docs.select(
+        F.col("source").alias("repo"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    fork = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.col("source"), F.lit("_fork")).alias("repo"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    corpus = base.unionByName(fork).withColumn("doc_id", F.lit(0))
+    return ddx.fork_pairs(corpus, repo_col="repo", threshold=0.5)
+
+
+SQL_FORK_DETECT = """
+WITH corpus AS (
+  SELECT source AS repo, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT source || '_fork', coalesce(text, '') FROM documents WHERE doc_id % 5 <> 0
+),
+files AS (SELECT DISTINCT repo, sha256(text) AS sha FROM corpus),
+hot AS (
+  SELECT sha FROM (SELECT sha, count(*) AS c FROM files GROUP BY 1) WHERE c > 1000
+),
+kept AS (SELECT * FROM files ANTI JOIN hot USING (sha)),
+sizes AS (SELECT repo, count(*) AS n FROM kept GROUP BY 1),
+shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.sha = b.sha AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT repo_a, repo_b, shared::BIGINT AS shared,
+       sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+       round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.repo = repo_a
+JOIN sizes sb ON sb.repo = repo_b
+WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
+"""
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -4790,6 +4838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secrets_scan": q_secrets_scan,
         "code_quality": q_code_quality,
         "license_detect": q_license_detect,
+        "fork_detect": q_fork_detect,
         "gopher": q_gopher,
         "fuzzy_decontam": q_fuzzy_decontam,
         "source_mix": q_source_mix,
@@ -4907,6 +4956,7 @@ def oracle_sql() -> dict[str, str]:
         "secrets_scan": _sql_secrets_scan(),
         "code_quality": SQL_CODE_QUALITY,
         "license_detect": _sql_license_detect(),
+        "fork_detect": SQL_FORK_DETECT,
         "gopher": SQL_GOPHER,
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,
         "media_features": SQL_MEDIA_FEATURES,

@@ -319,3 +319,48 @@ def test_fuzzy_decontaminate_hot_gram_guard(spark):
     out2 = fuzzy_decontaminate(train, ev, threshold=0.2, max_eval_gram_df=None).collect()
     release_persists()
     assert out2[0]["n_eval_matches"] >= 1
+
+
+def test_fork_pairs_detects_shared_file_sets(spark):
+    # repoB forks repoA keeping 3 of its 4 files and adding 1 new;
+    # repoC is unrelated. Jaccard(A,B) = 3 / (4 + 4 - 3) = 0.6.
+    rows = []
+    for i, txt in enumerate(["alpha", "beta", "gamma", "delta"]):
+        rows.append((i, "repoA", txt))
+    for i, txt in enumerate(["alpha", "beta", "gamma", "epsilon"]):
+        rows.append((10 + i, "repoB", txt))
+    for i, txt in enumerate(["zeta", "eta"]):
+        rows.append((20 + i, "repoC", txt))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = dd.fork_pairs(df, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["repo_a"], r["repo_b"]) == ("repoA", "repoB")
+    assert (r["shared"], r["n_a"], r["n_b"]) == (3, 4, 4)
+    assert abs(r["jaccard"] - 0.6) < 1e-9
+    # below threshold: nothing
+    assert dd.fork_pairs(df, threshold=0.7).collect() == []
+
+
+def test_fork_pairs_dedups_identical_files_within_a_repo(spark):
+    # the same content twice in one repo is ONE set element, and a repo
+    # never pairs with itself
+    rows = [(1, "r1", "same"), (2, "r1", "same"), (3, "r2", "same")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = dd.fork_pairs(df, threshold=0.1).collect()
+    assert len(out) == 1
+    assert (out[0]["n_a"], out[0]["n_b"], out[0]["shared"]) == (1, 1, 1)
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_fork_pairs_hot_sha_guard(spark):
+    # a boilerplate file present in every repo would alone make all
+    # repos pairwise candidates; the guard drops it from sets AND overlap
+    rows = []
+    for r in range(5):
+        rows.append((r * 10, f"re{r}", "LICENSE boilerplate"))
+        rows.append((r * 10 + 1, f"re{r}", f"unique-{r}"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    assert dd.fork_pairs(df, threshold=0.1, max_sha_df=3).collect() == []
+    guarded_off = dd.fork_pairs(df, threshold=0.1, max_sha_df=None).collect()
+    assert len(guarded_off) == 10  # all C(5,2) pairs via the hot file
