@@ -1,0 +1,151 @@
+"""Code dependency graph: import extraction, edge resolution, PageRank.
+
+The analytics layer a code corpus enables once it is indexed: which files
+import which, which modules are load-bearing (fan-in), and a centrality
+score for curriculum/quality weighting (PageRank over the import graph is
+the classic "importance" prior for code — central utility modules rank
+high, leaf scripts rank low).
+
+Shapes at 100 TB:
+  * extraction is pure regexp column expressions riding the corpus scan
+    (zero extra shuffle);
+  * resolution is one equi-join blocked by module name (the graph edge
+    list only ever carries (src, dst) ids — content never moves);
+  * PageRank is the textbook distributed form — contributions exploded
+    along edges, summed per destination — with a FIXED iteration count
+    unrolled into one Catalyst plan (no driver loop state; for deep
+    iteration counts use ``checkpoint_every`` to cut the lineage like
+    dedup's connected components do).
+
+All exact-oracle friendly: the rank update is plain arithmetic, so a SQL
+engine replays it by unrolling the same iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# language-agnostic import shapes (group 1 captures the module path):
+# Python `import x` / `from x import`, JS/TS `from 'x'` / require('x'),
+# Go `import "x"`. Multiline mode: one import per line.
+IMPORT_PATTERNS: list[str] = [
+    r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)",
+    r"(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import\b",
+    r"""from[ \t]+['"]([^'"]+)['"]""",
+    r"""require\(['"]([^'"]+)['"]\)""",
+    r"(?m)^[ \t]*import[ \t]+\"([^\"]+)\"",
+]
+
+
+def import_mentions(
+    df: DataFrame,
+    patterns: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(src, module) rows: every module path an import statement mentions,
+    distinct per file. Pure regexp_extract_all column expressions — the
+    extraction rides the corpus scan."""
+    pats = IMPORT_PATTERNS if patterns is None else patterns
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    mods = F.array_distinct(
+        F.flatten(
+            F.array(
+                *[F.regexp_extract_all(text, F.lit(p), F.lit(1)) for p in pats]
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("src"), F.explode(mods).alias("module")
+    )
+
+
+def resolve_edges(mentions: DataFrame, definitions: DataFrame) -> DataFrame:
+    """Resolve module mentions to defining files: equi-join on module name
+    (the blocking key). ``definitions`` is (module, doc_id) — e.g. from the
+    corpus path map. Unresolved mentions (stdlib, third-party) drop out.
+    Returns (src, dst) edge rows — duplicates preserved (a file importing
+    a module twice contributes weight 2, mirroring the mention stream)."""
+    defs = definitions.select(
+        F.col(definitions.columns[0]).alias("module"),
+        F.col(definitions.columns[1]).alias("dst"),
+    )
+    return mentions.join(defs, "module").select("src", "dst")
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node fan-in/fan-out over the edge list: one aggregation per
+    direction, full-outer merged (a pure sink has no out rows). The
+    corpus-curation signal: high fan-in marks load-bearing modules."""
+    outd = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("fan_out")
+    )
+    ind = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("fan_in")
+    )
+    return (
+        outd.join(ind, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("fan_out", F.lit(0)).cast("long").alias("fan_out"),
+            F.coalesce("fan_in", F.lit(0)).cast("long").alias("fan_in"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_vertices: int | None = None,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """PageRank over an (src, dst) edge list, fixed iteration count:
+
+        rank0(v)    = 1/N
+        rank_t+1(v) = (1-d)/N + d * sum_{u->v} rank_t(u) / outdeg(u)
+
+    Dangling mass is NOT redistributed (sinks absorb it) — the simple
+    variant every SQL engine can replay by unrolling, which is exactly
+    what the suite oracle does. Returns (id, rank) over every vertex that
+    appears as src or dst.
+
+    Each iteration is one shuffle (contribution sum by dst) plus the
+    broadcast-sized outdeg join; iterations unroll into a single Catalyst
+    plan. Past ``checkpoint_every`` iterations the running frame is
+    localCheckpoint()ed to cut the exponential lineage (same discipline as
+    dedup's label propagation). N may be passed to avoid the count job."""
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if n_vertices is None:
+        # bounded scalar: one count job up front, never per-iteration
+        n_vertices = verts.count()
+    n = float(n_vertices)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    for it in range(n_iter):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+        )
+        ranks = (
+            verts.join(contribs.groupBy("id").agg(F.sum("c").alias("s")), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))

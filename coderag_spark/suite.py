@@ -4741,6 +4741,120 @@ WHERE shared * 1.0 / (sa.n + sb.n - shared) >= 0.5
 """
 
 
+def _import_injected(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Documents with two deterministic import lines appended: doc i
+    imports mod((7i+1) % N) and mod((13i+3) % N) — a fixed synthetic
+    dependency graph at any sf. Returns (injected_docs, N)."""
+    docs = _documents(spark, sf_dir)
+    n = docs.count()
+    t1 = ((F.col("doc_id") * 7 + 1) % n).cast("string")
+    t2 = ((F.col("doc_id") * 13 + 3) % n).cast("string")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nimport mod"), t1,
+            F.lit("\nfrom mod"), t2, F.lit(" import thing"),
+        ),
+    )
+    return injected, n
+
+
+def q_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-graph construction end-to-end: regex mention extraction over
+    the injected corpus, resolved against the module-definition map
+    (doc i defines mod<i>) by an equi-join on module name."""
+    from coderag_spark.operators import codegraph as cg
+
+    injected, _ = _import_injected(spark, sf_dir)
+    mentions = cg.import_mentions(injected)
+    defs = _documents(spark, sf_dir).select(
+        F.concat(F.lit("mod"), F.col("doc_id").cast("string")).alias("module"),
+        F.col("doc_id"),
+    )
+    return cg.resolve_edges(mentions, defs)
+
+
+def _sql_import_mods() -> str:
+    """DuckDB expression for the distinct module mentions of column
+    ``text`` — replays codegraph.IMPORT_PATTERNS exactly."""
+    from coderag_spark.operators import codegraph as cg
+
+    return "list_distinct(" + " || ".join(
+        "regexp_extract_all(text, '{}', 1)".format(p.replace("'", "''"))
+        for p in cg.IMPORT_PATTERNS
+    ) + ")"
+
+
+_SQL_IMPORT_EDGES = """
+injected AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         chr(10) || 'import mod' ||
+           ((doc_id * 7 + 1) % (SELECT count(*) FROM documents))::VARCHAR ||
+         chr(10) || 'from mod' ||
+           ((doc_id * 13 + 3) % (SELECT count(*) FROM documents))::VARCHAR ||
+           ' import thing' AS text
+  FROM documents
+),
+mentions AS (
+  SELECT src, unnest(mods) AS module
+  FROM (SELECT doc_id AS src, {mods} AS mods FROM injected)
+),
+defs AS (SELECT 'mod' || doc_id::VARCHAR AS module, doc_id AS dst FROM documents),
+edges AS (SELECT src, dst FROM mentions JOIN defs USING (module))
+"""
+
+
+def _sql_import_graph() -> str:
+    return (
+        "WITH " + _SQL_IMPORT_EDGES.format(mods=_sql_import_mods())
+        + "\nSELECT src, dst FROM edges"
+    )
+
+
+def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the injected import graph, 3 iterations, top 20 by
+    rounded rank with id tie-break. The oracle unrolls the identical rank
+    updates in SQL."""
+    from coderag_spark.operators import codegraph as cg
+
+    edges = q_import_graph(spark, sf_dir)
+    ranks = cg.pagerank(edges, n_iter=3)
+    return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+
+
+def _sql_pagerank_topk() -> str:
+    steps = []
+    for t in range(3):
+        steps.append(f"""
+c{t + 1} AS (
+  SELECT e.dst AS id, sum(r.rank / o.od) AS s
+  FROM edges e JOIN r{t} r ON r.id = e.src JOIN outdeg o ON o.src = e.src
+  GROUP BY 1
+),
+r{t + 1} AS (
+  SELECT v.id, 0.15 / (SELECT n FROM nv) + 0.85 * coalesce(c.s, 0.0) AS rank
+  FROM verts v LEFT JOIN c{t + 1} c USING (id)
+)""")
+    return (
+        "WITH " + _SQL_IMPORT_EDGES.format(mods=_sql_import_mods())
+        + """,
+verts AS (
+  SELECT DISTINCT id
+  FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+),
+nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM verts),"""
+        + ",".join(steps)
+        + """
+SELECT id, round(rank, 6) AS rank
+FROM r3 ORDER BY round(rank, 6) DESC, id LIMIT 20
+"""
+    )
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -4839,6 +4953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         "license_detect": q_license_detect,
         "fork_detect": q_fork_detect,
+        "import_graph": q_import_graph,
+        "pagerank_topk": q_pagerank_topk,
         "gopher": q_gopher,
         "fuzzy_decontam": q_fuzzy_decontam,
         "source_mix": q_source_mix,
@@ -4957,6 +5073,8 @@ def oracle_sql() -> dict[str, str]:
         "code_quality": SQL_CODE_QUALITY,
         "license_detect": _sql_license_detect(),
         "fork_detect": SQL_FORK_DETECT,
+        "import_graph": _sql_import_graph(),
+        "pagerank_topk": _sql_pagerank_topk(),
         "gopher": SQL_GOPHER,
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,
         "media_features": SQL_MEDIA_FEATURES,
