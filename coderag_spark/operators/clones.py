@@ -1,0 +1,159 @@
+"""Code-clone detection via winnowing fingerprints (the MOSS algorithm).
+
+Winnowing (Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+Document Fingerprinting", SIGMOD 2003 — public method) selects a guaranteed
+subsample of a document's k-gram hashes: slide a window of ``w`` consecutive
+gram hashes and keep the minimum of each window (rightmost occurrence on
+ties). The selected set is ~2/(w+1) of the grams yet any shared substring of
+at least ``k + w - 1`` tokens between two documents is GUARANTEED to share a
+fingerprint — the local property that makes it the standard code-plagiarism
+/ clone-candidate primitive (MOSS). The reference engine has no clone tier;
+this is part of the training-data-pipeline family (near-dup mining on code
+needs locality guarantees that MinHash's global-sample bound doesn't give).
+
+Implementation is pure JVM column expressions — ZERO shuffle for the
+fingerprinting pass (each doc's selection is a per-row higher-order-function
+fold, like dedup.minhash_signatures' zero-shuffle signatures):
+
+  * gram hash  h_i = first-8-hex of md5(gram) as a 32-bit int (identical in
+    DuckDB: ``('0x'||substr(md5(g),1,8))::BIGINT`` — exact-oracle friendly);
+  * combined key  key_i = h_i * 2^24 + (2^24 - 1 - i)  so that a single
+    ``array_min`` over a window slice returns the RIGHTMOST minimal hash
+    (smaller hash -> smaller key; equal hash -> larger position -> smaller
+    key), the tie rule the paper specifies.  2^24 bounds docs at 16.7M
+    grams; h < 2^32 keeps key < 2^56, inside long range, and the decode is
+    exact bit arithmetic (shiftright / mask), never float division.
+
+Clone pairs then reuse the dedup tier's blocked-self-join shape: explode
+distinct (doc, fp), optional hot-fingerprint guard (a fp shared by m docs
+contributes m^2 candidate rows — boilerplate headers at corpus scale),
+equi-join on fp, Jaccard over fingerprint sets. At 100 TB the fingerprint
+stream is ~2/(w+1) the gram stream and the join is blocked per fp, so the
+shape matches minhash_lsh_pairs' scaling story with a strictly smaller
+candidate stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coderag_spark.functions.tokenize import simple_tokens_col
+from coderag_spark.operators.dedup import _persist, token_ngrams
+
+# position shift: key = hash * SHIFT + (SHIFT-1-pos). 24 bits of position
+# (16.7M grams/doc) under a 32-bit hash keeps keys exact in a long.
+_SHIFT = 1 << 24
+
+
+def _gram_keys(grams: Column) -> Column:
+    """array<long> of combined (hash, rightmost-pos) winnowing keys for an
+    ORDERED gram array (transform's index arg is 0-based; positions are
+    1-based to match the SQL oracle's range(1, ..))."""
+    return F.transform(
+        grams,
+        lambda g, i: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        * F.lit(_SHIFT)
+        + (F.lit(_SHIFT - 1) - (i + F.lit(1))),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, fp) winnowing-selected fingerprints per document.
+
+    ``k``: token-gram width (match granularity); ``w``: winnow window.
+    Guarantee: any shared run of >= k + w - 1 tokens shares a fingerprint.
+    Documents with fewer than ``k`` tokens produce no rows; documents with
+    1..w-1 grams produce the single whole-doc minimum (the paper's
+    short-document case).
+
+    Pure per-row fold (no shuffle, no Python): windows are ``array_min``
+    over slices of the pre-materialized key array. ``slice`` truncates at
+    the array end, which is exactly the short-tail window semantics.
+    """
+    # two-step select: the gram/key transforms must consume materialized
+    # columns, not raw split expressions (see dedup.token_ngrams' note on
+    # lambda re-evaluation).
+    with_toks = df.select(
+        F.col(id_col).alias("doc_id"), simple_tokens_col(F.col(text_col)).alias("_toks")
+    )
+    with_grams = with_toks.select(
+        "doc_id", token_ngrams(F.col("_toks"), k, distinct=False).alias("_grams")
+    )
+    keyed = with_grams.select("doc_id", _gram_keys(F.col("_grams")).alias("_khs"))
+    m = F.size("_khs")
+    nwin = F.greatest(m - (w - 1), F.lit(1))
+    sel = F.when(
+        m >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda j: F.array_min(F.slice(F.col("_khs"), j, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return keyed.select("doc_id", F.explode(sel).alias("_wk")).select(
+        "doc_id",
+        (F.lit(_SHIFT - 1) - (F.col("_wk") % _SHIFT)).cast("long").alias("pos"),
+        F.shiftright(F.col("_wk"), 24).cast("long").alias("fp"),
+    )
+
+
+def winnow_clone_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.2,
+    max_fp_df: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Clone-candidate pairs (doc_a < doc_b, shared, jaccard) over winnowing
+    fingerprint SETS (positions dropped — set containment is the MOSS
+    pair score).
+
+    ``max_fp_df`` drops fingerprints present in more than that many docs
+    before the self-join (hot-boilerplate guard, same contract as
+    dedup.ngram_jaccard_pairs.max_shingle_df: dropped fps leave both the
+    intersection and each doc's set size, so jaccard stays consistent over
+    the surviving fingerprint space). ON by default — at corpus scale a
+    license-header fingerprint would otherwise go quadratic.
+    """
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    # feeds guard, sizes, and both join sides; tracked by dedup's
+    # release_persists so the suite's cache-bound invariant holds
+    fps = _persist(fps.select("doc_id", "fp").distinct())
+    if max_fp_df:
+        hot = fps.groupBy("fp").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") > max_fp_df
+        )
+        fps = _persist(fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti"))
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("_nb"))
+    jac = F.col("shared") / (F.col("_na") + F.col("_nb") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -2637,6 +2637,77 @@ WHERE shared * 1.0 / (sa.n_grams + sb.n_grams - shared) >= 0.5
 """
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (MOSS, Schleimer et al. 2003):
+    (doc_id, pos, fp) — the guaranteed local subsample of each doc's
+    5-token-gram hashes under a window of 4. Zero-shuffle per-row HOF
+    fold; the combined-key trick makes the rightmost-min tie rule a
+    single array_min (clones.py docstring)."""
+    from coderag_spark.operators import clones
+
+    return clones.winnow_fingerprints(_documents(spark, sf_dir), k=5, w=4)
+
+
+# winnowing CTE shared by both oracles: combined key = hash32 * 2^24 +
+# (2^24-1-pos) so a plain window MIN returns the rightmost minimal hash
+# (the paper's tie rule); decode is exact bit arithmetic on both engines.
+_WINNOW_S = 1 << 24
+SQL_WINNOW_CTE = f"""
+toks AS (SELECT doc_id, {TOKS_SQL} AS ts FROM documents),
+keys AS (
+  SELECT doc_id, unnest(range(1, greatest(len(ts) - 4, 0) + 1)) AS i,
+         unnest(list_transform(range(1, greatest(len(ts) - 4, 0) + 1),
+            i -> ('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 4), ' ')), 1, 8))::BIGINT
+                 * {_WINNOW_S} + ({_WINNOW_S - 1} - i))) AS key
+  FROM toks
+),
+win AS (
+  SELECT doc_id, i,
+         min(key) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM keys
+),
+sel AS (SELECT DISTINCT doc_id, wk FROM win WHERE i <= greatest(m - 3, 1))
+"""
+
+SQL_WINNOW_FP = f"""
+WITH {SQL_WINNOW_CTE}
+SELECT doc_id, ({_WINNOW_S - 1} - (wk & {_WINNOW_S - 1}))::BIGINT AS pos,
+       (wk >> 24)::BIGINT AS fp
+FROM sel
+"""
+
+
+def q_winnow_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-candidate pairs over winnowing fingerprint sets (jaccard >=
+    0.2). The hot-fingerprint guard is passed as None EXPLICITLY (same
+    structural-match convention as q_ngram_jaccard): the guard is ON by
+    default in the operator, but the oracle below is guard-free and this
+    corpus has no fp hot enough to trip it."""
+    from coderag_spark.operators import clones
+
+    return clones.winnow_clone_pairs(
+        _documents(spark, sf_dir), k=5, w=4, threshold=0.2, max_fp_df=None
+    )
+
+
+SQL_WINNOW_CLONES = f"""
+WITH {SQL_WINNOW_CTE},
+fps AS (SELECT DISTINCT doc_id, (wk >> 24)::BIGINT AS fp FROM sel),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared::BIGINT AS shared,
+       round(shared * 1.0 / (sa.n_fp + sb.n_fp - shared), 6) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared * 1.0 / (sa.n_fp + sb.n_fp - shared) >= 0.2
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tx.fingerprint(_documents(spark, sf_dir))
     return out.select("doc_id", "fp", F.col("n_tokens").cast("long").alias("n_tokens"))
@@ -4920,6 +4991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
+        "winnow_fp": q_winnow_fp,
+        "winnow_clones": q_winnow_clones,
         "quality": q_quality,
         "langid": q_langid,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -5040,6 +5113,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "fingerprint": SQL_FINGERPRINT,
+        "winnow_fp": SQL_WINNOW_FP,
+        "winnow_clones": SQL_WINNOW_CLONES,
         "quality": SQL_QUALITY,
         "langid": _sql_langid(),
         "ann_cosine_topk": SQL_ANN_COSINE,

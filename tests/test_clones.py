@@ -1,0 +1,122 @@
+"""Winnowing fingerprints (MOSS) — paper guarantees + brute-force parity.
+
+Properties pinned (Schleimer et al. 2003, §2):
+  * correctness: the Spark HOF implementation matches a direct Python
+    reference (k-gram hash, window-min, rightmost-tie) token for token;
+  * guarantee: any shared token run of length >= k + w - 1 between two
+    docs shares at least one fingerprint;
+  * density: selected positions cover every window (gap between
+    consecutive selections <= w);
+  * clone pairs: exact/near/unrelated docs rank as expected, and the
+    hot-fingerprint guard drops boilerplate consistently on both sides
+    of the jaccard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from coderag_spark.functions.tokenize import simple_word_tokenize
+from coderag_spark.operators import clones
+
+K, W = 5, 4
+
+
+def _py_winnow(text: str, k: int = K, w: int = W) -> set[tuple[int, int]]:
+    """Direct single-node reference: (pos, fp) winnowing selection."""
+    toks = simple_word_tokenize(text)
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    m = len(hs)
+    if not m:
+        return set()
+    sel: set[tuple[int, int]] = set()
+    for j in range(max(m - w + 1, 1)):
+        window = hs[j : j + w]
+        mn = min(window)
+        # rightmost occurrence of the min
+        p = j + max(i for i, h in enumerate(window) if h == mn)
+        sel.add((p + 1, hs[p]))  # 1-based to match the column contract
+    return sel
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(12):
+        rows.append((i, " ".join(rng.choice(WORDS) for _ in range(rng.randint(0, 60)))))
+    rows.append((100, "short doc"))  # 2 tokens -> no 5-gram
+    rows.append((101, "one two three four five six"))  # 2 grams < w
+    return spark.createDataFrame(rows, "doc_id long, text string"), {
+        d: t for d, t in rows
+    }
+
+
+def test_matches_python_reference(corpus):
+    df, texts = corpus
+    got: dict[int, set] = {}
+    for r in clones.winnow_fingerprints(df, k=K, w=W).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for doc_id, text in texts.items():
+        assert got.get(doc_id, set()) == _py_winnow(text), f"doc {doc_id}"
+
+
+def test_density_guarantee(corpus):
+    df, _ = corpus
+    by_doc: dict[int, list[int]] = {}
+    for r in clones.winnow_fingerprints(df, k=K, w=W).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    for positions in by_doc.values():
+        ps = sorted(positions)
+        assert all(b - a <= W for a, b in zip(ps, ps[1:]))
+
+
+def test_shared_run_guarantee(spark):
+    """Two docs sharing a >= k+w-1 token run must share a fingerprint."""
+    run = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"  # 10 >= 8
+    df = spark.createDataFrame(
+        [
+            (1, "prefix words here " + run + " tail one"),
+            (2, "totally other opening " + run + " different closing words"),
+        ],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set[int]] = {1: set(), 2: set()}
+    for r in clones.winnow_fingerprints(df, k=K, w=W).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2]
+
+
+def test_clone_pairs_rank(spark):
+    base = " ".join(f"token{i} filler{i % 3}" for i in range(40))
+    near = base.replace("token7", "changed7")
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, "unrelated totally different words entirely")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in clones.winnow_clone_pairs(df, threshold=0.2, max_fp_df=None).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_hot_fp_guard(spark):
+    """A fingerprint present in more docs than max_fp_df leaves both the
+    intersection and each doc's set size (consistent surviving-space
+    jaccard), mirroring ngram_jaccard_pairs' guard contract."""
+    boiler = "copyright header apache license version two zero standard"
+    rows = [(i, boiler + f" unique{i} word{i} extra{i} more{i} stuff{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = clones.winnow_clone_pairs(df, threshold=0.01, max_fp_df=None).count()
+    guarded = clones.winnow_clone_pairs(df, threshold=0.01, max_fp_df=5).count()
+    assert unguarded >= guarded  # hot fps only ever remove evidence
