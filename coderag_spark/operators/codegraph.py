@@ -149,3 +149,76 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+# language-agnostic definition shapes (group 1 captures the defined name):
+# Python `def f(` / `class C`, JS/TS `function f` / `class C`, Go `func f`,
+# Rust `fn f`. Multiline mode, one definition per line; names are matched
+# in the engine's lowercase token space (the simple analyzer lowercases, so
+# reference lookup is case-folded — same convention as the search path).
+DEF_PATTERNS: list[str] = [
+    r"(?m)^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    r"(?m)^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    r"(?m)^[ \t]*(?:export[ \t]+)?function[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    r"(?m)^[ \t]*func[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+    r"(?m)^[ \t]*(?:pub[ \t]+)?fn[ \t]+([A-Za-z_][A-Za-z0-9_]*)",
+]
+
+
+def definition_mentions(
+    df: DataFrame,
+    patterns: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(def_doc, name) rows: every function/class name a definition line
+    declares, distinct per file, lowercased into the token space. Pure
+    regexp_extract_all column expressions riding the corpus scan — the
+    same zero-extra-shuffle shape as import_mentions."""
+    pats = DEF_PATTERNS if patterns is None else patterns
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    names = F.array_distinct(
+        F.transform(
+            F.flatten(
+                F.array(
+                    *[F.regexp_extract_all(text, F.lit(p), F.lit(1)) for p in pats]
+                )
+            ),
+            F.lower,
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("def_doc"), F.explode(names).alias("name")
+    )
+
+
+def find_references(docs_or_postings: DataFrame, defs: DataFrame) -> DataFrame:
+    """Cross-reference resolution (the LSP "find references" primitive, at
+    corpus scale): (name, def_doc, ref_doc) for every document whose token
+    set contains a defined name, excluding the defining document itself.
+
+    ``docs_or_postings`` is a (term, doc_id) stream — pass
+    ``index.postings`` to resolve against the ALREADY-BUILT inverted index
+    (zero tokenize cost: xref at scale is a semi-join on the postings
+    store, blocked by term, exactly like keyword retrieval), or any
+    freshly exploded distinct-token frame with those two columns.
+
+    The join is a blocked equi-join on name (small defs side broadcast);
+    no content moves — only (term, doc) pairs."""
+    toks = docs_or_postings.select(
+        F.col("term").alias("name"), F.col("doc_id").alias("ref_doc")
+    )
+    return (
+        toks.join(F.broadcast(defs), "name")
+        .filter(F.col("ref_doc") != F.col("def_doc"))
+        .select("name", "def_doc", "ref_doc")
+    )
+
+
+def reference_counts(refs: DataFrame) -> DataFrame:
+    """(name, def_doc, n_ref_docs): distinct referencing docs per
+    definition — the fan-in ranking a code-search UI shows on a symbol.
+    One aggregation over the (already blocked) reference stream."""
+    return refs.groupBy("name", "def_doc").agg(
+        F.count_distinct("ref_doc").cast("long").alias("n_ref_docs")
+    )

@@ -4926,6 +4926,81 @@ FROM r3 ORDER BY round(rank, 6) DESC, id LIMIT 20
     )
 
 
+def _xref_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with a deterministic definition + two call lines appended:
+    doc i defines fn<i> and calls fn((3i+2) % N) and fn((11i+5) % N) — a
+    fixed synthetic symbol graph at any sf (the import_graph convention)."""
+    docs = _documents(spark, sf_dir)
+    n = docs.count()
+    own = F.col("doc_id").cast("string")
+    c1 = ((F.col("doc_id") * 3 + 2) % n).cast("string")
+    c2 = ((F.col("doc_id") * 11 + 5) % n).cast("string")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\ndef fn"), own, F.lit("(x):"),
+            F.lit("\n    return fn"), c1, F.lit("(x) + fn"), c2, F.lit("(1)"),
+        ),
+    )
+
+
+def q_xref_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-references end-to-end (the LSP xref primitive at corpus
+    scale): regex definition extraction over the injected corpus, then a
+    blocked equi-join of defined names against the distinct-token stream
+    (at scale: against index.postings — xref is a postings semi-join).
+    Returns (name, def_doc, n_ref_docs)."""
+    from coderag_spark.operators import codegraph as cg
+
+    injected = _xref_injected(spark, sf_dir)
+    defs = cg.definition_mentions(injected)
+    toks = injected.select(
+        F.explode(F.array_distinct(simple_tokens_col(F.col("text")))).alias("term"),
+        F.col("doc_id"),
+    )
+    return cg.reference_counts(cg.find_references(toks, defs))
+
+
+def _sql_def_names() -> str:
+    """DuckDB expression for the distinct lowercased definition names of
+    column ``text`` — replays codegraph.DEF_PATTERNS exactly."""
+    from coderag_spark.operators import codegraph as cg
+
+    return "list_distinct(list_transform(" + " || ".join(
+        "regexp_extract_all(text, '{}', 1)".format(p.replace("'", "''"))
+        for p in cg.DEF_PATTERNS
+    ) + ", t -> lower(t)))"
+
+
+def _sql_xref_refs() -> str:
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         chr(10) || 'def fn' || doc_id::VARCHAR || '(x):' ||
+         chr(10) || '    return fn' ||
+           ((doc_id * 3 + 2) % (SELECT count(*) FROM documents))::VARCHAR ||
+           '(x) + fn' ||
+           ((doc_id * 11 + 5) % (SELECT count(*) FROM documents))::VARCHAR ||
+           '(1)' AS text
+  FROM documents
+),
+defs AS (
+  SELECT doc_id AS def_doc, unnest(names) AS name
+  FROM (SELECT doc_id, {_sql_def_names()} AS names FROM injected)
+),
+toks AS (
+  SELECT doc_id AS ref_doc, unnest(list_distinct({TOKS_SQL})) AS name
+  FROM injected
+)
+SELECT name, def_doc, count(DISTINCT ref_doc)::BIGINT AS n_ref_docs
+FROM toks JOIN defs USING (name)
+WHERE ref_doc != def_doc
+GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -5028,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fork_detect": q_fork_detect,
         "import_graph": q_import_graph,
         "pagerank_topk": q_pagerank_topk,
+        "xref_refs": q_xref_refs,
         "gopher": q_gopher,
         "fuzzy_decontam": q_fuzzy_decontam,
         "source_mix": q_source_mix,
@@ -5150,6 +5226,7 @@ def oracle_sql() -> dict[str, str]:
         "fork_detect": SQL_FORK_DETECT,
         "import_graph": _sql_import_graph(),
         "pagerank_topk": _sql_pagerank_topk(),
+        "xref_refs": _sql_xref_refs(),
         "gopher": SQL_GOPHER,
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,
         "media_features": SQL_MEDIA_FEATURES,
