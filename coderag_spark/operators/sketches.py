@@ -1,0 +1,64 @@
+"""Distinct-count sketches: KMV (k minimum values) over a hashed value
+stream.
+
+KMV (Bar-Yossef et al. 2002, "Counting distinct elements in a data
+stream"; the Theta-sketch special case with theta = k-th min — public
+method) estimates the number of distinct values from only the k smallest
+distinct hash values: if the k-th smallest of n uniform hashes in [0, M)
+is h_k, then n ≈ (k-1) * M / h_k. Unlike approx_count_distinct's opaque
+HLL bytes, every piece of this is plain integer/column arithmetic, so the
+estimate itself is EXACTLY reproducible by a SQL oracle — the same
+deterministic-sketch discipline as the suite's MinHash/SimHash family.
+
+Scale shape: the input collapses to DISTINCT (group, hash) first — one
+shuffle producing a dictionary-sized stream (the same "final dictionary
+aggregate" scale budget the engine's build already carries) — then a
+per-group k-smallest rank filter. The sketch property that matters at
+100 TB is mergeability: k-min sets from disjoint partitions union-then-
+truncate to the global k-min set, which is exactly what the rank-filter
+over the distinct stream computes; no driver state, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# hash space: first 8 hex chars of md5 -> uniform 32-bit int. DuckDB twin:
+# ('0x'||substr(md5(v),1,8))::BIGINT — bit-identical (same trick as the
+# winnowing and PQ-seeding hashes).
+_M = float(1 << 32)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "term",
+    k: int = 64,
+) -> DataFrame:
+    """(group, k_used, h_k, kmv_estimate) per group.
+
+    ``k_used`` < k means the group had fewer than k distinct hashes and
+    the estimate IS the exact distinct-hash count (the KMV small-set
+    rule). The estimate divides two exact integers < 2^53 in doubles, so
+    it is IEEE-identical across engines before the 6-decimal round.
+    """
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 8), 16, 10).cast("long")
+    hs = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .distinct()
+    )
+    wnd = Window.partitionBy("grp").orderBy("h")
+    ranked = hs.withColumn("_r", F.row_number().over(wnd)).filter(F.col("_r") <= k)
+    agg = ranked.groupBy("grp").agg(
+        F.max("h").alias("h_k"), F.count("*").alias("_n")
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_M) / F.col("h_k")
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("_n").cast("long").alias("k_used"),
+        F.col("h_k").cast("long").alias("h_k"),
+        F.round(est, 6).alias("kmv_estimate"),
+    )

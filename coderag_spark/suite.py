@@ -5001,6 +5001,59 @@ GROUP BY 1, 2
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-token estimate per language, k=64, joined against the
+    exact distinct count (the accuracy report a sketch ships with). Every
+    value — including the estimate — is exact-reproducible arithmetic."""
+    from coderag_spark.operators import sketches as sk
+
+    docs = _documents(spark, sf_dir)
+    pairs = docs.select(
+        "lang", F.explode(simple_tokens_col(F.col("text"))).alias("term")
+    ).distinct()
+    est = sk.kmv_distinct(pairs, group_col="lang", value_col="term", k=64)
+    exact = pairs.groupBy("lang").agg(
+        F.count_distinct("term").cast("long").alias("n_exact")
+    )
+    rel_err = F.round(
+        F.abs(F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+    )
+    return est.join(exact, "lang").select(
+        "lang", "k_used", "h_k", "kmv_estimate", "n_exact",
+        rel_err.alias("rel_err"),
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH pairs AS (
+  SELECT DISTINCT lang, term
+  FROM (SELECT lang, unnest({TOKS_SQL}) AS term FROM documents)
+),
+hs AS (
+  SELECT DISTINCT lang, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+  FROM pairs
+),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+  FROM hs
+),
+agg AS (
+  SELECT lang, max(h) AS h_k, count(*) AS n
+  FROM ranked WHERE r <= 64 GROUP BY 1
+),
+exact AS (SELECT lang, count(DISTINCT term) AS n_exact FROM pairs GROUP BY 1)
+SELECT lang, n::BIGINT AS k_used, h_k::BIGINT AS h_k,
+       round(CASE WHEN n < 64 THEN n::DOUBLE
+                  ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / h_k END, 6)
+         AS kmv_estimate,
+       n_exact::BIGINT AS n_exact,
+       round(abs(round(CASE WHEN n < 64 THEN n::DOUBLE
+                            ELSE 63.0::DOUBLE * 4294967296.0::DOUBLE / h_k END, 6)
+                 - n_exact) / n_exact, 6) AS rel_err
+FROM agg JOIN exact USING (lang)
+"""
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -5104,6 +5157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_graph": q_import_graph,
         "pagerank_topk": q_pagerank_topk,
         "xref_refs": q_xref_refs,
+        "kmv_distinct": q_kmv_distinct,
         "gopher": q_gopher,
         "fuzzy_decontam": q_fuzzy_decontam,
         "source_mix": q_source_mix,
@@ -5227,6 +5281,7 @@ def oracle_sql() -> dict[str, str]:
         "import_graph": _sql_import_graph(),
         "pagerank_topk": _sql_pagerank_topk(),
         "xref_refs": _sql_xref_refs(),
+        "kmv_distinct": SQL_KMV_DISTINCT,
         "gopher": SQL_GOPHER,
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,
         "media_features": SQL_MEDIA_FEATURES,

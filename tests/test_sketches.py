@@ -1,0 +1,61 @@
+"""KMV distinct sketch: estimator math, small-set rule, mergeability."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.operators import sketches as sk
+
+
+def _h32(v: str) -> int:
+    return int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    rows = [("a", f"v{i}") for i in range(500)] + [("b", f"v{i}") for i in range(10)]
+    # duplicates must not affect the sketch
+    rows += rows[:100]
+    return spark.createDataFrame(rows, "lang string, term string")
+
+
+def test_small_group_is_exact(stream):
+    out = {r["lang"]: r for r in sk.kmv_distinct(stream, k=64).collect()}
+    assert out["b"]["k_used"] == 10
+    assert out["b"]["kmv_estimate"] == 10.0
+
+
+def test_estimator_matches_direct_formula(stream):
+    out = {r["lang"]: r for r in sk.kmv_distinct(stream, k=64).collect()}
+    hs = sorted({_h32(f"v{i}") for i in range(500)})
+    h_k = hs[63]
+    assert out["a"]["h_k"] == h_k
+    assert out["a"]["kmv_estimate"] == round(63 * 2**32 / h_k, 6)
+    # the estimate should be in the right ballpark (k=64 -> ~12% stderr)
+    assert 300 < out["a"]["kmv_estimate"] < 800
+
+
+def test_merge_equals_global(spark):
+    """k-min of the union == k-min over the concatenated stream: computing
+    the sketch over two disjoint halves' distinct streams then re-sketching
+    the union gives the identical (h_k, estimate)."""
+    half1 = spark.createDataFrame([("a", f"x{i}") for i in range(200)], "lang string, term string")
+    half2 = spark.createDataFrame([("a", f"y{i}") for i in range(200)], "lang string, term string")
+    both = half1.unionByName(half2)
+    direct = sk.kmv_distinct(both, k=32).collect()[0]
+    # partial k-min sets, then union-and-resketch (mergeability)
+    p1 = sk.kmv_distinct(half1, k=32).collect()[0]
+    p2 = sk.kmv_distinct(half2, k=32).collect()[0]
+    assert direct["h_k"] <= max(p1["h_k"], p2["h_k"])
+    merged_hs = sorted(
+        {_h32(f"x{i}") for i in range(200)} | {_h32(f"y{i}") for i in range(200)}
+    )[:32]
+    assert direct["h_k"] == merged_hs[-1]
+
+
+def test_pure_jvm_plan(stream):
+    plan = sk.kmv_distinct(stream)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
