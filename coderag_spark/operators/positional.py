@@ -385,6 +385,127 @@ def span_not_hits(
     )
 
 
+def _near2_spans(term_a: str, term_b: str, slop: int):
+    """All (start, end) spans of an unordered 2-clause SpanNearQuery:
+    every occurrence pair (p in positions(a), q in positions(b)) whose
+    covering window [min,max] has at most ``slop`` intervening positions
+    (window length <= 2 + slop). Returns (starts, ends) parallel column
+    arrays — flattened pair enumeration, O(tf_a * tf_b) per doc worst
+    case, which posting-list tf bounds keep tiny in practice (the same
+    budget Lucene's span enumeration pays)."""
+    pa = F.element_at("pmap", F.lit(term_a))
+    pb = F.element_at("pmap", F.lit(term_b))
+    w = F.lit(2 + slop)
+
+    def pairs(f) -> Column:
+        return F.flatten(
+            F.transform(
+                pa,
+                lambda p: F.transform(
+                    F.filter(
+                        pb,
+                        lambda q: (q != p)
+                        & (F.greatest(p, q) - F.least(p, q) + 1 <= w),
+                    ),
+                    lambda q: f(p, q),
+                ),
+            )
+        )
+
+    return pairs(F.least), pairs(F.greatest)
+
+
+def span_containing_hits(
+    positional: DataFrame,
+    big: tuple[str, str],
+    big_slop: int,
+    little: list[str],
+) -> DataFrame:
+    """Lucene SpanContainingQuery(big, little): spans of the unordered
+    2-clause near query ``big`` (window slop ``big_slop``) that fully
+    contain an occurrence of the exact phrase ``little`` — the query shape
+    behind "find `table` near `value` where the window also says `hash`".
+    Returns (doc_id, n_hits) counting qualifying big spans.
+
+    Scale shape: identical to span_near_hits — ONE isin-filtered postings
+    shuffle builds the per-doc position map for big + little terms, then
+    the span enumeration and containment tests run as whole-stage-codegen
+    higher-order folds over frequency-sized arrays (no UDF, no extra
+    shuffle). The little side adds only its phrase terms' posting lists.
+    """
+    if len(little) < 1:
+        raise ValueError("span_containing_hits needs a non-empty little phrase")
+    ml = len(little)
+    have = _doc_position_map(positional, [*big, *little])
+    starts, ends = _near2_spans(big[0], big[1], big_slop)
+
+    def _little_start(p: Column) -> Column:
+        cond = F.lit(True)
+        for i, t in enumerate(little[1:], start=1):
+            cond = cond & F.array_contains(F.element_at("pmap", F.lit(t)), p + i)
+        return cond
+
+    lstarts = F.filter(F.element_at("pmap", F.lit(little[0])), _little_start)
+    contains = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.exists(
+            lstarts, lambda q: (q >= s) & (q + F.lit(ml - 1) <= e)
+        ),
+    )
+    n_hits = F.size(F.filter(contains, lambda c: c))
+    return (
+        have.select("doc_id", n_hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def span_within_hits(
+    positional: DataFrame,
+    little: list[str],
+    big: tuple[str, str],
+    big_slop: int,
+) -> DataFrame:
+    """Lucene SpanWithinQuery(big, little): occurrences of the exact
+    phrase ``little`` that sit fully inside at least one span of the
+    unordered 2-clause near query ``big`` — the dual of span_containing
+    (counts little occurrences, not big spans). Returns (doc_id, n_hits).
+    Same single-shuffle, pure-HOF plan as span_containing_hits.
+    """
+    if len(little) < 1:
+        raise ValueError("span_within_hits needs a non-empty little phrase")
+    ml = len(little)
+    have = _doc_position_map(positional, [*big, *little])
+    starts, ends = _near2_spans(big[0], big[1], big_slop)
+
+    def _little_start(p: Column) -> Column:
+        cond = F.lit(True)
+        for i, t in enumerate(little[1:], start=1):
+            cond = cond & F.array_contains(F.element_at("pmap", F.lit(t)), p + i)
+        return cond
+
+    lstarts = F.filter(F.element_at("pmap", F.lit(little[0])), _little_start)
+    spans_ok = F.zip_with(starts, ends, lambda s, e: s * F.lit(_SPAN_ENC) + e)
+    within = F.filter(
+        lstarts,
+        lambda q: F.exists(
+            spans_ok,
+            lambda se: (q >= F.shiftright(se, 32))
+            & (q + F.lit(ml - 1) <= se % F.lit(_SPAN_ENC)),
+        ),
+    )
+    n_hits = F.size(within)
+    return (
+        have.select("doc_id", n_hits.cast("long").alias("n_hits"))
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+# span (start,end) pair encoding for zip-free exists: positions are
+# int32, so start * 2^32 + end is exact in a long
+_SPAN_ENC = 1 << 32
+
+
 def phrase_prefix_hits(
     positional: DataFrame,
     terms: list[str],

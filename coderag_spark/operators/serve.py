@@ -1047,6 +1047,73 @@ class LocalShard:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:limit]
 
+    def span_containing(
+        self,
+        big: tuple[str, str],
+        big_slop: int,
+        little: list[str],
+        limit: int = 10,
+        within: bool = False,
+    ) -> list[tuple[int, int]]:
+        """SpanContainingQuery / SpanWithinQuery from the attached position
+        store: big = unordered 2-clause near (window <= 2 + big_slop),
+        little = exact phrase. ``within=False`` counts qualifying big
+        spans; ``within=True`` counts little occurrences covered by >= 1
+        big span — identical semantics to positional.span_containing_hits
+        / span_within_hits (verified rank-identical in tests)."""
+        from coderag_spark.operators.positional import decode_positions
+
+        if not little:
+            raise ValueError("span_containing needs a non-empty little phrase")
+        ml = len(little)
+        w = 2 + big_slop
+        pos = getattr(self, "positions", None)
+        if pos is None:
+            raise ValueError("call attach_positions(...) first")
+        needed = [*big, *little]
+        maps = []
+        for t in dict.fromkeys(needed):
+            mm = pos.get(t)
+            if mm is None:
+                return []
+            maps.append(mm)
+        cand = set(min(maps, key=len))
+        for mm in maps:
+            cand &= mm.keys()
+        hits: list[tuple[int, int]] = []
+        for d in cand:
+            pa = decode_positions(pos[big[0]][d])
+            pb = decode_positions(pos[big[1]][d])
+            lfirst = decode_positions(pos[little[0]][d])
+            later = [set(decode_positions(pos[t][d])) for t in little[1:]]
+            lstarts = [
+                r
+                for r in lfirst
+                if all(r + i in s for i, s in enumerate(later, start=1))
+            ]
+            spans = [
+                (min(p, q), max(p, q))
+                for p in pa
+                for q in pb
+                if q != p and max(p, q) - min(p, q) + 1 <= w
+            ]
+            if within:
+                n = sum(
+                    1
+                    for r in lstarts
+                    if any(s <= r and r + ml - 1 <= e for s, e in spans)
+                )
+            else:
+                n = sum(
+                    1
+                    for s, e in spans
+                    if any(s <= r and r + ml - 1 <= e for r in lstarts)
+                )
+            if n:
+                hits.append((d, n))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:limit]
+
     def phrase_prefix(
         self,
         terms: list[str],
@@ -1302,6 +1369,23 @@ class LocalCluster:
         merged: list[tuple[int, int]] = []
         for sh in self.shards:
             merged.extend(sh.span_not(terms, exclude, pre, post, limit))
+        merged.sort(key=lambda e: (-e[1], e[0]))
+        return merged[:limit]
+
+    def span_containing(
+        self,
+        big: tuple[str, str],
+        big_slop: int,
+        little: list[str],
+        limit: int = 10,
+        within: bool = False,
+    ) -> list[tuple[int, int]]:
+        """SpanContaining/SpanWithin across the doc-sharded cluster: all
+        of a doc's positions live in its own shard, so per-shard evaluation
+        + k-way merge is exact."""
+        merged: list[tuple[int, int]] = []
+        for sh in self.shards:
+            merged.extend(sh.span_containing(big, big_slop, little, limit, within))
         merged.sort(key=lambda e: (-e[1], e[0]))
         return merged[:limit]
 

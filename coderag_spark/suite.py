@@ -2150,6 +2150,79 @@ SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
 """
 
 
+SPAN_BIG = ("join", "scan")  # unordered 2-clause near, slop 4 (window <= 6)
+SPAN_BIG_SLOP = 4
+SPAN_LITTLE = ["hash"]
+
+
+def q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanContainingQuery (positional.span_containing_hits): spans
+    of near(join, scan, slop=4) that fully contain 'hash' — 'join near
+    scan where the window also mentions hash'. Counts qualifying big
+    spans per doc."""
+    from coderag_spark.operators import positional as px
+
+    return px.span_containing_hits(
+        _positional(spark, sf_dir), SPAN_BIG, SPAN_BIG_SLOP, SPAN_LITTLE
+    )
+
+
+def q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanWithinQuery (positional.span_within_hits): occurrences
+    of 'hash' sitting inside at least one near(join, scan, slop=4) span —
+    the dual of span_containing (counts little occurrences)."""
+    from coderag_spark.operators import positional as px
+
+    return px.span_within_hits(
+        _positional(spark, sf_dir), SPAN_LITTLE, SPAN_BIG, SPAN_BIG_SLOP
+    )
+
+
+def _sql_span_contain(
+    big: tuple[str, str], slop: int, little: list[str], within: bool
+) -> str:
+    """DuckDB mirror of span_containing/span_within: enumerate the big
+    near-query's (p, q) occurrence pairs inside the window bound, test
+    little-phrase containment. 1-based positions — containment is
+    translation-invariant."""
+    ml = len(little)
+    w = 2 + slop
+    lconds = " AND ".join(
+        f"toks[r + {j}] = '{t}'" for j, t in enumerate(little)
+    )
+    if within:
+        # count little starts covered by >= 1 qualifying big span
+        body = f"""
+         coalesce(len(list_filter(ls, r -> len(list_filter(pa, p ->
+             len(list_filter(pb, q -> q != p
+                 AND greatest(p, q) - least(p, q) + 1 <= {w}
+                 AND r >= least(p, q)
+                 AND r + {ml - 1} <= greatest(p, q))) > 0)) > 0)), 0)"""
+    else:
+        # count big spans containing >= 1 little start
+        body = f"""
+         coalesce(list_sum(list_transform(pa, p ->
+             len(list_filter(pb, q -> q != p
+                 AND greatest(p, q) - least(p, q) + 1 <= {w}
+                 AND len(list_filter(ls, r -> r >= least(p, q)
+                     AND r + {ml - 1} <= greatest(p, q))) > 0)))), 0)"""
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{big[0]}') AS pa,
+         list_filter(range(1, len(toks) + 1), i -> toks[i] = '{big[1]}') AS pb,
+         list_filter(range(1, len(toks) - {ml - 1} + 1), r -> {lconds}) AS ls
+  FROM tok WHERE len(toks) >= {ml}
+),
+hits AS (
+  SELECT doc_id, ({body})::BIGINT AS n_hits
+  FROM pos WHERE len(pa) > 0 AND len(pb) > 0 AND len(ls) > 0
+)
+SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+"""
+
+
 def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene SpanNotQuery (positional.span_not_hits): occurrences of the
     exact phrase 'table hash' with no 'slow' within 3 tokens on either
@@ -5089,6 +5162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first": q_span_first,
         "phrase_prefix": q_phrase_prefix,
         "span_not": q_span_not,
+        "span_containing": q_span_containing,
+        "span_within": q_span_within,
         "lmd_topk": q_lmd_topk,
         "classic_topk": q_classic_topk,
         "search_after": q_search_after,
@@ -5209,6 +5284,12 @@ def oracle_sql() -> dict[str, str]:
         "span_first": _sql_span_first(PHRASE_2, SPAN_FIRST_LIMIT),
         "phrase_prefix": _sql_phrase_prefix(PP_BODY, PP_PREFIX, PP_MAX_EXP),
         "span_not": _sql_span_not(PHRASE_2, "slow", SPAN_NOT_GUARD, SPAN_NOT_GUARD),
+        "span_containing": _sql_span_contain(
+            SPAN_BIG, SPAN_BIG_SLOP, SPAN_LITTLE, within=False
+        ),
+        "span_within": _sql_span_contain(
+            SPAN_BIG, SPAN_BIG_SLOP, SPAN_LITTLE, within=True
+        ),
         "lmd_topk": SQL_LMD_TOPK.format(qt=_terms_sql(query_terms(BM25_QUERY_MULTI))),
         "classic_topk": SQL_CLASSIC_TOPK.format(
             toks=TOKS_SQL,

@@ -572,3 +572,46 @@ def test_phrase_prefix_cap_is_lexicographic(pp_docs):
         for r in px.phrase_prefix_hits(pp_docs, ["top"], "ba", max_expansions=3).collect()
     }
     assert uncapped == {0: 2, 1: 1}
+
+
+def test_span_containing_and_within(pos):
+    # big = near(alpha, gamma, slop=2) -> window <= 4
+    # doc0: alpha@{0,3} gamma@{2} -> spans [0,2],[2,3]; beta@{1,4}
+    # doc1: alpha@1 gamma@3 -> span [1,3]; beta@{0,2}
+    # doc2: span [0,1]; beta@2 outside -> no hit
+    cont = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.span_containing_hits(
+            pos, ("alpha", "gamma"), 2, ["beta"]
+        ).collect()
+    }
+    assert cont == {0: 1, 1: 1}
+    within = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.span_within_hits(
+            pos, ["beta"], ("alpha", "gamma"), 2
+        ).collect()
+    }
+    assert within == {0: 1, 1: 1}
+
+
+def test_span_containing_little_phrase(pos):
+    # little = exact phrase "beta gamma": doc0 start@1 inside span [0,2];
+    # doc1 has "beta gamma" start@2 inside span [1,3]
+    cont = {
+        r["doc_id"]: r["n_hits"]
+        for r in px.span_containing_hits(
+            pos, ("alpha", "gamma"), 2, ["beta", "gamma"]
+        ).collect()
+    }
+    assert cont == {0: 1, 1: 1}
+
+
+def test_span_containing_tight_slop(pos):
+    # slop 0 -> only adjacent pairs; no beta can sit strictly inside a
+    # 2-token span made of alpha/gamma occurrences
+    assert (
+        px.span_containing_hits(pos, ("alpha", "gamma"), 0, ["beta"]).count() == 0
+    )
+    with pytest.raises(ValueError):
+        px.span_containing_hits(pos, ("alpha", "gamma"), 2, [])

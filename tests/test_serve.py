@@ -504,3 +504,52 @@ def test_shard_and_cluster_phrase_prefix_match_spark_plan(spark, index):
     fresh = LocalShard.from_index(index)
     with pytest.raises(ValueError):
         fresh.phrase_prefix(["top"], "ba")
+
+
+def test_shard_span_containing_matches_spark_plan(spark, index):
+    """attach_positions + span_containing/span_within == the Spark
+    positional plans, served in-process off compressed blobs; cluster
+    sharding merges exactly."""
+    from coderag_spark.operators import positional as px
+    from coderag_spark.operators.serve import LocalCluster, LocalShard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta alpha beta gamma"),
+            (3, "alpha gamma beta"),
+            (4, "alpha beta"),
+            (5, "zz zz zz zz zz zz alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    pos = px.positional_postings(docs)
+    compressed = px.compress_positional(pos)
+    shard = LocalShard.from_index(index)
+    shard.attach_positions(compressed)
+    for big, slop, little, within in (
+        (("alpha", "gamma"), 2, ["beta"], False),
+        (("alpha", "gamma"), 2, ["beta"], True),
+        (("alpha", "gamma"), 2, ["beta", "gamma"], False),
+        (("alpha", "gamma"), 0, ["beta"], False),
+    ):
+        plan = (
+            px.span_within_hits(pos, little, big, slop)
+            if within
+            else px.span_containing_hits(pos, big, slop, little)
+        )
+        want = sorted(
+            ((r["doc_id"], r["n_hits"]) for r in plan.collect()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        got = shard.span_containing(big, slop, little, limit=10, within=within)
+        assert got == want, (big, slop, little, within)
+    # doc-sharded cluster serves identically
+    cluster = LocalCluster.from_index(index, n_shards=2)
+    cluster.attach_positions(compressed)
+    assert cluster.span_containing(("alpha", "gamma"), 2, ["beta"]) == shard.span_containing(
+        ("alpha", "gamma"), 2, ["beta"]
+    )
+    assert shard.span_containing(("alpha", "zz_missing"), 2, ["beta"]) == []
+    with pytest.raises(ValueError):
+        shard.span_containing(("alpha", "gamma"), 2, [])
