@@ -823,6 +823,94 @@ def spell_suggest(
     )
 
 
+def phrase_suggest(
+    dictionary: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    terms: list[str],
+    vocab_size: int,
+    max_edits: int = 1,
+    max_candidates: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Elasticsearch phrase suggester (the multi-term did-you-mean): per
+    query slot, gather dictionary candidates within ``max_edits`` (top
+    ``max_candidates`` by distance asc, df desc, term asc — the
+    DirectSpellChecker ranking spell_suggest uses), form every candidate
+    phrase, and rescore with the corpus bigram language model
+
+        score = sum_j ln( (count(w_j w_j+1) + 1) / (count(w_j) + V) )
+
+    (add-one smoothing — the same model textops.bigram_logprob trains).
+    Returns (suggestion, score) top-``k``; the original phrase competes
+    as its own candidate (distance 0), so in-vocabulary queries win
+    unless a correction is genuinely more fluent.
+
+    Inputs: ``dictionary`` (term, df), ``unigrams`` (term, cnt token
+    counts), ``bigrams`` (w1, w2, c12), ``vocab_size`` = |V|.
+
+    Scale shape: each slot's candidate frame is a pure dictionary scan
+    (length-banded Levenshtein like fuzzy_search) truncated to
+    ``max_candidates`` rows, so the cross-product is at most
+    ``max_candidates^len(terms)`` rows — a broadcast-sized frame joined
+    against the DISTRIBUTED bigram/unigram model on the pair key (tiny
+    side auto-broadcast; the model never moves, and no candidate list is
+    ever collected to the driver)."""
+    if len(terms) < 2:
+        raise ValueError("phrase_suggest needs at least two terms")
+    if max_candidates < 1:
+        raise ValueError("max_candidates must be >= 1")
+    from pyspark.sql import Window
+
+    n = len(terms)
+    slots = []
+    for i, t in enumerate(terms):
+        w = t.lower()
+        cand = (
+            dictionary.filter(fuzzy_cond(w, max_edits))
+            .select(
+                F.col("term").alias(f"w{i}"),
+                F.levenshtein(F.col("term"), F.lit(w)).alias("_d"),
+                F.col("df").alias("_df"),
+            )
+        )
+        rn = F.row_number().over(
+            Window.orderBy(F.asc("_d"), F.desc("_df"), F.asc(f"w{i}"))
+        )
+        slots.append(
+            cand.withColumn("_r", rn)
+            .filter(F.col("_r") <= max_candidates)
+            .select(f"w{i}")
+        )
+    phr = slots[0]
+    for s in slots[1:]:
+        phr = phr.crossJoin(s)
+    score = F.lit(0.0)
+    for j in range(n - 1):
+        bj = bigrams.select(
+            F.col("w1").alias(f"w{j}"),
+            F.col("w2").alias(f"w{j + 1}"),
+            F.col("c12").alias(f"_c{j}"),
+        )
+        phr = phr.join(bj, [f"w{j}", f"w{j + 1}"], "left")
+        uj = unigrams.select(
+            F.col("term").alias(f"w{j}"), F.col("cnt").alias(f"_u{j}")
+        )
+        phr = phr.join(uj, f"w{j}", "left")
+        score = score + F.log(
+            (F.coalesce(F.col(f"_c{j}"), F.lit(0)) + 1)
+            / (F.coalesce(F.col(f"_u{j}"), F.lit(0)) + F.lit(vocab_size))
+        )
+    return (
+        phr.select(
+            F.concat_ws(" ", *[F.col(f"w{i}") for i in range(n)]).alias("suggestion"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
 def bm25f_search(
     field_tokens: DataFrame,
     terms: list[str],

@@ -1785,6 +1785,105 @@ ORDER BY 2 ASC, 3 DESC, 1 ASC LIMIT 8
 """
 
 
+PHRASE_SUGGEST_TERMS = ["tabel", "hash", "jion"]  # 2 typos around a real term
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester (bm25.phrase_suggest): per-slot Levenshtein
+    candidates from the dictionary (<=2 edits, top 3 by distance/df/term),
+    all candidate phrases rescored with the corpus add-one bigram LM.
+    'tabel hash jion' should correct toward 'table hash join'."""
+    from coderag_spark.operators.bm25 import phrase_suggest
+
+    dic = (
+        _doc_postings(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    uni = (
+        _tokdocs(spark, sf_dir)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    toks_sized = _tokdocs(spark, sf_dir).filter(F.size("toks") >= 2)
+    cnt = F.size("toks") - 1
+    big = (
+        toks_sized.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", F.lit(1), cnt),
+                    F.slice("toks", F.lit(2), cnt),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    v = uni.count()  # bounded scalar: dictionary-sized count job
+    return phrase_suggest(
+        dic, uni, big, PHRASE_SUGGEST_TERMS, v,
+        max_edits=2, max_candidates=3, k=5,
+    )
+
+
+def _sql_phrase_suggest(terms: list[str]) -> str:
+    cands = []
+    for i, t in enumerate(terms):
+        cands.append(f"""
+c{i} AS (
+  SELECT term AS s{i} FROM (
+    SELECT term,
+           row_number() OVER (ORDER BY levenshtein(term, '{t}') ASC,
+                              df DESC, term ASC) AS r
+    FROM dic
+    WHERE abs(len(term) - {len(t)}) <= 2 AND levenshtein(term, '{t}') <= 2
+  ) WHERE r <= 3
+)""")
+    pair_scores = []
+    joins = []
+    for j in range(len(terms) - 1):
+        joins.append(
+            f"LEFT JOIN big b{j} ON b{j}.w1 = s{j} AND b{j}.w2 = s{j + 1}\n"
+            f"LEFT JOIN uni u{j} ON u{j}.term = s{j}"
+        )
+        pair_scores.append(
+            f"ln((coalesce(b{j}.c12, 0) + 1)::DOUBLE"
+            f" / (coalesce(u{j}.cnt, 0) + (SELECT v FROM vv))::DOUBLE)"
+        )
+    phrase = " || ' ' || ".join(f"s{i}" for i in range(len(terms)))
+    crossj = " CROSS JOIN ".join(f"c{i}" for i in range(len(terms)))
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+post AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+dic AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+uni AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest(toks) AS term FROM tok) GROUP BY 1
+),
+vv AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT w1, w2, count(*) AS c12
+  FROM (
+    SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+           unnest(list_slice(toks, 2, len(toks))) AS w2
+    FROM tok WHERE len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+{",".join(cands)}
+SELECT {phrase} AS suggestion,
+       round({" + ".join(pair_scores)}, 6) AS score
+FROM {crossj}
+{chr(10).join(joins)}
+ORDER BY 2 DESC, 1 ASC LIMIT 5
+"""
+
+
 # Lucene-subset structured query exercising the round-4 grammar: an any-of
 # required group, an inclusive lexicographic tag range (src2..src9 sort
 # ABOVE 'src13', so the range admits exactly src1,src10..src13), and a
@@ -5144,6 +5243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting": q_boosting,
         "mlt_topk": q_mlt_topk,
         "spell_suggest": q_spell_suggest,
+        "phrase_suggest": q_phrase_suggest,
         "bm25f_topk": q_bm25f_topk,
         "bm25_msm": q_bm25_msm,
         "bm25_long": q_bm25_long,
@@ -5266,6 +5366,7 @@ def oracle_sql() -> dict[str, str]:
         "boosting": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10, neg=BOOSTING_NEG),
         "mlt_topk": SQL_MLT_TOPK,
         "spell_suggest": SQL_SPELL_SUGGEST,
+        "phrase_suggest": _sql_phrase_suggest(PHRASE_SUGGEST_TERMS),
         "bm25f_topk": _sql_bm25f(query_terms(BM25_QUERY_MULTI), 10),
         "bm25_msm": _sql_bm25(query_terms(BM25_QUERY_LONG), 20, min_match=3),
         "bm25_long": _sql_bm25(query_terms(BM25_QUERY_LONG), 25),

@@ -207,6 +207,60 @@ def test_spell_suggest_finds_misspelled_term(index):
         bm.spell_suggest(index, "")
 
 
+def test_phrase_suggest_corrects_typo_phrase(spark):
+    """'worl dhello'-style typo phrase corrects to the fluent corpus
+    bigram; the original in-vocab phrase wins when not misspelled."""
+    import math
+
+    from coderag_spark.operators.bm25 import phrase_suggest
+
+    docs = spark.createDataFrame(
+        [(i, "spark engine builds spark engine daily") for i in range(4)]
+        + [(9, "spark motor rarely")],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), r"[^a-z0-9_]+").alias("toks"),
+    )
+    uni = toks.select(F.explode("toks").alias("term")).groupBy("term").agg(
+        F.count("*").alias("cnt")
+    )
+    dic = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    cnt = F.size("toks") - 1
+    big = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", F.lit(1), cnt),
+                    F.slice("toks", F.lit(2), cnt),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    v = uni.count()
+    rows = phrase_suggest(
+        dic, uni, big, ["spork", "engine"], v, max_edits=1, max_candidates=3, k=3
+    ).collect()
+    assert rows[0]["suggestion"] == "spark engine"
+    # hand-check the top score: p(engine|spark) = (c12+1)/(cnt_spark+V)
+    c12 = {(r["w1"], r["w2"]): r["c12"] for r in big.collect()}[("spark", "engine")]
+    cnt_spark = {r["term"]: r["cnt"] for r in uni.collect()}["spark"]
+    want = round(math.log((c12 + 1) / (cnt_spark + v)), 6)
+    assert rows[0]["score"] == want
+    with pytest.raises(ValueError):
+        phrase_suggest(dic, uni, big, ["solo"], v)
+
+
 # ------------------------------------------------------ BM25F
 
 
