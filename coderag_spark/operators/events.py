@@ -17,7 +17,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SESSION_GAP_SECONDS = 1800
@@ -125,3 +125,39 @@ def session_stats(
         F.sum("sess_events").cast("long").alias("n_events"),
         F.max("sess_events").cast("long").alias("max_session_events"),
     )
+
+
+def composite_buckets(
+    df: DataFrame,
+    keys: list[str],
+    size: int = 10,
+    after: tuple | None = None,
+    metrics: dict[str, Column] | None = None,
+) -> DataFrame:
+    """ES composite aggregation with after-key paging: buckets over the
+    ``keys`` tuple in ascending key order, strictly AFTER the exclusive
+    ``after`` cursor, first ``size`` buckets. Page N+1 passes page N's
+    last key tuple verbatim — every page costs one aggregate + an
+    O(size) ordered take, never an O(offset) skip (the same
+    deep-pagination contract as bm25.search's search_after).
+
+    ``metrics`` maps output column name -> aggregate Column expression
+    (default: doc_count). The after-filter is a lexicographic tuple
+    predicate pushed BELOW the aggregate's sort, so Catalyst prunes
+    whole buckets before the TakeOrdered."""
+    if not keys:
+        raise ValueError("composite_buckets needs at least one key")
+    if after is not None and len(after) != len(keys):
+        raise ValueError("after cursor arity must match keys")
+    aggs = metrics or {"doc_count": F.count("*").cast("long")}
+    out = df.groupBy(*keys).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    if after is not None:
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for k, a in zip(keys, after):
+            cond = cond | (eq & (F.col(k) > F.lit(a)))
+            eq = eq & (F.col(k) == F.lit(a))
+        out = out.filter(cond)
+    return out.orderBy(*[F.asc(k) for k in keys]).limit(size)

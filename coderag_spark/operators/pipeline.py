@@ -626,3 +626,41 @@ def license_detect(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         fam.alias("family"),
         fam.isin("permissive", "public-domain").alias("allowed"),
     )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multi-source sampling weights (the T5/mT5 mixing
+    rate, Raffel et al. 2020 §3.4.3 / Conneau et al. 2020 eq. 1 — public
+    method): p_s = n_s^alpha / sum_t n_t^alpha. alpha < 1 up-samples
+    small sources (alpha=0 is uniform-per-source, alpha=1 is proportional
+    sampling); ``boost`` = p_s / (n_s / N) is the per-doc over-sampling
+    factor a weighted data loader applies.
+
+    One tiny aggregate (source cardinality rows) + a scalar total ridden
+    via a window over the same frame — no second pass over the corpus,
+    no driver math."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(id_col).cast("long").alias("n_docs")
+    )
+    wall = Window.partitionBy()
+    powed = counts.withColumn("_p", F.pow(F.col("n_docs"), F.lit(alpha)))
+    return (
+        powed.withColumn("_ptot", F.sum("_p").over(wall))
+        .withColumn("_ntot", F.sum("n_docs").over(wall))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_p") / F.col("_ptot"), 6).alias("weight"),
+            F.round(
+                (F.col("_p") / F.col("_ptot")) / (F.col("n_docs") / F.col("_ntot")),
+                6,
+            ).alias("boost"),
+        )
+    )

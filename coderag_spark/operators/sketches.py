@@ -62,3 +62,71 @@ def kmv_distinct(
         F.col("h_k").cast("long").alias("h_k"),
         F.round(est, 6).alias("kmv_estimate"),
     )
+
+
+def _rho_case(rest, width: int):
+    """Leading-zero rank of a ``width``-bit field as a chained CASE —
+    integer comparisons only, so Spark and a SQL oracle agree bit-for-bit
+    (no float log2 at power-of-two boundaries)."""
+    expr = F.when(rest == 0, F.lit(width + 1))
+    for r in range(1, width + 1):
+        # rho = r  <=>  value's highest set bit is bit (width - r)
+        lo = 1 << (width - r)
+        expr = expr.when(rest >= lo, F.lit(r))
+    return expr
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "term",
+    p: int = 6,
+) -> DataFrame:
+    """(group, n_registers, sum_inv, n_zero, hll_estimate): HyperLogLog
+    (Flajolet et al. 2007 — public method) with m = 2^p registers over
+    the md5-32 hash space: bucket = top ``p`` bits, rho = leading-zero
+    rank + 1 of the remaining 32-p bits, register = max rho per bucket,
+
+        raw = alpha_m * m^2 / sum_j 2^(-M_j)
+        E   = m * ln(m / V)   if raw <= 2.5m and V = #zero registers > 0
+              raw             otherwise (no large-range correction at 32
+                              bits and corpus-vocab cardinalities)
+
+    Every step is integer compares + sums of exact powers of two (the
+    register sum carries <= 2^(32-p) ulps of 2^-(33-p) — exact in a
+    double regardless of accumulation order), so the estimate is
+    bit-reproducible by a SQL oracle, like kmv_distinct.
+
+    Scale shape: one DISTINCT (group, hash) collapse, one (group, bucket)
+    max-aggregate (m-bounded per group), one m-row rollup per group —
+    the textbook mergeable-sketch dataflow with no driver state."""
+    m = 1 << p
+    width = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 8), 16, 10).cast("long")
+    hs = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    bucketed = hs.select(
+        "grp",
+        F.shiftright("h", width).alias("bucket"),
+        _rho_case(F.col("h") % F.lit(1 << width), width).alias("rho"),
+    )
+    regs = bucketed.groupBy("grp", "bucket").agg(F.max("rho").alias("reg"))
+    per_group = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("_sum_present"),
+        F.count("*").alias("_n_present"),
+    )
+    # absent buckets are zero registers: 2^0 = 1 each
+    n_zero = F.lit(m) - F.col("_n_present")
+    sum_inv = F.col("_sum_present") + n_zero.cast("double")
+    raw = F.lit(alpha * m * m) / sum_inv
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (n_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_zero.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        F.col("grp").alias(group_col),
+        F.lit(m).cast("long").alias("n_registers"),
+        F.round(sum_inv, 6).alias("sum_inv"),
+        n_zero.cast("long").alias("n_zero"),
+        F.round(est, 6).alias("hll_estimate"),
+    )

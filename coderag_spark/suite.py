@@ -5226,6 +5226,109 @@ FROM agg JOIN exact USING (lang)
 """
 
 
+COMPOSITE_AFTER = ("en", "src3")  # exclusive after-key cursor (page 2)
+
+
+def q_composite_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation with after-key paging: (lang, source)
+    buckets strictly after the ('en','src3') cursor in ascending key
+    order, 8 buckets, with doc_count + sum_chars metrics — constant cost
+    per page regardless of cursor depth."""
+    from coderag_spark.operators.events import composite_buckets
+
+    return composite_buckets(
+        _documents(spark, sf_dir),
+        keys=["lang", "source"],
+        size=8,
+        after=COMPOSITE_AFTER,
+        metrics={
+            "n_docs": F.count("*").cast("long"),
+            "sum_chars": F.sum("n_chars").cast("long"),
+        },
+    )
+
+
+SQL_COMPOSITE_AFTER = f"""
+SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+GROUP BY 1, 2
+HAVING (lang > '{COMPOSITE_AFTER[0]}')
+    OR (lang = '{COMPOSITE_AFTER[0]}' AND source > '{COMPOSITE_AFTER[1]}')
+ORDER BY lang, source
+LIMIT 8
+"""
+
+
+def q_temp_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing weights (T5/mT5 alpha-sampling,
+    alpha=0.5) over the language groups: small languages get boost > 1,
+    the head language < 1 — the standard multilingual rebalancing step."""
+    from coderag_spark.operators.pipeline import temperature_mix_weights
+
+    return temperature_mix_weights(
+        _documents(spark, sf_dir), source_col="lang", alpha=0.5
+    )
+
+
+SQL_TEMP_MIX = """
+WITH c AS (SELECT lang AS source, count(doc_id) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT sum(pow(n_docs, 0.5)) AS ptot, sum(n_docs) AS ntot FROM c)
+SELECT source, n_docs::BIGINT AS n_docs,
+       round(pow(n_docs, 0.5) / ptot, 6) AS weight,
+       round((pow(n_docs, 0.5) / ptot) / (n_docs / ntot::DOUBLE), 6) AS boost
+FROM c, t
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per language (p=6, 64
+    registers) — the register path, raw estimator, and small-range
+    correction are all integer compares + exact power-of-two sums, so the
+    estimate itself oracle-checks exactly (kmv_distinct's discipline)."""
+    from coderag_spark.operators import sketches as sk
+
+    docs = _documents(spark, sf_dir)
+    pairs = docs.select(
+        "lang", F.explode(simple_tokens_col(F.col("text"))).alias("term")
+    ).distinct()
+    return sk.hll_distinct(pairs, group_col="lang", value_col="term", p=6)
+
+
+def _sql_hll_distinct(p: int = 6) -> str:
+    m = 1 << p
+    width = 32 - p
+    mask = (1 << width) - 1
+    alpha_m2 = repr(0.7213 / (1.0 + 1.079 / m) * m * m)
+    rho = f"CASE WHEN (h & {mask}) = 0 THEN {width + 1}"
+    for r in range(1, width + 1):
+        rho += f" WHEN (h & {mask}) >= {1 << (width - r)} THEN {r}"
+    rho += " END"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT lang, term
+  FROM (SELECT lang, unnest({TOKS_SQL}) AS term FROM documents)
+),
+hs AS (
+  SELECT DISTINCT lang, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+  FROM pairs
+),
+b AS (SELECT lang, (h >> {width}) AS bucket, {rho} AS rho FROM hs),
+regs AS (SELECT lang, bucket, max(rho) AS reg FROM b GROUP BY 1, 2),
+g AS (
+  SELECT lang, sum(pow(2.0, -reg)) AS sp, count(*) AS np
+  FROM regs GROUP BY 1
+)
+SELECT lang, {m}::BIGINT AS n_registers,
+       round(sp + ({m} - np), 6) AS sum_inv,
+       ({m} - np)::BIGINT AS n_zero,
+       round(CASE WHEN ({alpha_m2} / (sp + ({m} - np))) <= {2.5 * m}
+                   AND ({m} - np) > 0
+                  THEN {float(m)} * ln({float(m)} / ({m} - np))
+                  ELSE {alpha_m2} / (sp + ({m} - np)) END, 6) AS hll_estimate
+FROM g
+"""
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -5333,6 +5436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_topk": q_pagerank_topk,
         "xref_refs": q_xref_refs,
         "kmv_distinct": q_kmv_distinct,
+        "hll_distinct": q_hll_distinct,
+        "composite_after": q_composite_after,
+        "temp_mix": q_temp_mix,
         "gopher": q_gopher,
         "fuzzy_decontam": q_fuzzy_decontam,
         "source_mix": q_source_mix,
@@ -5464,6 +5570,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_topk": _sql_pagerank_topk(),
         "xref_refs": _sql_xref_refs(),
         "kmv_distinct": SQL_KMV_DISTINCT,
+        "hll_distinct": _sql_hll_distinct(6),
+        "composite_after": SQL_COMPOSITE_AFTER,
+        "temp_mix": SQL_TEMP_MIX,
         "gopher": SQL_GOPHER,
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,
         "media_features": SQL_MEDIA_FEATURES,

@@ -148,3 +148,28 @@ def test_stream_sliding_window_agrees_with_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_composite_after_paging(spark):
+    from coderag_spark.operators.events import composite_buckets
+
+    rows = [(i, chr(97 + i % 3), f"s{i % 4}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    full = composite_buckets(df, ["lang", "source"], size=100).collect()
+    keys = [(r["lang"], r["source"]) for r in full]
+    assert keys == sorted(keys) and len(keys) == 12
+    # page through with after-cursors: concatenation == full scan
+    paged, after = [], None
+    while True:
+        page = composite_buckets(df, ["lang", "source"], size=5, after=after).collect()
+        if not page:
+            break
+        paged.extend((r["lang"], r["source"]) for r in page)
+        after = (page[-1]["lang"], page[-1]["source"])
+    assert paged == keys
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        composite_buckets(df, [], size=5)
+    with _pytest.raises(ValueError):
+        composite_buckets(df, ["lang"], size=5, after=("a", "b"))

@@ -407,3 +407,21 @@ def test_license_detect_is_pure_codegen(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = pl.license_detect(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_weights(spark):
+    from coderag_spark.operators.pipeline import temperature_mix_weights
+
+    rows = [(i, "big") for i in range(90)] + [(i + 100, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in temperature_mix_weights(df, alpha=0.5).collect()}
+    import math
+
+    ptot = math.sqrt(90) + math.sqrt(10)
+    assert out["big"]["weight"] == round(math.sqrt(90) / ptot, 6)
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    # alpha < 1 boosts the small source above proportional, damps the big
+    assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
+    # alpha=1 is proportional sampling: boost == 1 for everyone
+    prop = temperature_mix_weights(df, alpha=1.0).collect()
+    assert all(r["boost"] == 1.0 for r in prop)

@@ -59,3 +59,25 @@ def test_merge_equals_global(spark):
 def test_pure_jvm_plan(stream):
     plan = sk.kmv_distinct(stream)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_ballpark_and_smallrange(spark):
+    rows = [("a", f"v{i}") for i in range(2000)] + [("b", f"v{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "lang string, term string")
+    out = {r["lang"]: r for r in sk.hll_distinct(df, p=6).collect()}
+    # standard error ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(out["a"]["hll_estimate"] - 2000) / 2000 < 0.4
+    # tiny set -> small-range (linear counting) path, which is near-exact
+    assert out["b"]["n_zero"] > 0
+    assert abs(out["b"]["hll_estimate"] - 5) <= 2
+
+
+def test_hll_merge_property(spark):
+    """Registers are max-mergeable: the sketch over a union equals the
+    union-of-streams sketch (same registers regardless of grouping)."""
+    h1 = spark.createDataFrame([("a", f"x{i}") for i in range(300)], "lang string, term string")
+    h2 = spark.createDataFrame([("a", f"y{i}") for i in range(300)], "lang string, term string")
+    u = sk.hll_distinct(h1.unionByName(h2), p=6).collect()[0]
+    dup = sk.hll_distinct(h1.unionByName(h2).unionByName(h1), p=6).collect()[0]
+    # duplicates never move a register
+    assert u["sum_inv"] == dup["sum_inv"] and u["hll_estimate"] == dup["hll_estimate"]
