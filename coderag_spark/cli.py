@@ -490,6 +490,15 @@ def _cmd_dedup(args) -> int:
             pairs = dd.minhash_lsh_pairs(
                 with_id, text_col="content", id_col="_did", threshold=args.threshold
             )
+        elif args.method == "winnow":
+            # MOSS clone candidates: winnowing fingerprint sets give the
+            # locality guarantee (any shared run >= k+w-1 tokens is seen)
+            from coderag_spark.operators.clones import winnow_clone_pairs
+
+            pairs = winnow_clone_pairs(
+                with_id, text_col="content", id_col="_did",
+                threshold=args.threshold,
+            ).select("doc_a", "doc_b")
         else:
             pairs = dd.ngram_jaccard_pairs(
                 with_id, text_col="content", id_col="_did", threshold=args.threshold
@@ -530,13 +539,64 @@ def _cmd_status(args) -> int:
 
 def _cmd_suggest(args) -> int:
     """Did-you-mean over the index dictionary (bm25.spell_suggest):
-    prints the top-k terms by (edit distance, popularity)."""
+    prints the top-k terms by (edit distance, popularity). A multi-word
+    --word plus --corpus runs the ES phrase suggester instead (per-slot
+    candidates rescored with the corpus bigram LM)."""
+    from pyspark.sql import functions as F
+
     from coderag_spark import get_spark
     from coderag_spark.engine import load_index
-    from coderag_spark.operators.bm25 import spell_suggest
+    from coderag_spark.functions.tokenize import simple_tokens_col
+    from coderag_spark.operators.bm25 import phrase_suggest, spell_suggest
 
     spark = get_spark("coderag-suggest", cores=args.cores)
     idx = load_index(spark, args.index)
+    terms = args.word.split()
+    if len(terms) > 1:
+        if not args.corpus:
+            print(json.dumps({"error": "phrase suggest needs --corpus for the bigram LM"}))
+            return 2
+        corpus = spark.read.parquet(args.corpus)
+        toks = corpus.select(
+            simple_tokens_col(F.coalesce(F.col("content"), F.lit(""))).alias("toks")
+        ).persist()
+        uni = toks.select(F.explode("toks").alias("term")).groupBy("term").agg(
+            F.count("*").alias("cnt")
+        )
+        cnt = F.size("toks") - 1
+        big = (
+            toks.filter(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("toks", F.lit(1), cnt),
+                        F.slice("toks", F.lit(2), cnt),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    )
+                ).alias("p")
+            )
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count("*").alias("c12"))
+        )
+        v = uni.count()
+        rows = phrase_suggest(
+            idx.dictionary, uni, big, terms, v,
+            max_edits=args.max_edits, k=args.k,
+        ).collect()
+        toks.unpersist()
+        print(
+            json.dumps(
+                {
+                    "phrase": args.word,
+                    "suggestions": [
+                        {"suggestion": r["suggestion"], "score": r["score"]}
+                        for r in rows
+                    ],
+                }
+            )
+        )
+        return 0
     rows = spell_suggest(idx, args.word, max_edits=args.max_edits, k=args.k).collect()
     print(
         json.dumps(
@@ -671,15 +731,20 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("dedup")
     d.add_argument("--corpus", required=True)
     d.add_argument("--out", required=True)
-    d.add_argument("--method", choices=["exact", "minhash", "ngram", "substr"], default="exact")
+    d.add_argument(
+        "--method",
+        choices=["exact", "minhash", "ngram", "substr", "winnow"],
+        default="exact",
+    )
     d.add_argument("--k", type=int, default=8, help="window tokens for --method substr")
     d.add_argument("--threshold", type=float, default=0.8, help="near-dup jaccard threshold")
 
     sg = sub.add_parser("suggest")
     sg.add_argument("--index", required=True)
-    sg.add_argument("--word", required=True)
+    sg.add_argument("--word", required=True, help="single word: did-you-mean; multi-word: phrase suggester")
     sg.add_argument("--max-edits", type=int, default=2)
     sg.add_argument("--k", type=int, default=8)
+    sg.add_argument("--corpus", default=None, help="corpus parquet (bigram LM for phrase suggest)")
 
     a = sub.add_parser("ann")
     a.add_argument("--embeddings", required=True, help="embeddings parquet")

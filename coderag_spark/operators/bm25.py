@@ -832,19 +832,23 @@ def phrase_suggest(
     max_edits: int = 1,
     max_candidates: int = 3,
     k: int = 5,
+    distance_penalty: float = 1.0,
 ) -> DataFrame:
     """Elasticsearch phrase suggester (the multi-term did-you-mean): per
     query slot, gather dictionary candidates within ``max_edits`` (top
     ``max_candidates`` by distance asc, df desc, term asc — the
     DirectSpellChecker ranking spell_suggest uses), form every candidate
-    phrase, and rescore with the corpus bigram language model
+    phrase, and rescore with the corpus bigram language model plus the
+    channel/error model (ES's real-word-error likelihood, simplified to a
+    per-edit log penalty):
 
         score = sum_j ln( (count(w_j w_j+1) + 1) / (count(w_j) + V) )
+              - distance_penalty * sum_i edits(cand_i, typed_i)
 
     (add-one smoothing — the same model textops.bigram_logprob trains).
     Returns (suggestion, score) top-``k``; the original phrase competes
-    as its own candidate (distance 0), so in-vocabulary queries win
-    unless a correction is genuinely more fluent.
+    as its own candidate (distance 0 — no penalty), so in-vocabulary
+    queries win unless a correction is genuinely more fluent.
 
     Inputs: ``dictionary`` (term, df), ``unigrams`` (term, cnt token
     counts), ``bigrams`` (w1, w2, c12), ``vocab_size`` = |V|.
@@ -880,12 +884,14 @@ def phrase_suggest(
         slots.append(
             cand.withColumn("_r", rn)
             .filter(F.col("_r") <= max_candidates)
-            .select(f"w{i}")
+            .select(f"w{i}", F.col("_d").alias(f"_d{i}"))
         )
     phr = slots[0]
     for s in slots[1:]:
         phr = phr.crossJoin(s)
-    score = F.lit(0.0)
+    score = -F.lit(distance_penalty) * sum(
+        (F.col(f"_d{i}") for i in range(n)), F.lit(0)
+    )
     for j in range(n - 1):
         bj = bigrams.select(
             F.col("w1").alias(f"w{j}"),

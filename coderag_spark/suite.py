@@ -1825,7 +1825,7 @@ def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = uni.count()  # bounded scalar: dictionary-sized count job
     return phrase_suggest(
         dic, uni, big, PHRASE_SUGGEST_TERMS, v,
-        max_edits=2, max_candidates=3, k=5,
+        max_edits=2, max_candidates=3, k=5, distance_penalty=1.0,
     )
 
 
@@ -1842,7 +1842,12 @@ c{i} AS (
     WHERE abs(len(term) - {len(t)}) <= 2 AND levenshtein(term, '{t}') <= 2
   ) WHERE r <= 3
 )""")
-    pair_scores = []
+    pair_scores = [
+        # error model: one log-unit per edit, distance re-derived in place
+        "-1.0 * (" + " + ".join(
+            f"levenshtein(s{i}, '{t}')" for i, t in enumerate(terms)
+        ) + ")"
+    ]
     joins = []
     for j in range(len(terms) - 1):
         joins.append(

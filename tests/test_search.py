@@ -252,11 +252,17 @@ def test_phrase_suggest_corrects_typo_phrase(spark):
         dic, uni, big, ["spork", "engine"], v, max_edits=1, max_candidates=3, k=3
     ).collect()
     assert rows[0]["suggestion"] == "spark engine"
-    # hand-check the top score: p(engine|spark) = (c12+1)/(cnt_spark+V)
+    # hand-check the top score: LM term p(engine|spark) = (c12+1)/(cnt+V)
+    # minus the error model (spork->spark is 1 edit, engine 0)
     c12 = {(r["w1"], r["w2"]): r["c12"] for r in big.collect()}[("spark", "engine")]
     cnt_spark = {r["term"]: r["cnt"] for r in uni.collect()}["spark"]
-    want = round(math.log((c12 + 1) / (cnt_spark + v)), 6)
+    want = round(math.log((c12 + 1) / (cnt_spark + v)) - 1.0, 6)
     assert rows[0]["score"] == want
+    # a correctly-typed in-vocab word must beat an equal-LM alternative
+    alt = phrase_suggest(
+        dic, uni, big, ["spark", "engine"], v, max_edits=1, max_candidates=3, k=1
+    ).collect()
+    assert alt[0]["suggestion"] == "spark engine"
     with pytest.raises(ValueError):
         phrase_suggest(dic, uni, big, ["solo"], v)
 
