@@ -222,3 +222,40 @@ def reference_counts(refs: DataFrame) -> DataFrame:
     return refs.groupBy("name", "def_doc").agg(
         F.count_distinct("ref_doc").cast("long").alias("n_ref_docs")
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    roots: DataFrame,
+    n_iter: int = 3,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Breadth-first hop distance from ``roots`` over an (src, dst) edge
+    list, fixed iteration count — "how far is every module from the
+    application entrypoints", the dependency-depth signal curriculum
+    ordering and impact analysis use. Returns (id, dist) for every vertex
+    reached within ``n_iter`` hops (unreached vertices are absent).
+
+    Each round is ONE shuffle: frontier ⋈ edges (blocked on src), then a
+    min-dist merge — the textbook distributed BFS that pagerank's
+    fixed-unroll discipline already established here (a SQL oracle replays
+    the identical rounds). Lineage is cut every ``checkpoint_every``
+    rounds for deep traversals."""
+    dist = roots.select(
+        F.col(roots.columns[0]).alias("id"), F.lit(0).alias("dist")
+    ).distinct()
+    for t in range(1, n_iter + 1):
+        frontier = dist.filter(F.col("dist") == t - 1).select(
+            F.col("id").alias("src")
+        )
+        nxt = edges.join(frontier, "src").select(
+            F.col("dst").alias("id"), F.lit(t).alias("dist")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if t % checkpoint_every == 0 and t < n_iter:
+            dist = dist.localCheckpoint(eager=False)
+    return dist.select("id", F.col("dist").cast("long").alias("dist"))

@@ -664,3 +664,40 @@ def temperature_mix_weights(
             ).alias("boost"),
         )
     )
+
+
+# branch-point tokens across the engine's supported languages (McCabe
+# decision points): control keywords + short-circuit operators
+BRANCH_PATTERN = r"\b(if|elif|for|while|case|when|catch|except)\b"
+SHORTCIRCUIT_PATTERN = r"(&&|\|\||\band\b|\bor\b)"
+DEF_PATTERN = r"(?m)^[ \t]*(?:pub[ \t]+|export[ \t]+|async[ \t]+)*(?:def|fn|func|function)[ \t]+[A-Za-z_]"
+
+
+def cyclomatic_estimate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-file cyclomatic-complexity estimate (McCabe 1976, lexical
+    approximation): complexity = decision points + 1 per function, so
+
+        n_branches  = control-keyword + short-circuit operator count
+        n_functions = definition-line count
+        complexity_per_fn = (n_branches + n_functions) / max(n_functions, 1)
+
+    — the standard keyword-counting estimator static-analysis linters use
+    when no AST is available, and a useful curriculum/quality signal
+    (pathologically branchy files score high, flat config-like code low).
+    Pure regexp_count column expressions riding the corpus scan."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    branches = F.regexp_count(text, F.lit(BRANCH_PATTERN)) + F.regexp_count(
+        text, F.lit(SHORTCIRCUIT_PATTERN)
+    )
+    funcs = F.regexp_count(text, F.lit(DEF_PATTERN))
+    per_fn = F.round(
+        (branches + funcs) / F.greatest(funcs, F.lit(1)).cast("double"), 6
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        branches.cast("long").alias("n_branches"),
+        funcs.cast("long").alias("n_functions"),
+        per_fn.alias("complexity_per_fn"),
+    )

@@ -5334,6 +5334,91 @@ FROM g
 """
 
 
+def q_dep_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from module 0 over the injected import graph,
+    3 unrolled rounds (codegraph.bfs_depths) — dependency depth for
+    curriculum ordering / impact analysis. The oracle replays the same
+    frontier-join + min-merge rounds."""
+    from coderag_spark.operators import codegraph as cg
+
+    edges = q_import_graph(spark, sf_dir)
+    roots = spark.createDataFrame([(0,)], "id long")
+    return cg.bfs_depths(edges, roots, n_iter=3)
+
+
+def _sql_dep_depth(n_iter: int = 3) -> str:
+    steps = []
+    for t in range(1, n_iter + 1):
+        steps.append(f"""
+n{t} AS (
+  SELECT e.dst AS id, {t} AS dist
+  FROM edges e JOIN d{t - 1} d ON e.src = d.id AND d.dist = {t - 1}
+),
+d{t} AS (
+  SELECT id, min(dist) AS dist
+  FROM (SELECT * FROM d{t - 1} UNION ALL SELECT * FROM n{t}) GROUP BY 1
+)""")
+    return (
+        "WITH " + _SQL_IMPORT_EDGES.format(mods=_sql_import_mods())
+        + ",\nd0 AS (SELECT 0::BIGINT AS id, 0 AS dist),"
+        + ",".join(steps)
+        + f"\nSELECT id, dist::BIGINT AS dist FROM d{n_iter}"
+    )
+
+
+def q_cyclomatic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclomatic-complexity estimate (pipeline.cyclomatic_estimate) over
+    documents with deterministic branch + definition lines injected
+    (doc i gets i%4 'if (a && b) x = c or d' lines and one def) — the
+    lexical McCabe estimator as a pure regexp_count projection."""
+    from coderag_spark.operators.pipeline import cyclomatic_estimate
+
+    docs = _documents(spark, sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.repeat(
+                F.lit("\nif (a && b) x = c or d"),
+                (F.col("doc_id") % 4).cast("int"),
+            ),
+            F.lit("\ndef fn(x):"),
+        ),
+    )
+    return cyclomatic_estimate(injected)
+
+
+def _sql_cyclomatic() -> str:
+    from coderag_spark.operators.pipeline import (
+        BRANCH_PATTERN,
+        DEF_PATTERN,
+        SHORTCIRCUIT_PATTERN,
+    )
+
+    b = BRANCH_PATTERN.replace("'", "''")
+    s = SHORTCIRCUIT_PATTERN.replace("'", "''")
+    d = DEF_PATTERN.replace("'", "''")
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || repeat(chr(10) || 'if (a && b) x = c or d', (doc_id % 4)::INT)
+         || chr(10) || 'def fn(x):' AS text
+  FROM documents
+)
+SELECT doc_id,
+       (len(regexp_extract_all(text, '{b}'))
+        + len(regexp_extract_all(text, '{s}')))::BIGINT AS n_branches,
+       len(regexp_extract_all(text, '{d}'))::BIGINT AS n_functions,
+       round((len(regexp_extract_all(text, '{b}'))
+              + len(regexp_extract_all(text, '{s}'))
+              + len(regexp_extract_all(text, '{d}')))
+             / greatest(len(regexp_extract_all(text, '{d}')), 1)::DOUBLE,
+             6) AS complexity_per_fn
+FROM injected
+"""
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -5440,6 +5525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_graph": q_import_graph,
         "pagerank_topk": q_pagerank_topk,
         "xref_refs": q_xref_refs,
+        "dep_depth": q_dep_depth,
+        "cyclomatic": q_cyclomatic,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
         "composite_after": q_composite_after,
@@ -5574,6 +5661,8 @@ def oracle_sql() -> dict[str, str]:
         "import_graph": _sql_import_graph(),
         "pagerank_topk": _sql_pagerank_topk(),
         "xref_refs": _sql_xref_refs(),
+        "dep_depth": _sql_dep_depth(3),
+        "cyclomatic": _sql_cyclomatic(),
         "kmv_distinct": SQL_KMV_DISTINCT,
         "hll_distinct": _sql_hll_distinct(6),
         "composite_after": SQL_COMPOSITE_AFTER,

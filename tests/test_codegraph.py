@@ -147,3 +147,22 @@ def test_find_references_excludes_self(spark):
         F.explode(F.array(F.lit("solo"))).alias("term"), F.col("doc_id")
     )
     assert cg.find_references(toks, defs).count() == 0
+
+
+def test_bfs_depths_chain_and_min_merge(spark):
+    # chain 0->1->2->3->4 plus shortcut 0->3: dist(3) must take the min
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)], "src long, dst long"
+    )
+    roots = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["dist"] for r in cg.bfs_depths(edges, roots, n_iter=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+    # iteration bound: only 2 rounds -> vertex 4 still reached via 0->3->4
+    got2 = {r["id"]: r["dist"] for r in cg.bfs_depths(edges, roots, n_iter=2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+    got1 = {r["id"]: r["dist"] for r in cg.bfs_depths(edges, roots, n_iter=1).collect()}
+    assert got1 == {0: 0, 1: 1, 3: 1}
+    # checkpointed deep unroll matches the plain one
+    a = sorted(map(tuple, cg.bfs_depths(edges, roots, n_iter=5, checkpoint_every=2).collect()))
+    b = sorted(map(tuple, cg.bfs_depths(edges, roots, n_iter=5, checkpoint_every=100).collect()))
+    assert a == b

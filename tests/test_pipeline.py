@@ -425,3 +425,23 @@ def test_temperature_mix_weights(spark):
     # alpha=1 is proportional sampling: boost == 1 for everyone
     prop = temperature_mix_weights(df, alpha=1.0).collect()
     assert all(r["boost"] == 1.0 for r in prop)
+
+
+def test_cyclomatic_estimate(spark):
+    from coderag_spark.operators.pipeline import cyclomatic_estimate
+
+    code = (
+        "def f(x):\n    if x and y:\n        return 1\n"
+        "    for i in r:\n        while t || u:\n            pass\n"
+        "def g():\n    return 2\n"
+    )
+    flat = "x = 1\ny = 2\n"
+    df = spark.createDataFrame([(1, code), (2, flat)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cyclomatic_estimate(df).collect()}
+    # branches: if, and, for, while, || -> 5; functions: f, g -> 2
+    assert out[1]["n_branches"] == 5 and out[1]["n_functions"] == 2
+    assert out[1]["complexity_per_fn"] == round((5 + 2) / 2, 6)
+    assert out[2]["n_branches"] == 0 and out[2]["n_functions"] == 0
+    assert out[2]["complexity_per_fn"] == 0.0
+    plan = cyclomatic_estimate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
