@@ -1,0 +1,150 @@
+"""Temporal joins Spark lacks natively: as-of join and interval range join.
+
+Both are staples of event/time-series analytics (kdb's aj, Pandas
+merge_asof, DuckDB's ASOF JOIN, Flink's temporal table join) and both have
+well-known distributed forms that avoid the naive inequality-join
+cartesian:
+
+  * as-of join — union the two streams tagged by side, ONE shuffle on the
+    key, and carry the most recent right-side row forward with a
+    last(ignorenulls) running window. Cost: one sort-shuffle over
+    |L| + |R| rows, no join explosion, no per-row probe. This is the
+    classic "union trick" every large-scale implementation uses.
+  * range join — block by TIME BIN: intervals explode onto the bins they
+    cover, points map to their single bin, and the join becomes an
+    equi-join on (key, bin) followed by the exact range predicate. Each
+    matching pair meets in exactly one bin (the point's), so no dedup
+    pass is needed. Bin width trades replication (long intervals cover
+    many bins) against candidate pruning — the same knob Spark's own
+    storage-partitioned range-join optimizations expose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_NTZ_ANCHOR = "1970-01-01 00:00:00"
+
+
+def ntz_micros(c: Column) -> Column:
+    """Exact wall-clock microseconds of a TIMESTAMP_NTZ column (DuckDB's
+    epoch_us): interval-since-anchor cast through decimal(25,6) seconds —
+    unix_micros() rejects NTZ, and routing through a zoned cast would make
+    the value depend on the session timezone (the engine's NTZ rule, see
+    events.sessionize)."""
+    anchor = F.lit(_NTZ_ANCHOR).cast("timestamp_ntz")
+    return ((c - anchor).cast("decimal(25,6)") * 1_000_000).cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_attrs: list[str],
+    tie_col: str,
+    allow_equal: bool = True,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For each left row, attach the LATEST right row of the same key with
+    right.ts <= left.ts (``allow_equal=False`` makes it strictly <) —
+    Pandas merge_asof(direction='backward') / DuckDB ASOF JOIN semantics.
+    Left rows with no prior right row keep NULL matched attrs (left join).
+
+    ``right_attrs`` are the right-side columns to carry (each surfaced as
+    ``<name><suffix>``); ``tie_col`` breaks equal-timestamp ties among
+    right rows deterministically (largest wins, being the last in window
+    order). Returns all left columns + the matched attrs.
+
+    Scale shape: ONE shuffle on ``key_col`` over the unioned stream; the
+    running last(ignorenulls) window is a linear per-partition pass. No
+    inequality join, no range probe, no explosion.
+    """
+    lcols = left.columns
+    l2 = left.select(
+        *lcols,
+        F.lit(1).alias("_is_l"),
+        F.lit(None).cast(
+            right.schema[tie_col].dataType.simpleString()
+        ).alias("_tie"),
+    )
+    r2 = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("_is_l"),
+        F.col(tie_col).alias("_tie"),
+        *[F.col(a).alias(f"_r_{a}") for a in right_attrs],
+    )
+    unioned = l2.unionByName(r2, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal ts when matches may be
+    # equal (<=), AFTER them when strict (<) — the side flag is the
+    # equality arbiter, the tie col orders same-ts right rows
+    side_order = F.asc("_is_l") if allow_equal else F.desc("_is_l")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.asc(ts_col), side_order, F.asc_nulls_first("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{a}", ignorenulls=True).over(w).alias(f"{a}{suffix}")
+            for a in right_attrs
+        ],
+    )
+    return carried.filter(F.col("_is_l") == 1).select(
+        *lcols, *[f"{a}{suffix}" for a in right_attrs]
+    )
+
+
+def range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bin_width_s: int = 3600,
+) -> DataFrame:
+    """Inner join of interval rows to point rows of the same key with
+    start <= ts <= end (inclusive), via time-bin blocking: intervals
+    explode onto every covered ``bin_width_s`` bucket, points land in
+    exactly one, the equi-join on (key, bin) prunes candidates, and the
+    exact range predicate finishes. Each qualifying pair meets exactly
+    once (in the point's bin) — no dedup needed.
+
+    Returns intervals' columns + points' columns (callers alias clashes
+    beforehand). At scale, pick ``bin_width_s`` near the median interval
+    length: shorter bins replicate long intervals, longer bins fatten the
+    candidate lists — either way the join stays an equi-join AQE can
+    re-balance, never a cartesian.
+    """
+    us = 1_000_000 * bin_width_s
+
+    def _bin(c: Column) -> Column:
+        # exact integer floor-division: subtract the remainder first so
+        # the double division is of an exact multiple (a raw double
+        # divide can round across a bin boundary and split a pair)
+        e = ntz_micros(c)
+        return ((e - F.pmod(e, F.lit(us))) / F.lit(us)).cast("long")
+
+    b_start = _bin(F.col(start_col))
+    b_end = _bin(F.col(end_col))
+    # explicit aliases: both sides often derive from the SAME source
+    # frame (e.g. per-key intervals aggregated from the points), which
+    # makes bare df[col] references ambiguous to the analyzer
+    iv = intervals.select(
+        "*", F.explode(F.sequence(b_start, b_end)).alias("_bin")
+    ).alias("_iv")
+    pt = points.select("*", _bin(F.col(ts_col)).alias("_bin")).alias("_pt")
+    cond = (
+        (F.col(f"_iv.{key_col}") == F.col(f"_pt.{key_col}"))
+        & (F.col("_iv._bin") == F.col("_pt._bin"))
+        & (F.col(f"_pt.{ts_col}") >= F.col(f"_iv.{start_col}"))
+        & (F.col(f"_pt.{ts_col}") <= F.col(f"_iv.{end_col}"))
+    )
+    out_cols: list[Column] = [
+        F.col(f"_iv.{c}") for c in intervals.columns
+    ] + [F.col(f"_pt.{c}") for c in points.columns if c != key_col]
+    return iv.join(pt, cond).select(*out_cols)

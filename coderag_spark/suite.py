@@ -5419,6 +5419,98 @@ FROM injected
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal.asof_join, the union-trick single-shuffle
+    form): every 'click' event gets the latest at-or-before 'view' of the
+    same user — attribution's fundamental primitive. Gap reported in
+    exact integer microseconds."""
+    from coderag_spark.operators.temporal import asof_join, ntz_micros
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks, views, key_col="user_id", ts_col="ts",
+        right_attrs=["event_id", "ts"], tie_col="event_id",
+    )
+    return (
+        out.filter(F.col("event_id_matched").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("event_id_matched").alias("matched_event_id"),
+            (ntz_micros(F.col("ts")) - ntz_micros(F.col("ts_matched")))
+            .cast("long")
+            .alias("gap_us"),
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 1 AS is_l,
+         NULL::BIGINT AS r_id, NULL::TIMESTAMP AS r_ts
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0, event_id, ts
+  FROM events WHERE event_type = 'view'
+),
+w AS (
+  SELECT user_id, ts, event_id, is_l,
+         last_value(r_id IGNORE NULLS) OVER win AS m_id,
+         last_value(r_ts IGNORE NULLS) OVER win AS m_ts
+  FROM tagged
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_l, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, m_id AS matched_event_id,
+       (epoch_us(ts) - epoch_us(m_ts))::BIGINT AS gap_us
+FROM w WHERE is_l = 1 AND m_id IS NOT NULL
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join (temporal.range_join, time-bin blocked): each
+    user's first-2-hours window joined to their events, rolled up to
+    (user_id, n_events, sum_value) — the cohort-window primitive, as an
+    equi-join on (key, hour-bin) + exact range predicate instead of a
+    cartesian inequality join."""
+    from coderag_spark.operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    iv = ev.groupBy("user_id").agg(F.min("ts").alias("start_ts")).select(
+        "user_id",
+        "start_ts",
+        (F.col("start_ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    joined = range_join(
+        iv,
+        ev.select("user_id", "ts", "value"),
+        key_col="user_id",
+        start_col="start_ts",
+        end_col="end_ts",
+        ts_col="ts",
+        bin_width_s=3600,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH iv AS (SELECT user_id, min(ts) AS s FROM events GROUP BY 1)
+SELECT e.user_id, count(*)::BIGINT AS n_events, round(sum(e.value), 6) AS sum_value
+FROM events e JOIN iv ON e.user_id = iv.user_id
+                     AND e.ts >= iv.s AND e.ts <= iv.s + INTERVAL 2 HOUR
+GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -5502,6 +5594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "emb_knn": q_emb_knn,
         "sessions": q_sessions,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "bm25_candidate_cap": q_bm25_candidate_cap,
         "events_rollup": q_events_rollup,
         "events_quantiles": q_events_quantiles,
@@ -5638,6 +5732,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "emb_knn": SQL_EMB_KNN,
         "sessions": SQL_SESSIONS,
+        "asof_join": SQL_ASOF_JOIN,
+        "range_join": SQL_RANGE_JOIN,
         "bm25_candidate_cap": _sql_bm25_candidate_cap(query_terms(BM25_QUERY_LONG)),
         "events_rollup": SQL_EVENTS_ROLLUP,
         "events_quantiles": SQL_EVENTS_QUANTILES,

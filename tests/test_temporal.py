@@ -1,0 +1,137 @@
+"""Temporal joins: as-of (union trick) and range (time-bin blocked)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.operators.temporal import asof_join, ntz_micros, range_join
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def streams(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100, 9.9),
+            (2, _ts("2024-01-01T10:00:05"), 100, 10.1),
+            (3, _ts("2024-01-01T10:00:05"), 100, 10.2),  # same-ts tie: id 3 wins
+            (4, _ts("2024-01-01T09:00:00"), 200, 55.0),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T10:00:03"), 100),   # matches quote 1
+            (11, _ts("2024-01-01T10:00:05"), 100),   # equal ts -> quote 3 (<=)
+            (12, _ts("2024-01-01T10:00:09"), 100),   # matches quote 3
+            (13, _ts("2024-01-01T08:00:00"), 200),   # nothing before -> null
+            (14, _ts("2024-01-01T12:00:00"), 300),   # key never quoted -> null
+        ],
+        "event_id long, ts timestamp_ntz, user_id long",
+    )
+    return quotes, trades
+
+
+def test_asof_backward_and_ties(streams):
+    quotes, trades = streams
+    out = {
+        r["event_id"]: (r["event_id_matched"], r["value_matched"])
+        for r in asof_join(
+            trades, quotes, key_col="user_id", ts_col="ts",
+            right_attrs=["event_id", "value"], tie_col="event_id",
+        ).collect()
+    }
+    assert out[10] == (1, 9.9)
+    assert out[11] == (3, 10.2)  # <= admits equal ts; tie -> largest id
+    assert out[12] == (3, 10.2)
+    assert out[13] == (None, None)
+    assert out[14] == (None, None)
+
+
+def test_asof_strict(streams):
+    quotes, trades = streams
+    out = {
+        r["event_id"]: r["event_id_matched"]
+        for r in asof_join(
+            trades, quotes, key_col="user_id", ts_col="ts",
+            right_attrs=["event_id"], tie_col="event_id", allow_equal=False,
+        ).collect()
+    }
+    assert out[11] == 1  # strict < skips the equal-ts quotes
+
+
+def test_asof_single_shuffle_no_join(streams):
+    quotes, trades = streams
+    plan = (
+        asof_join(
+            trades, quotes, key_col="user_id", ts_col="ts",
+            right_attrs=["event_id"], tie_col="event_id",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the union trick: a window over the union — NO join operator at all
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_boundaries(spark):
+    iv = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T12:00:00"))],
+        "iv_id long, user_id long, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    pts = spark.createDataFrame(
+        [
+            (20, 100, _ts("2024-01-01T10:00:00")),  # inclusive start
+            (21, 100, _ts("2024-01-01T12:00:00")),  # inclusive end
+            (22, 100, _ts("2024-01-01T12:00:00.000001")),  # just outside
+            (23, 100, _ts("2024-01-01T09:59:59")),  # just before
+            (24, 999, _ts("2024-01-01T11:00:00")),  # wrong key
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    got = sorted(
+        r["event_id"]
+        for r in range_join(
+            iv, pts, key_col="user_id", start_col="start_ts",
+            end_col="end_ts", ts_col="ts", bin_width_s=3600,
+        ).collect()
+    )
+    assert got == [20, 21]
+    # narrow bins replicate the interval but never change the result
+    got2 = sorted(
+        r["event_id"]
+        for r in range_join(
+            iv, pts, key_col="user_id", start_col="start_ts",
+            end_col="end_ts", ts_col="ts", bin_width_s=60,
+        ).collect()
+    )
+    assert got2 == [20, 21]
+
+
+def test_range_join_no_cartesian(spark):
+    iv = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"))],
+        "iv_id long, user_id long, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    pts = spark.createDataFrame(
+        [(20, 100, _ts("2024-01-01T10:30:00"))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    plan = (
+        range_join(iv, pts, "user_id", "start_ts", "end_ts", "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ntz_micros_exact(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01T00:00:07.179575"),)], "ts timestamp_ntz"
+    )
+    assert df.select(ntz_micros(F.col("ts")).alias("us")).collect()[0]["us"] == 1704067207179575
