@@ -130,3 +130,108 @@ def hll_distinct(
         n_zero.cast("long").alias("n_zero"),
         F.round(est, 6).alias("hll_estimate"),
     )
+
+
+def _seeded_hash(value, seed: int, mod: int):
+    """Seeded 32-bit md5 hash reduced mod ``mod`` — seed folded into the
+    input string so a SQL oracle replays it verbatim."""
+    return F.conv(
+        F.substring(F.md5(F.concat(value, F.lit(f"#{seed}"))), 1, 8), 16, 10
+    ).cast("long") % mod
+
+
+def cms_build(
+    df: DataFrame, value_col: str = "term", d: int = 4, w: int = 256
+) -> DataFrame:
+    """Count-Min sketch counters (Cormode & Muthukrishnan 2005 — public
+    method) over a value stream WITH duplicates: d hash rows x w columns,
+    counter[r][c] = number of stream items x with h_r(x) = c. Returns the
+    non-zero (row, col, cnt) triples (absent counters are zero).
+
+    Order-independent (counters are plain sums), hence mergeable across
+    partitions/batches by addition and exactly SQL-reproducible. ONE
+    shuffle of (row, col) pairs — the stream is exploded d ways map-side
+    with partial aggregation, so at 100 TB the reducer input is bounded
+    by d * w * n_mappers, not the stream size."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _seeded_hash(F.col(value_col), r, w).alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_query(
+    counters: DataFrame, probes: DataFrame, value_col: str = "term",
+    d: int = 4, w: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a CMS counter frame: for each probe
+    value, min over its d counters (missing counter = 0). Never
+    undercounts; overcount bounded by 2N/w with probability 1 - 2^-d.
+    The probe side is tiny and broadcasts into the counter join."""
+    probe_rc = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _seeded_hash(F.col(value_col), r, w).alias("col"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rc"),
+    ).select(value_col, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    joined = probe_rc.join(counters, ["row", "col"], "left")
+    return (
+        joined.groupBy(value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_estimate")
+        )
+    )
+
+
+def bloom_build(
+    df: DataFrame, value_col: str = "term", m: int = 2048, k: int = 4
+) -> DataFrame:
+    """Bloom filter bit set (Bloom 1970): the DISTINCT bit positions
+    h_0..h_{k-1} of every distinct value. Returns (bit) rows — the sparse
+    representation a SQL engine can reproduce; OR-mergeable by union.
+    One distinct-collapse shuffle, k positions per distinct value."""
+    bits = F.array(*[_seeded_hash(F.col(value_col), i, m) for i in range(k)])
+    return (
+        df.select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_query(
+    bits: DataFrame, probes: DataFrame, value_col: str = "term",
+    m: int = 2048, k: int = 4,
+) -> DataFrame:
+    """Membership probes against a Bloom bit set: in_filter = all k bit
+    positions present (no false negatives; false-positive rate
+    ~ (1 - e^{-kn/m})^k). Probe side broadcast, bit set joined once."""
+    probe_bits = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(*[_seeded_hash(F.col(value_col), i, m) for i in range(k)])
+        ).alias("bit"),
+    )
+    hit = probe_bits.join(
+        bits.withColumn("_present", F.lit(1)), "bit", "left"
+    )
+    return hit.groupBy(value_col).agg(
+        (F.count("_present") == k).alias("in_filter")
+    )

@@ -5511,6 +5511,123 @@ GROUP BY 1
 """
 
 
+SKETCH_PROBES = ["hash", "join", "table", "spark", "warehouse", "zz_absent"]
+_SQL_SEEDS4 = "(VALUES (0), (1), (2), (3)) r(r)"
+
+
+def _sql_seeded_hash(value_expr: str, mod: int) -> str:
+    return f"('0x' || substr(md5({value_expr} || '#' || r.r::VARCHAR), 1, 8))::BIGINT % {mod}"
+
+
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (4 x 256) over the full token stream, probed for
+    five real terms and one absent one, against exact counts — the
+    overcount column shows the sketch's one-sided error. Counters are
+    order-independent sums, so the estimate oracle-checks exactly."""
+    from coderag_spark.operators import sketches as sk
+
+    stream = _tokdocs(spark, sf_dir).select(F.explode("toks").alias("term"))
+    cms = sk.cms_build(stream, d=4, w=256)
+    probes = spark.createDataFrame([(t,) for t in SKETCH_PROBES], "term string")
+    est = sk.cms_query(cms, probes, d=4, w=256)
+    exact = stream.groupBy("term").agg(F.count("*").alias("_c"))
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            "cms_estimate",
+            F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("exact_count"),
+            (F.col("cms_estimate") - F.coalesce(F.col("_c"), F.lit(0)))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+def _sql_cms_freq() -> str:
+    probes = ", ".join(f"('{t}')" for t in SKETCH_PROBES)
+    return f"""
+WITH s AS (SELECT unnest({TOKS_SQL}) AS term FROM documents),
+counters AS (
+  SELECT row, col, count(*) AS cnt
+  FROM (SELECT r.r AS row, {_sql_seeded_hash("term", 256)} AS col
+        FROM s, {_SQL_SEEDS4})
+  GROUP BY 1, 2
+),
+probes(term) AS (VALUES {probes}),
+prc AS (
+  SELECT term, r.r AS row, {_sql_seeded_hash("term", 256)} AS col
+  FROM probes, {_SQL_SEEDS4}
+),
+est AS (
+  SELECT term, min(coalesce(cnt, 0))::BIGINT AS cms_estimate
+  FROM prc LEFT JOIN counters USING (row, col) GROUP BY term
+),
+ex AS (SELECT term, count(*) AS c FROM s GROUP BY 1)
+SELECT term, cms_estimate,
+       coalesce(c, 0)::BIGINT AS exact_count,
+       (cms_estimate - coalesce(c, 0))::BIGINT AS overcount
+FROM est LEFT JOIN ex USING (term)
+"""
+
+
+def q_bloom_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (m=2048, k=4) over the distinct vocabulary, probed
+    for present and absent terms — no false negatives by construction;
+    is_false_positive flags the (rare) collisions."""
+    from coderag_spark.operators import sketches as sk
+
+    vocab = (
+        _tokdocs(spark, sf_dir)
+        .select(F.explode("toks").alias("term"))
+        .distinct()
+    )
+    bits = sk.bloom_build(vocab, m=2048, k=4)
+    probes = spark.createDataFrame([(t,) for t in SKETCH_PROBES], "term string")
+    member = sk.bloom_query(bits, probes, m=2048, k=4)
+    present = vocab.withColumn("_present", F.lit(True))
+    return (
+        member.join(present, "term", "left")
+        .select(
+            "term",
+            "in_filter",
+            F.coalesce(F.col("_present"), F.lit(False)).alias("present"),
+            (
+                F.col("in_filter")
+                & ~F.coalesce(F.col("_present"), F.lit(False))
+            ).alias("is_false_positive"),
+        )
+    )
+
+
+def _sql_bloom_member() -> str:
+    probes = ", ".join(f"('{t}')" for t in SKETCH_PROBES)
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT term
+  FROM (SELECT unnest({TOKS_SQL}) AS term FROM documents)
+),
+bits AS (
+  SELECT DISTINCT {_sql_seeded_hash("term", 2048)} AS bit
+  FROM vocab, {_SQL_SEEDS4}
+),
+probes(term) AS (VALUES {probes}),
+pb AS (
+  SELECT term, {_sql_seeded_hash("term", 2048)} AS bit
+  FROM probes, {_SQL_SEEDS4}
+),
+hit AS (
+  SELECT pb.term, count(bits.bit) AS n_hit
+  FROM pb LEFT JOIN bits ON pb.bit = bits.bit
+  GROUP BY 1
+)
+SELECT h.term, (n_hit = 4) AS in_filter,
+       (v.term IS NOT NULL) AS present,
+       ((n_hit = 4) AND v.term IS NULL) AS is_false_positive
+FROM hit h LEFT JOIN vocab v ON h.term = v.term
+"""
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -5623,6 +5740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cyclomatic": q_cyclomatic,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
+        "cms_freq": q_cms_freq,
+        "bloom_member": q_bloom_member,
         "composite_after": q_composite_after,
         "temp_mix": q_temp_mix,
         "gopher": q_gopher,
@@ -5761,6 +5880,8 @@ def oracle_sql() -> dict[str, str]:
         "cyclomatic": _sql_cyclomatic(),
         "kmv_distinct": SQL_KMV_DISTINCT,
         "hll_distinct": _sql_hll_distinct(6),
+        "cms_freq": _sql_cms_freq(),
+        "bloom_member": _sql_bloom_member(),
         "composite_after": SQL_COMPOSITE_AFTER,
         "temp_mix": SQL_TEMP_MIX,
         "gopher": SQL_GOPHER,

@@ -81,3 +81,46 @@ def test_hll_merge_property(spark):
     dup = sk.hll_distinct(h1.unionByName(h2).unionByName(h1), p=6).collect()[0]
     # duplicates never move a register
     assert u["sum_inv"] == dup["sum_inv"] and u["hll_estimate"] == dup["hll_estimate"]
+
+
+def test_cms_never_undercounts_and_exact_when_sparse(spark):
+    stream = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1, "term string"
+    )
+    cms = sk.cms_build(stream, d=4, w=256)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "term string")
+    got = {r["term"]: r["cms_estimate"] for r in sk.cms_query(cms, probes, d=4, w=256).collect()}
+    # 3 distinct values in 256 columns: no collisions -> exact
+    assert got["a"] == 50 and got["b"] == 7 and got["c"] == 1
+    assert got["zz"] >= 0  # one-sided error: never negative
+    # tiny width forces collisions: estimates only ever go UP
+    cms2 = sk.cms_build(stream, d=2, w=2)
+    got2 = {r["term"]: r["cms_estimate"] for r in sk.cms_query(cms2, probes, d=2, w=2).collect()}
+    assert got2["a"] >= 50 and got2["b"] >= 7 and got2["c"] >= 1
+
+
+def test_cms_merge_by_addition(spark):
+    h1 = spark.createDataFrame([("a",)] * 10 + [("b",)] * 3, "term string")
+    h2 = spark.createDataFrame([("a",)] * 5, "term string")
+    from pyspark.sql import functions as F
+
+    merged = (
+        sk.cms_build(h1).unionByName(sk.cms_build(h2))
+        .groupBy("row", "col").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    direct = sk.cms_build(h1.unionByName(h2))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_bloom_no_false_negatives(spark):
+    vocab = spark.createDataFrame([(f"t{i}",) for i in range(300)], "term string")
+    bits = sk.bloom_build(vocab, m=2048, k=4)
+    probes = spark.createDataFrame(
+        [(f"t{i}",) for i in range(300)] + [(f"absent{i}",) for i in range(50)],
+        "term string",
+    )
+    got = {r["term"]: r["in_filter"] for r in sk.bloom_query(bits, probes, m=2048, k=4).collect()}
+    assert all(got[f"t{i}"] for i in range(300))  # every member found
+    # fp rate at n=300, m=2048, k=4 is ~1.6%; 50 probes should mostly miss
+    fps = sum(1 for i in range(50) if got[f"absent{i}"])
+    assert fps <= 5
