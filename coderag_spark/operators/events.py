@@ -161,3 +161,105 @@ def composite_buckets(
             eq = eq & (F.col(k) == F.lit(a))
         out = out.filter(cond)
     return out.orderBy(*[F.asc(k) for k in keys]).limit(size)
+
+
+def pipeline_aggs(
+    events: DataFrame,
+    moving_window: int = 3,
+    serial_lag: int = 2,
+) -> DataFrame:
+    """ES pipeline aggregations over an hourly date_histogram, one per
+    family (Elasticsearch's `derivative`, `cumulative_sum`, `moving_fn`,
+    `serial_diff`, and `bucket_script` parent-pipeline aggs):
+
+      * ``deriv_events``   — first derivative of the bucket doc count
+        (difference to the previous hour bucket within the event_type
+        lane; null for the first bucket, ES `gap_policy: insert_zeros`
+        is the caller's concern because the histogram here is dense).
+      * ``cum_value``      — running total of ``total_value``.
+      * ``moving_avg_events`` — trailing ``moving_window``-bucket mean of
+        the doc count (ES ``moving_fn`` with ``MovingFunctions.unweightedAvg``).
+      * ``serial_diff_value`` — ``total_value`` minus its value
+        ``serial_lag`` buckets earlier (ES `serial_diff`, for
+        de-seasonalizing).
+      * ``avg_value``      — ``bucket_script``: total_value / n_events.
+
+    Scale shape: ONE shuffle for the (event_type, hour) aggregate, then a
+    single window pass partitioned by event_type — the bucket stream per
+    lane is tiny (hours, not events), so the window never sees raw rows.
+    """
+    buckets = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    lane = Window.partitionBy("event_type").orderBy("hour")
+    trail = lane.rowsBetween(-(moving_window - 1), 0)
+    run = lane.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return buckets.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "total_value",
+        (F.col("n_events") - F.lag("n_events").over(lane))
+        .cast("long")
+        .alias("deriv_events"),
+        F.round(F.sum("total_value").over(run), 6).alias("cum_value"),
+        F.round(F.avg("n_events").over(trail), 6).alias("moving_avg_events"),
+        F.round(
+            F.col("total_value") - F.lag("total_value", serial_lag).over(lane), 6
+        ).alias("serial_diff_value"),
+        F.round(F.col("total_value") / F.col("n_events"), 6).alias("avg_value"),
+    )
+
+
+def bucket_selector_sort(
+    buckets: DataFrame,
+    keep: Column,
+    sort_by: list[Column],
+    size: int,
+) -> DataFrame:
+    """ES `bucket_selector` + `bucket_sort` pipeline aggs: drop buckets
+    failing the ``keep`` predicate, then order the survivors and truncate
+    to ``size``. Runs entirely on the already-aggregated bucket stream —
+    the filter prunes before the TakeOrderedAndProject, so the sort never
+    materializes the full bucket set on one node."""
+    return buckets.filter(keep).orderBy(*sort_by).limit(size)
+
+
+def adjacency_matrix(
+    df: DataFrame, filters: dict[str, Column]
+) -> DataFrame:
+    """ES `adjacency_matrix` aggregation: named boolean filters evaluated
+    once per row in a SINGLE scan; output one bucket per filter (key
+    "a") and per intersecting pair (key "a&b", ES's separator) with the
+    count of rows matching both. No self-join, no shuffle of raw rows —
+    the flags collapse to one partial-aggregate row per partition
+    (sum of flag products), so this holds at any corpus size.
+
+    Empty buckets are omitted, matching ES semantics."""
+    names = sorted(filters)
+    flagged = df.select(
+        *[filters[n].cast("int").alias(f"_f_{n}") for n in names]
+    )
+    aggs = []
+    keys = []
+    for i, a in enumerate(names):
+        keys.append(a)
+        aggs.append(F.sum(F.col(f"_f_{a}")).cast("long").alias(a))
+        for b in names[i + 1 :]:
+            keys.append(f"{a}&{b}")
+            aggs.append(
+                F.sum(F.col(f"_f_{a}") * F.col(f"_f_{b}"))
+                .cast("long")
+                .alias(f"{a}&{b}")
+            )
+    row = flagged.agg(*aggs)
+    pairs = ", ".join(f"'{k}', `{k}`" for k in keys)
+    return (
+        row.select(
+            F.expr(f"stack({len(keys)}, {pairs}) as (filter_key, doc_count)")
+        )
+        .filter(F.col("doc_count") > 0)
+    )

@@ -32,7 +32,7 @@ with an exact DuckDB oracle in the suite.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from coderag_spark.functions.tokenize import simple_tokens_col
@@ -700,4 +700,52 @@ def cyclomatic_estimate(
         branches.cast("long").alias("n_branches"),
         funcs.cast("long").alias("n_functions"),
         per_fn.alias("complexity_per_fn"),
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_blocks: int = 256,
+) -> DataFrame:
+    """Deterministic token-budget sampling: order documents by
+    md5(doc_id), keep the prefix whose running token total stays within
+    ``budget`` — the standard "sample N tokens of training data" step.
+
+    A naive global cumulative sum would window the whole corpus in ONE
+    partition. Instead this is a two-level prefix sum: the md5 key's
+    first byte assigns each doc to one of ``n_blocks`` hash blocks;
+    within-block running totals come from a window partitioned by block
+    (corpus_size / n_blocks rows each), and the block *offsets* are a
+    cumulative sum over the ``n_blocks``-row block-total table (tiny, so
+    its single-partition window is free) broadcast back onto the docs.
+    Both levels are deterministic functions of doc_id, so the selected
+    prefix is independent of partitioning — and at 100 TB the per-block
+    window holds ~1/256th of the corpus, with n_blocks raisable to any
+    power-of-16 slice of the key.
+    """
+    keyed = docs.select(
+        F.col(id_col),
+        F.col(count_col).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_k"),
+    ).withColumn("_block", F.substring("_k", 1, 2))
+    in_block = Window.partitionBy("_block").orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = keyed.withColumn("_cum_in_block", F.sum("n_tokens").over(in_block))
+    totals = keyed.groupBy("_block").agg(F.sum("n_tokens").alias("_block_total"))
+    off_w = Window.orderBy("_block").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "_block",
+        (F.sum("_block_total").over(off_w) - F.col("_block_total")).alias("_offset"),
+    )
+    return (
+        cum.join(F.broadcast(offsets), "_block")
+        .withColumn("cum_tokens", (F.col("_offset") + F.col("_cum_in_block")).cast("long"))
+        .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+        .select(id_col, "n_tokens", "cum_tokens")
     )

@@ -5628,6 +5628,225 @@ FROM hit h LEFT JOIN vocab v ON h.term = v.term
 """
 
 
+def q_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations (derivative / cumulative_sum / moving_fn /
+    serial_diff / bucket_script) over the hourly date_histogram — one
+    shuffle for the bucket aggregate, one window pass over the tiny
+    bucket stream per event_type lane."""
+    from coderag_spark.operators.events import pipeline_aggs
+
+    return pipeline_aggs(_events(spark, sf_dir))
+
+
+SQL_EVENTS_PIPELINE = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n_events, total_value,
+       (n_events - lag(n_events) OVER w)::BIGINT AS deriv_events,
+       round(sum(total_value) OVER (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value,
+       round(avg(n_events) OVER (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_events,
+       round(total_value - lag(total_value, 2) OVER w, 6) AS serial_diff_value,
+       round(total_value / n_events, 6) AS avg_value
+FROM b
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+"""
+
+
+BUCKET_SEL_MIN_EVENTS = 10
+BUCKET_SEL_SIZE = 10
+
+
+def q_events_bucket_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_selector + bucket_sort pipeline aggs: daily buckets per
+    event_type, keep only buckets with >= 10 events, order by total value
+    descending, top 10 — the filter prunes buckets before the global
+    TakeOrdered, so the sort never sees the full bucket set."""
+    from coderag_spark.operators.events import bucket_selector_sort
+
+    buckets = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    return bucket_selector_sort(
+        buckets,
+        keep=F.col("n_events") >= BUCKET_SEL_MIN_EVENTS,
+        sort_by=[F.desc("total_value"), F.asc("event_type"), F.asc("day")],
+        size=BUCKET_SEL_SIZE,
+    )
+
+
+SQL_EVENTS_BUCKET_SEL = f"""
+SELECT event_type, ts::DATE AS day,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+HAVING count(*) >= {BUCKET_SEL_MIN_EVENTS}
+ORDER BY total_value DESC, event_type, day
+LIMIT {BUCKET_SEL_SIZE}
+"""
+
+
+def q_adj_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation: 4 named filters over documents,
+    per-filter and per-pair intersection doc counts in ONE scan (flag
+    products collapse to a single partial-aggregate row per partition —
+    no self-join, no shuffle of raw rows)."""
+    from coderag_spark.operators.events import adjacency_matrix
+
+    return adjacency_matrix(
+        _documents(spark, sf_dir),
+        {
+            "data": F.col("text").contains("data"),
+            "en": F.col("lang") == "en",
+            "long": F.col("n_chars") > 400,
+            "query": F.col("text").contains("query"),
+        },
+    )
+
+
+SQL_ADJ_MATRIX = """
+WITH f AS (
+  SELECT (text LIKE '%data%')::INT AS f_data, (lang = 'en')::INT AS f_en,
+         (n_chars > 400)::INT AS f_long, (text LIKE '%query%')::INT AS f_query
+  FROM documents
+)
+SELECT filter_key, doc_count FROM (
+  SELECT unnest(['data', 'data&en', 'data&long', 'data&query', 'en',
+                 'en&long', 'en&query', 'long', 'long&query', 'query']) AS filter_key,
+         unnest([sum(f_data), sum(f_data*f_en), sum(f_data*f_long),
+                 sum(f_data*f_query), sum(f_en), sum(f_en*f_long),
+                 sum(f_en*f_query), sum(f_long), sum(f_long*f_query),
+                 sum(f_query)])::BIGINT AS doc_count
+  FROM f
+) WHERE doc_count > 0
+"""
+
+
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg aggregation with the weight pulled out of the
+    `props` JSON column (get_json_object — JVM-side JSON path, no UDF):
+    per event_type, value weighted by props.k vs the plain mean."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * k) / F.sum(k), 6).alias("weighted_value"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+            F.sum(k).cast("long").alias("total_weight"),
+        )
+    )
+
+
+SQL_WEIGHTED_AVG = """
+SELECT event_type,
+       round(sum(value * k) / sum(k), 6) AS weighted_value,
+       round(avg(value), 6) AS plain_avg,
+       sum(k)::BIGINT AS total_weight
+FROM (SELECT event_type, value,
+             json_extract_string(props, '$.k')::DOUBLE AS k FROM events)
+GROUP BY 1
+"""
+
+
+def q_events_extstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats aggregation per event_type: count/min/max/sum/avg
+    plus sum_of_squares and population variance/std — all map-side
+    partial-aggregable, so the reducer sees one partial per partition."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum(F.col("value") * F.col("value")), 6).alias("sum_sq"),
+            F.round(F.var_pop("value"), 6).alias("var_pop"),
+            F.round(F.stddev_pop("value"), 6).alias("std_pop"),
+        )
+    )
+
+
+SQL_EVENTS_EXTSTATS = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+       round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value,
+       round(sum(value * value), 6) AS sum_sq,
+       round(var_pop(value), 6) AS var_pop, round(stddev_pop(value), 6) AS std_pop
+FROM events GROUP BY 1
+"""
+
+
+PCT_RANK_THRESHOLDS = [5.0, 10.0, 20.0]
+
+
+def q_events_pct_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks aggregation: for each threshold, the exact
+    percentage of values <= it, per event_type (the sketchless exact
+    form — at 100 TB the same columns come from the t-digest variant,
+    but the contract is identical)."""
+    aggs = [
+        F.round(
+            100.0 * F.sum((F.col("value") <= F.lit(t)).cast("int")) / F.count("*"), 6
+        ).alias(f"pr_{int(t)}")
+        for t in PCT_RANK_THRESHOLDS
+    ]
+    return _events(spark, sf_dir).groupBy("event_type").agg(*aggs)
+
+
+SQL_EVENTS_PCT_RANKS = """
+SELECT event_type,
+       round(100.0 * sum((value <= 5.0)::INT) / count(*), 6) AS pr_5,
+       round(100.0 * sum((value <= 10.0)::INT) / count(*), 6) AS pr_10,
+       round(100.0 * sum((value <= 20.0)::INT) / count(*), 6) AS pr_20
+FROM events GROUP BY 1
+"""
+
+
+TOKEN_BUDGET = 10_000
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus sampling: walk documents in deterministic
+    md5(doc_id) order, keep the prefix whose cumulative token count fits
+    the budget — the standard "take N tokens of data" curation step,
+    implemented as a distributed two-level prefix sum (256 hash blocks,
+    offsets broadcast) so no stage ever windows the full corpus in one
+    partition."""
+    from coderag_spark.operators.pipeline import token_budget_sample
+
+    docs = _tokdocs(spark, sf_dir).select(
+        "doc_id", F.size("toks").alias("n_tokens")
+    )
+    return token_budget_sample(docs, budget=TOKEN_BUDGET, count_col="n_tokens")
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id, len({TOKS_SQL}) AS n_tokens, md5(doc_id::VARCHAR) AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -5743,6 +5962,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": q_cms_freq,
         "bloom_member": q_bloom_member,
         "composite_after": q_composite_after,
+        "events_pipeline": q_events_pipeline,
+        "events_bucket_sel": q_events_bucket_sel,
+        "events_extstats": q_events_extstats,
+        "events_pct_ranks": q_events_pct_ranks,
+        "adj_matrix": q_adj_matrix,
+        "weighted_avg": q_weighted_avg,
+        "token_budget": q_token_budget,
         "temp_mix": q_temp_mix,
         "gopher": q_gopher,
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -5883,6 +6109,13 @@ def oracle_sql() -> dict[str, str]:
         "cms_freq": _sql_cms_freq(),
         "bloom_member": _sql_bloom_member(),
         "composite_after": SQL_COMPOSITE_AFTER,
+        "events_pipeline": SQL_EVENTS_PIPELINE,
+        "events_bucket_sel": SQL_EVENTS_BUCKET_SEL,
+        "events_extstats": SQL_EVENTS_EXTSTATS,
+        "events_pct_ranks": SQL_EVENTS_PCT_RANKS,
+        "adj_matrix": SQL_ADJ_MATRIX,
+        "weighted_avg": SQL_WEIGHTED_AVG,
+        "token_budget": SQL_TOKEN_BUDGET,
         "temp_mix": SQL_TEMP_MIX,
         "gopher": SQL_GOPHER,
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,

@@ -173,3 +173,93 @@ def test_composite_after_paging(spark):
         composite_buckets(df, [], size=5)
     with _pytest.raises(ValueError):
         composite_buckets(df, ["lang"], size=5, after=("a", "b"))
+
+
+def test_pipeline_aggs_hand_values(spark):
+    """Hand-derived pipeline-agg values on a 2-lane, 3-hour bucket stream."""
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    # lane 'a': hour0 has 1 event v=2, hour1 has 3 events v=1 each, hour2 has 2 events v=4 each
+    rows.append((0, t0, 1, "a", 2.0, "{}"))
+    for i in range(3):
+        rows.append((1 + i, t0 + timedelta(hours=1, minutes=i), 1, "a", 1.0, "{}"))
+    for i in range(2):
+        rows.append((4 + i, t0 + timedelta(hours=2, minutes=i), 1, "a", 4.0, "{}"))
+    # lane 'b': one bucket
+    rows.append((9, t0, 2, "b", 5.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    out = {
+        (r["event_type"], r["hour"].hour): r
+        for r in ev.pipeline_aggs(df, moving_window=2, serial_lag=1).collect()
+    }
+    a0, a1, a2 = out[("a", 0)], out[("a", 1)], out[("a", 2)]
+    assert [a0["n_events"], a1["n_events"], a2["n_events"]] == [1, 3, 2]
+    assert a0["deriv_events"] is None and a1["deriv_events"] == 2
+    assert a2["deriv_events"] == -1
+    assert [a0["cum_value"], a1["cum_value"], a2["cum_value"]] == [2.0, 5.0, 13.0]
+    # trailing-2 moving average of n_events
+    assert [a0["moving_avg_events"], a1["moving_avg_events"], a2["moving_avg_events"]] == [1.0, 2.0, 2.5]
+    # serial diff lag 1 on total_value (2, 3, 8)
+    assert a1["serial_diff_value"] == 1.0 and a2["serial_diff_value"] == 5.0
+    assert a1["avg_value"] == 1.0 and a2["avg_value"] == 4.0
+    b0 = out[("b", 0)]
+    assert b0["deriv_events"] is None and b0["cum_value"] == 5.0
+
+
+def test_bucket_selector_sort(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 5, 3.0), ("c", 7, 8.0), ("d", 9, 1.0)],
+        "k string, n_events long, total double",
+    )
+    out = ev.bucket_selector_sort(
+        df, keep=F.col("n_events") >= 5,
+        sort_by=[F.desc("total"), F.asc("k")], size=2,
+    ).collect()
+    assert [r["k"] for r in out] == ["c", "b"]  # 'a' dropped by selector, 'd' by size
+
+
+def test_adjacency_matrix_counts(spark):
+    df = spark.createDataFrame(
+        [("xy", 1), ("x", 2), ("y", 3), ("", 4)], "s string, n long"
+    )
+    out = {
+        r["filter_key"]: r["doc_count"]
+        for r in ev.adjacency_matrix(
+            df, {"hasx": F.col("s").contains("x"), "hasy": F.col("s").contains("y")}
+        ).collect()
+    }
+    assert out == {"hasx": 2, "hasy": 2, "hasx&hasy": 1}  # empty buckets omitted
+
+
+def test_adjacency_matrix_single_scan(spark):
+    df = spark.createDataFrame([("x", 1)], "s string, n long")
+    plan = (
+        ev.adjacency_matrix(df, {"a": F.col("s") == "x", "b": F.col("n") > 0})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_token_budget_prefix_and_partition_independence(spark):
+    from coderag_spark.operators.pipeline import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i % 7)) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    out = token_budget_sample(docs, budget=500).orderBy("cum_tokens").collect()
+    # running total never exceeds the budget and increments by n_tokens
+    assert out and out[-1]["cum_tokens"] <= 500
+    run = 0
+    for r in out:
+        run += r["n_tokens"]
+        assert r["cum_tokens"] == run
+    # the NEXT doc (first excluded) would have crossed the budget: the
+    # selected token mass is maximal for the md5 ordering
+    all_rows = token_budget_sample(docs, budget=10**9).orderBy("cum_tokens").collect()
+    assert all_rows[len(out)]["cum_tokens"] > 500
+    # partitioning does not change the selected set
+    out2 = token_budget_sample(docs.repartition(13), budget=500).orderBy("cum_tokens").collect()
+    assert [r["doc_id"] for r in out2] == [r["doc_id"] for r in out]
