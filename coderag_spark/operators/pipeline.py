@@ -749,3 +749,45 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= F.lit(int(budget)))
         .select(id_col, "n_tokens", "cum_tokens")
     )
+
+
+def hashed_linear_classifier(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    toks_col: str = "toks",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear text classifier over hashed bag-of-words
+    features: every token hashes (md5, first 8 hex digits) into one of
+    ``len(weights)`` buckets, the document score is the mean bucket
+    weight plus ``bias``, and ``prob`` is its sigmoid. This is the
+    standard cheap quality-filter shape (e.g. a CCNet/fastText lang or
+    quality head re-expressed as column algebra): the trained model is
+    just the ``weights`` vector, and scoring is a pure JVM expression —
+    no UDF, no shuffle, linear scan at any corpus size.
+
+    The hash convention matches the suite's other sketches
+    (``('0x'||substr(md5(tok),1,8)) % n_buckets``) so an exact SQL oracle
+    can inline the same weight vector.
+    """
+    n = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    bucket = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % n
+    )
+    raw = (
+        F.aggregate(
+            F.transform(F.col(toks_col), lambda t: F.element_at(warr, (bucket(t) + 1).cast("int"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.greatest(F.size(toks_col), F.lit(1))
+        + F.lit(float(bias))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(raw, 6).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("prob"),
+        (raw > 0).alias("keep"),
+    )

@@ -5847,6 +5847,46 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+CLASSIFIER_BUCKETS = 64
+# deterministic "pretrained" weight vector (Knuth multiplicative-hash
+# spread into [-0.5, 0.5)) — in production this is the trained fastText/
+# logistic head; the exact oracle inlines the identical literal vector
+CLASSIFIER_WEIGHTS = [
+    ((b * 2654435761) % 1000) / 1000.0 - 0.5 for b in range(CLASSIFIER_BUCKETS)
+]
+
+
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier: md5 bag-of-words
+    buckets x an inlined weight vector, mean-pooled, sigmoid — a pure
+    column expression (no UDF, no shuffle), the cheap model-based filter
+    stage of a 100 TB curation pipeline."""
+    from coderag_spark.operators.pipeline import hashed_linear_classifier
+
+    return hashed_linear_classifier(
+        _tokdocs(spark, sf_dir), weights=CLASSIFIER_WEIGHTS
+    )
+
+
+def _sql_quality_model() -> str:
+    w = ", ".join(f"{x!r}::DOUBLE" for x in CLASSIFIER_WEIGHTS)
+    n = CLASSIFIER_BUCKETS
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(toks,
+             tok -> w[(('0x' || substr(md5(tok), 1, 8))::BIGINT % {n}) + 1])), 0.0)
+           / greatest(len(toks), 1) AS raw
+  FROM t, (SELECT [{w}] AS w)
+)
+SELECT doc_id, round(raw, 6) AS score,
+       round(1.0 / (1.0 + exp(-raw)), 6) AS prob,
+       (raw > 0) AS keep
+FROM s
+"""
+
+
 # ----------------------------------------------------------- registry
 
 
@@ -5969,6 +6009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adj_matrix": q_adj_matrix,
         "weighted_avg": q_weighted_avg,
         "token_budget": q_token_budget,
+        "quality_model": q_quality_model,
         "temp_mix": q_temp_mix,
         "gopher": q_gopher,
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -6116,6 +6157,7 @@ def oracle_sql() -> dict[str, str]:
         "adj_matrix": SQL_ADJ_MATRIX,
         "weighted_avg": SQL_WEIGHTED_AVG,
         "token_budget": SQL_TOKEN_BUDGET,
+        "quality_model": _sql_quality_model(),
         "temp_mix": SQL_TEMP_MIX,
         "gopher": SQL_GOPHER,
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,

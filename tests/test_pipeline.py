@@ -445,3 +445,37 @@ def test_cyclomatic_estimate(spark):
     assert out[2]["complexity_per_fn"] == 0.0
     plan = cyclomatic_estimate(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hashed_linear_classifier_hand_values(spark):
+    """Score = mean over tokens of w[md5-bucket(tok)]; verify against a
+    driver-side recomputation with hashlib."""
+    import hashlib
+    import math
+
+    from coderag_spark.operators.pipeline import hashed_linear_classifier
+
+    weights = [((b * 2654435761) % 1000) / 1000.0 - 0.5 for b in range(64)]
+    rows = [(1, ["alpha", "beta", "alpha"]), (2, ["gamma"]), (3, [])]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    out = {r["doc_id"]: r for r in hashed_linear_classifier(df, weights).collect()}
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64
+
+    for doc_id, toks in rows:
+        raw = sum(weights[bucket(t)] for t in toks) / max(len(toks), 1)
+        assert abs(out[doc_id]["score"] - round(raw, 6)) < 1e-9
+        assert abs(out[doc_id]["prob"] - round(1 / (1 + math.exp(-raw)), 6)) < 1e-9
+        assert out[doc_id]["keep"] == (raw > 0)
+
+
+def test_hashed_linear_classifier_plan_pure_jvm(spark):
+    from coderag_spark.operators.pipeline import hashed_linear_classifier
+
+    df = spark.createDataFrame([(1, ["a"])], "doc_id long, toks array<string>")
+    plan = (
+        hashed_linear_classifier(df, [0.1] * 16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
