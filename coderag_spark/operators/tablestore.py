@@ -1,0 +1,317 @@
+"""Snapshot table store: Iceberg-semantics MERGE INTO over parquet.
+
+The engine's index store (engine.py) already gives merge-on-read
+segments, tombstones, compaction, and ``as_of`` time travel for the
+*index* tables. This module supplies the remaining Iceberg behaviors the
+reference's storage layer assumes (its SQLite file is transactional;
+Iceberg gives the same guarantees on a data lake — reference:
+packages/core/src/indexer.ts persists per-file rows transactionally) for
+*arbitrary keyed tables*, with no Iceberg runtime in the environment:
+
+  * ``SnapshotTable`` — a keyed parquet table whose data files are
+    hash-bucketed by key (Iceberg ``bucket(N, key)`` partition transform).
+  * ``merge_into`` — ANSI ``MERGE INTO`` (WHEN MATCHED THEN UPDATE /
+    DELETE, WHEN NOT MATCHED THEN INSERT) as copy-on-write at FILE
+    granularity: only buckets containing a source key are re-written;
+    every other data file is carried into the new snapshot manifest
+    untouched. Write cost is proportional to the touched key range, not
+    the table (the Iceberg v1 copy-on-write contract).
+  * snapshot isolation — every commit writes an immutable manifest
+    ``_snapshots/v{N}.json`` naming its data files; readers resolve the
+    file list ONCE at open, so a reader holding snapshot N sees N forever
+    while writers commit N+1, N+2... (old data files are never mutated).
+  * time travel — ``read(snapshot_id=K)``.
+  * optimistic concurrency — the commit point is an O_EXCL create of the
+    next manifest: two writers racing from the same parent both compute,
+    one commit wins, the loser raises ``CommitConflict`` for retry
+    (Iceberg's atomic catalog-pointer swap, degraded to POSIX).
+  * MERGE cardinality check — a source with duplicate keys is rejected,
+    matching Iceberg/Delta's "multiple source rows matched" error.
+
+Scale shape: the merge plan is one broadcast-able join per affected
+bucket set — the source is typically a small changeset against a huge
+table, and bucket pruning keeps the rewrite to |touched buckets| /
+n_buckets of the data. At 100 TB, n_buckets goes to 4-16k so a
+single-key upsert rewrites one file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
+class MergeCardinalityError(ValueError):
+    """The MERGE source has multiple rows for one key (non-deterministic
+    update) — the same check Iceberg and Delta enforce."""
+
+
+def _key_bucket(key_cols: list[str], n_buckets: int) -> F.Column:
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % n_buckets).cast(
+        "int"
+    )
+
+
+class SnapshotTable:
+    """A keyed, hash-bucketed parquet table with manifest-based snapshots."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        if not os.path.isdir(self._snapdir()):
+            raise FileNotFoundError(f"no snapshot table at {path}")
+
+    # ------------------------------------------------------------ layout
+
+    def _snapdir(self) -> str:
+        return f"{self.path}/_snapshots"
+
+    def _manifest_path(self, sid: int) -> str:
+        return f"{self._snapdir()}/v{sid}.json"
+
+    def snapshot_ids(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self._snapdir())
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def current_snapshot_id(self) -> int:
+        ids = self.snapshot_ids()
+        if not ids:
+            raise FileNotFoundError(f"snapshot table at {self.path} has no snapshots")
+        return ids[-1]
+
+    def manifest(self, sid: int | None = None) -> dict:
+        sid = self.current_snapshot_id() if sid is None else sid
+        with open(self._manifest_path(sid)) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------ create
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        key_cols: list[str],
+        n_buckets: int = 16,
+    ) -> "SnapshotTable":
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        os.makedirs(f"{path}/_snapshots", exist_ok=True)
+        os.makedirs(f"{path}/data", exist_ok=True)
+        cols = df.columns
+        bucketed = df.withColumn("_bucket", _key_bucket(key_cols, n_buckets))
+        files: dict[str, str] = {}
+        for b in range(n_buckets):
+            rel = f"data/b{b}-v0.parquet"
+            bucketed.filter(F.col("_bucket") == b).drop("_bucket").write.mode(
+                "overwrite"
+            ).parquet(f"{path}/{rel}")
+            files[str(b)] = rel
+        manifest = {
+            "snapshot_id": 0,
+            "parent": None,
+            "key_cols": list(key_cols),
+            "columns": cols,
+            "n_buckets": n_buckets,
+            "files": files,
+            "summary": {"operation": "create"},
+            "ts": time.time(),
+        }
+        fd = os.open(f"{path}/_snapshots/v0.json", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return SnapshotTable(spark, path)
+
+    # -------------------------------------------------------------- read
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Resolve the manifest's file list ONCE — the returned DataFrame
+        is pinned to this snapshot no matter what commits later (data
+        files are immutable; only manifests accumulate)."""
+        m = self.manifest(snapshot_id)
+        paths = [f"{self.path}/{rel}" for rel in m["files"].values()]
+        return self.spark.read.parquet(*paths)
+
+    # ------------------------------------------------------------- merge
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+        matched_condition: F.Column | None = None,
+        base_snapshot_id: int | None = None,
+    ) -> dict:
+        """ANSI MERGE INTO this table from ``source`` (same schema), keyed
+        on the table's key_cols.
+
+          * ``when_matched='update'`` — matched target rows take the
+            source row's values (optionally only where
+            ``matched_condition`` holds on the source row).
+          * ``when_matched='delete'`` — matched rows are removed.
+          * ``when_matched=None``    — matched rows are left untouched.
+          * ``when_not_matched='insert'`` / ``None`` — unmatched source
+            rows are appended / dropped.
+
+        Copy-on-write at file granularity: only buckets named by a source
+        key are rewritten; all other files carry over by manifest
+        reference. Returns commit metrics.
+
+        ``base_snapshot_id`` pins the snapshot this merge reads and
+        validates against (default: current at call time). If any other
+        writer committed past it before this merge's commit point, the
+        commit raises ``CommitConflict`` and the caller retries from the
+        fresh snapshot — the optimistic-concurrency loop Iceberg runs
+        against its catalog pointer."""
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        base_sid = (
+            self.current_snapshot_id() if base_snapshot_id is None else base_snapshot_id
+        )
+        m = self.manifest(base_sid)
+        keys, cols, nb = m["key_cols"], m["columns"], m["n_buckets"]
+        if set(source.columns) != set(cols):
+            raise ValueError(
+                f"source columns {sorted(source.columns)} != table columns {sorted(cols)}"
+            )
+        src = source.select(*cols).withColumn("_bucket", _key_bucket(keys, nb))
+        src.persist()
+        try:
+            # Iceberg/Delta cardinality check: one source row per key
+            dup = (
+                src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                raise MergeCardinalityError(
+                    f"MERGE source has multiple rows for key {tuple(dup[0][k] for k in keys)}"
+                )
+            touched = sorted(
+                r["_bucket"] for r in src.select("_bucket").distinct().collect()
+            )
+            new_sid = base_sid + 1
+            files = dict(m["files"])
+            n_upd = n_del = n_ins = 0
+            for b in touched:
+                tgt = self.spark.read.parquet(f"{self.path}/{m['files'][str(b)]}")
+                sb = src.filter(F.col("_bucket") == b).drop("_bucket")
+                sren = sb.select(
+                    *[F.col(c).alias(c if c in keys else f"_src_{c}") for c in cols]
+                ).withColumn("_matched", F.lit(True))
+                # row provenance via side markers: a full-outer row is
+                # "matched" iff both markers are non-null (value columns
+                # can be legitimately null, so markers, not values)
+                tmark = tgt.withColumn("_in_tgt", F.lit(True))
+                j = tmark.join(sren, keys, "full_outer")
+                matched = F.col("_in_tgt").isNotNull() & F.col("_matched").isNotNull()
+                src_only = F.col("_in_tgt").isNull() & F.col("_matched").isNotNull()
+                apply_upd = matched
+                if matched_condition is not None:
+                    apply_upd = matched & matched_condition
+                out_cols = []
+                for c in cols:
+                    if c in keys:
+                        out_cols.append(F.col(c))
+                    elif when_matched == "update":
+                        out_cols.append(
+                            F.when(apply_upd | src_only, F.col(f"_src_{c}"))
+                            .otherwise(F.col(c))
+                            .alias(c)
+                        )
+                    else:
+                        out_cols.append(
+                            F.when(src_only, F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
+                        )
+                keep = F.lit(True)
+                if when_matched == "delete":
+                    cond = matched if matched_condition is None else (
+                        matched & matched_condition
+                    )
+                    keep = keep & ~cond
+                if when_not_matched is None:
+                    keep = keep & ~src_only
+                result = j.filter(keep).select(*out_cols)
+                mrow = j.agg(
+                    F.sum(matched.cast("long")).alias("m"),
+                    F.sum(src_only.cast("long")).alias("s"),
+                ).collect()[0]
+                if when_matched == "update":
+                    n_upd += int(mrow["m"] or 0)
+                elif when_matched == "delete":
+                    n_del += int(mrow["m"] or 0)
+                if when_not_matched == "insert":
+                    n_ins += int(mrow["s"] or 0)
+                rel = f"data/b{b}-v{new_sid}.parquet"
+                result.write.mode("overwrite").parquet(f"{self.path}/{rel}.tmp")
+                os.rename(f"{self.path}/{rel}.tmp", f"{self.path}/{rel}")
+                files[str(b)] = rel
+        finally:
+            src.unpersist()
+        manifest = {
+            "snapshot_id": new_sid,
+            "parent": base_sid,
+            "key_cols": keys,
+            "columns": cols,
+            "n_buckets": nb,
+            "files": files,
+            "summary": {
+                "operation": "merge",
+                "buckets_rewritten": len(touched),
+                "buckets_total": nb,
+                "rows_updated": n_upd,
+                "rows_deleted": n_del,
+                "rows_inserted": n_ins,
+            },
+            "ts": time.time(),
+        }
+        # commit point: O_EXCL create of the next manifest. A concurrent
+        # writer that committed new_sid first makes this raise — the
+        # optimistic-concurrency loser retries from the fresh snapshot.
+        try:
+            fd = os.open(
+                self._manifest_path(new_sid), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError as e:
+            for b in touched:  # abandon orphaned files of the losing commit
+                shutil.rmtree(f"{self.path}/data/b{b}-v{new_sid}.parquet", True)
+            raise CommitConflict(
+                f"snapshot v{new_sid} was committed by another writer"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return dict(manifest["summary"], snapshot_id=new_sid)
+
+    # ----------------------------------------------------------- expire
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Drop manifests older than the newest ``keep_last`` and delete
+        data files no surviving manifest references (Iceberg's
+        expire_snapshots maintenance action)."""
+        ids = self.snapshot_ids()
+        expired = ids[:-keep_last] if keep_last > 0 else ids[:-1]
+        if not expired:
+            return []
+        survivors = [i for i in ids if i not in expired]
+        live = set()
+        for sid in survivors:
+            live.update(self.manifest(sid)["files"].values())
+        for sid in expired:
+            for rel in self.manifest(sid)["files"].values():
+                if rel not in live:
+                    shutil.rmtree(f"{self.path}/{rel}", ignore_errors=True)
+            os.remove(self._manifest_path(sid))
+        return expired
