@@ -456,3 +456,123 @@ def wand_search(
 
     per = cand.groupBy("shard").applyInPandas(per_shard, schema="doc_id long, score double")
     return per.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------- MAXSCORE query
+
+
+def maxscore_topk_lists(
+    lists: list[_TermList], k: int, avgdl: float
+) -> list[tuple[int, float]]:
+    """MAXSCORE (Turtle & Flood 1995) over in-memory decoded lists — the
+    evaluation strategy Lucene 8+ uses for top-k by default. OR
+    semantics, exact top-k by (score desc, doc_id asc), same contract as
+    ``wand_topk_lists``.
+
+    Terms sort by score upper bound ascending; the prefix whose bound sum
+    cannot beat the running threshold theta is NON-ESSENTIAL — candidate
+    docs are drawn only from the essential suffix's cursors, and
+    non-essential lists are probed (highest bound first) only while the
+    partial score plus the remaining bound sum can still beat theta.
+    Tie-aware pruning: a candidate is abandoned only when even a score
+    EQUAL to its bound would lose the (score, -doc_id) heap comparison,
+    so results stay rank-identical to exhaustive scoring under ties."""
+    lists = [t for t in lists if t.docs]
+    if not lists:
+        return []
+    lists.sort(key=lambda t: t.upper())
+    cum = []
+    acc = 0.0
+    for t in lists:
+        acc += t.upper()
+        cum.append(acc)
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -1.0
+
+    def first_essential() -> int:
+        # largest non-essential prefix: cum[i] <= theta for all i < ness
+        th = theta()
+        ness = 0
+        while ness < len(lists) and cum[ness] <= th:
+            ness += 1
+        return ness
+
+    ness = 0
+    while ness < len(lists):
+        # exhaustion is checked via pos (NOT the cur sentinel: hashed
+        # doc_ids span the full signed-64 range, above any sentinel)
+        ess = [t for t in lists[ness:] if t.pos < len(t.docs)]
+        if not ess:
+            break
+        cur = min(t.docs[t.pos] for t in ess)
+        score = 0.0
+        for t in ess:
+            if t.docs[t.pos] == cur:
+                score += t.idf * _quota(t.tfs[t.pos], t.dls[t.pos], avgdl)
+                t.pos += 1
+        alive = True
+        for i in range(ness - 1, -1, -1):
+            bound = score + cum[i]
+            # tie-aware prune: can (bound, -cur) still beat the heap min?
+            if len(heap) >= k and (bound, -cur) <= heap[0]:
+                alive = False
+                break
+            t = lists[i]
+            t.advance_to(cur)
+            if t.pos < len(t.docs) and t.docs[t.pos] == cur:
+                score += t.idf * _quota(t.tfs[t.pos], t.dls[t.pos], avgdl)
+        entry = (score, -cur)
+        if alive:
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            ness = first_essential()
+            if ness >= len(lists):
+                break
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-nd, s) for s, nd in out]
+
+
+def maxscore_search(
+    sharded: DataFrame,
+    dictionary: DataFrame,
+    terms: list[str],
+    avgdl: float,
+    k: int = 10,
+) -> DataFrame:
+    """Distributed MAXSCORE: per-shard DAAT top-k inside applyInPandas
+    over the same compressed doc-sharded store as ``wand_search``, global
+    TakeOrdered merge. Returns (doc_id, score)."""
+    spark = sharded.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_map = {
+        r["term"]: r["idf"]
+        for r in dictionary.filter(F.col("term").isin(terms)).collect()
+    }
+    cand = sharded.filter(F.col("term").isin(terms))
+    b_idf = spark.sparkContext.broadcast(idf_map)
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("term")
+        lists = []
+        for _, row in pdf.iterrows():
+            docs, tfs, dls = decode_postings(bytes(row["payload"]))
+            lists.append(
+                _TermList(
+                    idf=float(b_idf.value.get(row["term"], 1.0)),
+                    docs=docs,
+                    tfs=tfs,
+                    dls=dls,
+                    block_last=list(row["block_last_doc"]),
+                    block_maxq=list(row["block_max_quota"]),
+                )
+            )
+        top = maxscore_topk_lists(lists, k, avgdl)
+        return pd.DataFrame({"doc_id": [d for d, _ in top], "score": [s for _, s in top]})
+
+    per = cand.groupBy("shard").applyInPandas(per_shard, schema="doc_id long, score double")
+    return per.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -3204,6 +3204,33 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXSCORE (Turtle & Flood 1995; Lucene 8+'s default top-k strategy)
+    over the same compressed doc-sharded store as wand_topk — must be
+    rank-identical to the exhaustive BM25 oracle (same SQL as bm25_topk).
+    Non-essential terms (bound-sum below the running threshold) are
+    probed on demand instead of driving the DAAT cursor."""
+    from coderag_spark.operators import compact as cp
+
+    terms = query_terms(BM25_QUERY_MULTI)
+    tok = _tokdocs(spark, sf_dir)
+    srow = tok.agg(
+        F.count("*").alias("n"), F.greatest(F.avg(F.size("toks")), F.lit(1.0)).alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = srow["n"], float(srow["avgdl"])
+    post = _doc_postings(spark, sf_dir).join(
+        tok.select("doc_id", F.size("toks").alias("token_count")), "doc_id"
+    )
+    dictionary = post.groupBy("term").agg(F.count("*").alias("df")).select(
+        "term", "df", (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf")
+    )
+    sharded = cp.build_doc_sharded(post, avgdl, n_shards=8)
+    out = cp.maxscore_search(sharded, dictionary, terms, avgdl, k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 # --------------------------------------- filtered search / fusion / diff
 
 
@@ -5911,6 +5938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_single": q_bm25_single,
         "bm25_minscore": q_bm25_minscore,
         "wand_topk": q_wand_topk,
+        "maxscore_topk": q_maxscore_topk,
         "phrase_search": q_phrase_search,
         "phrase_search3": q_phrase_search3,
         "phrase_compressed": q_phrase_compressed,
@@ -6051,6 +6079,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_single": _sql_bm25(query_terms(BM25_QUERY_SINGLE), 10),
         "bm25_minscore": _sql_bm25(query_terms(BM25_QUERY_MULTI), 50, min_score=2.0),
         "wand_topk": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10),
+        "maxscore_topk": _sql_bm25(query_terms(BM25_QUERY_MULTI), 10),
         "phrase_search": _sql_phrase(PHRASE_2),
         "phrase_search3": _sql_phrase(PHRASE_3),
         "phrase_compressed": _sql_phrase(PHRASE_2),

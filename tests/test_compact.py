@@ -135,3 +135,69 @@ def test_resumable_write(spark, index, tmp_path):
     assert stored.count() == plists.count()
     assert stored.select("term").distinct().count() == plists.count()
     assert sorted(cp.read_lineage(spark, path)) == sorted(set(cp.read_lineage(spark, path)))
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_maxscore_rank_identity_vs_exhaustive(spark, index, sharded, query):
+    terms = dedupe_query_tokens(query)
+    want = [(r["doc_id"], r["score"]) for r in search(index, query, limit=10).collect()]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in cp.maxscore_search(
+            sharded, index.dictionary, terms, index.stats.avgdl, k=10
+        ).collect()
+    ]
+    tie_sort = lambda rows: sorted(rows, key=lambda r: (-round(r[1], 9), r[0]))  # noqa: E731
+    assert [g[0] for g in tie_sort(got)] == [w[0] for w in tie_sort(want)]
+    for g, w in zip(tie_sort(got), tie_sort(want)):
+        assert g[1] == pytest.approx(w[1], rel=1e-9)
+
+
+def test_maxscore_empty_and_nomatch(spark, index, sharded):
+    assert cp.maxscore_search(sharded, index.dictionary, [], index.stats.avgdl).collect() == []
+    got = cp.maxscore_search(sharded, index.dictionary, ["zzz_nope"], index.stats.avgdl).collect()
+    assert got == []
+
+
+def test_maxscore_equals_wand_on_random_lists():
+    """Property: MAXSCORE and block-max WAND return the identical top-k
+    (both exact) on randomized in-memory posting lists, including tied
+    scores and k larger than the candidate set."""
+    import random
+
+    from coderag_spark.operators.compact import (
+        _TermList,
+        maxscore_topk_lists,
+        wand_topk_lists,
+    )
+
+    rng = random.Random(42)
+    for trial in range(25):
+        avgdl = rng.uniform(5, 50)
+        n_terms = rng.randint(1, 5)
+        dls = {}
+
+        def mk():
+            docs = sorted(rng.sample(range(1, 200), rng.randint(1, 60)))
+            tfs = [rng.randint(1, 5) for _ in docs]
+            for d in docs:
+                dls.setdefault(d, rng.randint(3, 80))
+            dl = [dls[d] for d in docs]
+            idf = rng.uniform(0.5, 4.0)
+            # one block covering the list (loose but valid upper bound)
+            from coderag_spark.operators.compact import _quota
+
+            maxq = max(_quota(t, l, avgdl) for t, l in zip(tfs, dl))
+            return dict(idf=idf, docs=docs, tfs=tfs, dls=dl,
+                        block_last=[docs[-1]], block_maxq=[maxq])
+
+        specs = [mk() for _ in range(n_terms)]
+        k = rng.choice([1, 3, 10, 500])
+        a = maxscore_topk_lists([_TermList(**s) for s in specs], k, avgdl)
+        b = wand_topk_lists([_TermList(**s) for s in specs], k, avgdl)
+        # same docs in the same order; scores equal up to summation-order ulp
+        assert [d for d, _ in a] == [d for d, _ in b], (
+            f"trial {trial}: maxscore {a[:5]} != wand {b[:5]}"
+        )
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, rel=1e-12)
