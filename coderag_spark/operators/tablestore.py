@@ -145,6 +145,25 @@ class SnapshotTable:
         paths = [f"{self.path}/{rel}" for rel in m["files"].values()]
         return self.spark.read.parquet(*paths)
 
+    def changed_buckets(self, from_sid: int, to_sid: int | None = None) -> list[int]:
+        """Buckets whose data file differs between the two snapshots —
+        file-granular change detection straight off the manifests, no
+        data read at all (the Iceberg incremental-scan planning step)."""
+        m0 = self.manifest(from_sid)
+        m1 = self.manifest(to_sid)
+        return sorted(
+            int(b) for b in m1["files"] if m0["files"].get(b) != m1["files"][b]
+        )
+
+    def read_buckets(self, buckets: list[int], snapshot_id: int | None = None) -> DataFrame:
+        """Read ONLY the named buckets of a snapshot — the pruned scan a
+        snapshot-diff consumer pairs with ``changed_buckets``."""
+        m = self.manifest(snapshot_id)
+        if not buckets:
+            return self.read(snapshot_id).limit(0)
+        paths = [f"{self.path}/{m['files'][str(b)]}" for b in buckets]
+        return self.spark.read.parquet(*paths)
+
     # ------------------------------------------------------------- merge
 
     def merge_into(

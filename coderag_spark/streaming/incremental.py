@@ -320,3 +320,30 @@ def stream_percolate(
         >= F.col("min_match")
     )
     return matched.select("query_id", "doc_id")
+
+
+def incremental_from_snapshots(
+    index: Index,
+    table,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+    **kw,
+):
+    """Resume index maintenance from the last indexed snapshot of a
+    ``SnapshotTable`` corpus (operators/tablestore.py): the manifests name
+    exactly which bucket files the intervening MERGE commits rewrote, so
+    both sides of the diff read ONLY those buckets — change detection
+    cost is proportional to the committed change, not the corpus. This is
+    the "builds resume from the last committed snapshot" contract at
+    10^12-file scale: a 3-file merge touches ~3 buckets of N, and the
+    full-outer diff join runs over just those slices.
+
+    Returns the same (index', stats[, delta]) as ``apply_incremental``;
+    callers persist ``to_snapshot`` (default: current) as the new
+    high-water mark next to the index (e.g. in stats.json lineage).
+    """
+    to_snapshot = table.current_snapshot_id() if to_snapshot is None else to_snapshot
+    touched = table.changed_buckets(from_snapshot, to_snapshot)
+    old = table.read_buckets(touched, from_snapshot)
+    new = table.read_buckets(touched, to_snapshot)
+    return apply_incremental(index, old, new, **kw)
