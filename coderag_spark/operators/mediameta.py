@@ -142,8 +142,20 @@ def mp4_frame_samples(b: bytes, k: int = 4) -> list[bytes]:
 
 def mp4_frame_features(b: bytes, k: int = 4) -> list[tuple[float, float, float]]:
     """Per-sampled-frame mean RGB — REAL decode for the 'rawv'
-    (uncompressed RGB24) codec; compressed codecs raise explicitly."""
+    (uncompressed RGB24) and 'jpeg' (Motion-JPEG / QuickTime Photo JPEG,
+    every sample an independent JFIF image, decoded by this repo's own
+    baseline+progressive JPEG codec) sample entries; other compressed
+    codecs raise explicitly."""
     meta = mp4_metadata(b)
+    if meta["codec"] == "jpeg":
+        from coderag_spark.operators.jpeg import decode_jpeg_pixels
+
+        feats = []
+        for payload in mp4_frame_samples(b, k):
+            px = decode_jpeg_pixels(payload)
+            m = px.reshape(-1, 3).mean(axis=0)
+            feats.append((float(m[0]), float(m[1]), float(m[2])))
+        return feats
     if meta["codec"] != "rawv":
         raise NotImplementedError(
             f"frame decode for codec {meta['codec']!r} needs ffmpeg; "
@@ -220,6 +232,84 @@ def encode_mp4_raw(frames: list[np.ndarray], fps: int = 10) -> bytes:
     stsc = _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n, 1))
     frame_bytes = w * h * 3
     stsz = _box(b"stsz", struct.pack(">B3xII", 0, frame_bytes, n))
+    stco = _box(b"stco", struct.pack(">B3xII", 0, 1, chunk_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(b"dinf", _box(b"dref", struct.pack(">B3xI", 0, 1)
+                              + _box(b"url ", b"\x00\x00\x00\x01")))
+    vmhd = _box(b"vmhd", struct.pack(">B3xHHHH", 0, 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def encode_mp4_mjpeg(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 85
+) -> bytes:
+    """Single-track MP4 holding a COMPRESSED video track: every sample is
+    an independent JFIF image from this repo's JPEG encoder (the
+    QuickTime Photo-JPEG / Motion-JPEG layout, sample entry 'jpeg').
+    Variable sample sizes go through the per-sample stsz table — the
+    shape every real compressed codec uses, unlike rawv's fixed size."""
+    from coderag_spark.operators.jpeg import encode_jpeg
+
+    h, w, _ = frames[0].shape
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("all frames must share one shape")
+    samples = [encode_jpeg(f.astype(np.uint8), quality=quality) for f in frames]
+    payload = b"".join(samples)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    mdat = _box(b"mdat", payload)
+    chunk_off = len(ftyp) + 8
+    n = len(frames)
+    timescale = 1000
+    dur = n * timescale // fps
+    identity = (
+        b"\x00\x01\x00\x00" + b"\x00" * 12
+        + b"\x00\x01\x00\x00" + b"\x00" * 12
+        + b"\x40\x00\x00\x00"
+    )
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)
+        + struct.pack(">IH2x", 0x00010000, 0x0100)
+        + b"\x00" * 8
+        + identity
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1, 0)
+        + struct.pack(">I", dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + b"\x00\x01\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x00\x00\x01\x00\x00\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x00\x00\x00\x00\x00\x40\x00\x00\x00"
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _box(b"mdhd", struct.pack(">B3xIIIIHH", 0, 0, 0, timescale, dur, 0x55C4, 0))
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"jpeg")
+    entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = _box(b"stts", struct.pack(">B3xIII", 0, 1, n, timescale // fps))
+    stsc = _box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n, 1))
+    stsz = _box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, n) + struct.pack(f">{n}I", *[len(s) for s in samples]),
+    )
     stco = _box(b"stco", struct.pack(">B3xII", 0, 1, chunk_off))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     dinf = _box(b"dinf", _box(b"dref", struct.pack(">B3xI", 0, 1)

@@ -513,13 +513,15 @@ def decode_media_features(
                         meta = mp4_metadata(b)
                         w, h = meta["width"], meta["height"]
                         frames = meta["n_frames"]
-                        if meta["codec"] == "rawv":
+                        if meta["codec"] in ("rawv", "jpeg"):
+                            # rawv = uncompressed RGB24; jpeg = Motion-JPEG
+                            # (decoded per-sample by the repo JPEG codec)
                             ff = mp4_frame_features(b, k=3)
                             mr = sum(f[0] for f in ff) / len(ff)
                             mg = sum(f[1] for f in ff) / len(ff)
                             mb = sum(f[2] for f in ff) / len(ff)
                         else:
-                            mr = mg = mb = 0.0  # metadata-only for compressed codecs
+                            mr = mg = mb = 0.0  # metadata-only for other compressed codecs
                         feat = [mr, mg, mb, meta["duration_sec"]]
                     elif kind == "audio/mpeg":
                         from coderag_spark.operators.mediameta import mp3_metadata

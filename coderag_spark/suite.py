@@ -4620,10 +4620,20 @@ def _synth_media_udf():
                 else:
                     out.append(mm.encode_png_palette(px, filter_type=1))
             elif m == 3:
-                # alternate baseline and PROGRESSIVE (SOF2) JPEG payloads
-                # so both entropy-coding profiles decode in the driver run
-                enc = encode_jpeg_progressive if (d // 6) % 2 else encode_jpeg
-                out.append(enc(px, quality=90))
+                # rotate baseline JPEG / PROGRESSIVE (SOF2) JPEG / Motion-
+                # JPEG MP4 (compressed video track, every sample a JFIF
+                # image) so all three lossy profiles decode in the driver
+                # run — this slot is excluded from the exact oracle, so
+                # lossy codec math never meets generator math
+                v = (d // 6) % 3
+                if v == 0:
+                    out.append(encode_jpeg(px, quality=90))
+                elif v == 1:
+                    out.append(encode_jpeg_progressive(px, quality=90))
+                else:
+                    from coderag_spark.operators.mediameta import encode_mp4_mjpeg
+
+                    out.append(encode_mp4_mjpeg([px, px[::-1].copy()], fps=5, quality=90))
             else:
                 out.append(encode_mp4_raw([px, px[::-1].copy()], fps=5))
         return pd.Series(out)
@@ -5874,6 +5884,35 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+SORT_SEARCH_TERM = "merge"
+
+
+def q_sort_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-field search: docs matching a term, ordered by a doc
+    attribute (n_chars desc) instead of relevance, top 10 with doc_id
+    tiebreak — the match filter prunes before the TakeOrderedAndProject,
+    so the sort never ranks non-matching docs."""
+    d = _documents(spark, sf_dir)
+    matches = _tokdocs(spark, sf_dir).filter(
+        F.array_contains("toks", SORT_SEARCH_TERM)
+    ).select("doc_id")
+    return (
+        d.join(matches, "doc_id", "left_semi")
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_SORT_SEARCH = f"""
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+WHERE list_contains({TOKS_SQL}, '{SORT_SEARCH_TERM}')
+ORDER BY n_chars DESC, doc_id
+LIMIT 10
+"""
+
+
 CLASSIFIER_BUCKETS = 64
 # deterministic "pretrained" weight vector (Knuth multiplicative-hash
 # spread into [-0.5, 0.5)) — in production this is the trained fastText/
@@ -6038,6 +6077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_avg": q_weighted_avg,
         "token_budget": q_token_budget,
         "quality_model": q_quality_model,
+        "sort_search": q_sort_search,
         "temp_mix": q_temp_mix,
         "gopher": q_gopher,
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -6187,6 +6227,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_avg": SQL_WEIGHTED_AVG,
         "token_budget": SQL_TOKEN_BUDGET,
         "quality_model": _sql_quality_model(),
+        "sort_search": SQL_SORT_SEARCH,
         "temp_mix": SQL_TEMP_MIX,
         "gopher": SQL_GOPHER,
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,
