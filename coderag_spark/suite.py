@@ -5707,7 +5707,7 @@ def q_events_bucket_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     buckets = (
         _events(spark, sf_dir)
-        .groupBy("event_type", F.to_date(F.col("ts")).alias("day"))
+        .groupBy("event_type", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.round(F.sum("value"), 6).alias("total_value"),
@@ -5722,7 +5722,7 @@ def q_events_bucket_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_BUCKET_SEL = f"""
-SELECT event_type, ts::DATE AS day,
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2
 HAVING count(*) >= {BUCKET_SEL_MIN_EVENTS}
@@ -5881,6 +5881,71 @@ c AS (
 )
 SELECT doc_id, n_tokens::BIGINT AS n_tokens, cum_tokens::BIGINT AS cum_tokens
 FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+HIST_INTERVAL = 5.0
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation: fixed-interval buckets over a numeric
+    field (floor(value / 5) * 5), doc count + sum per bucket and per
+    event_type — one groupBy, map-side combinable."""
+    bucket = (
+        F.floor(F.col("value") / F.lit(HIST_INTERVAL)) * F.lit(HIST_INTERVAL)
+    ).alias("bucket")
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type", bucket)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT event_type, floor(value / {HIST_INTERVAL!r}::DOUBLE) * {HIST_INTERVAL!r}::DOUBLE AS bucket,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram token entropy (nats) — the repetition/diversity
+    quality signal (low entropy = template spam): one (doc, term) count
+    shuffle, entropy as a column expression over the counts."""
+    counts = (
+        _tokdocs(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("_n"),
+            F.sum(F.col("c") * F.log("c")).alias("_clogc"),
+            F.count("*").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            F.col("_n").cast("long").alias("n_tokens"),
+            "n_distinct",
+            F.round(F.log("_n") - F.col("_clogc") / F.col("_n"), 6).alias("entropy"),
+        )
+    )
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH c AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS c
+  FROM (SELECT doc_id, unnest({TOKS_SQL}) AS term FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM c GROUP BY 1
 """
 
 
@@ -6078,6 +6143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "quality_model": q_quality_model,
         "sort_search": q_sort_search,
+        "value_histogram": q_value_histogram,
+        "token_entropy": q_token_entropy,
         "temp_mix": q_temp_mix,
         "gopher": q_gopher,
         "fuzzy_decontam": q_fuzzy_decontam,
@@ -6228,6 +6295,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": SQL_TOKEN_BUDGET,
         "quality_model": _sql_quality_model(),
         "sort_search": SQL_SORT_SEARCH,
+        "value_histogram": SQL_VALUE_HISTOGRAM,
+        "token_entropy": SQL_TOKEN_ENTROPY,
         "temp_mix": SQL_TEMP_MIX,
         "gopher": SQL_GOPHER,
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,
