@@ -659,6 +659,51 @@ def _cmd_ann(args) -> int:
     return 0
 
 
+def _cmd_table(args) -> int:
+    """SnapshotTable DML/maintenance: history, show, create, merge,
+    delete-where, add-column, expire — the Iceberg-analogue storage
+    surface (operators/tablestore.py)."""
+    from pyspark.sql import functions as F
+
+    from coderag_spark import get_spark
+    from coderag_spark.operators.tablestore import SnapshotTable
+
+    spark = get_spark("coderag-table", cores=args.cores)
+    if args.action == "create":
+        df = spark.read.parquet(args.source)
+        SnapshotTable.create(
+            spark, args.path, df, key_cols=args.key.split(","), n_buckets=args.buckets
+        )
+        print(json.dumps({"created": args.path, "snapshot_id": 0}))
+        return 0
+    t = SnapshotTable(spark, args.path)
+    if args.action == "history":
+        for sid in t.snapshot_ids():
+            m = t.manifest(sid)
+            print(json.dumps({"snapshot_id": sid, "parent": m["parent"],
+                              "summary": m["summary"], "ts": m["ts"]}))
+    elif args.action == "show":
+        df = t.read(args.snapshot)
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif args.action == "merge":
+        src = spark.read.parquet(args.source)
+        out = t.merge_into(
+            src,
+            when_matched=args.when_matched if args.when_matched != "none" else None,
+            when_not_matched="insert" if args.insert else None,
+        )
+        print(json.dumps(out))
+    elif args.action == "delete-where":
+        print(json.dumps(t.delete_where(F.expr(args.predicate))))
+    elif args.action == "add-column":
+        name, dtype = args.column.split(":")
+        print(json.dumps(t.add_column(name, dtype, args.default)))
+    elif args.action == "expire":
+        print(json.dumps({"expired": t.expire_snapshots(keep_last=args.keep)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="coderag-spark")
     p.add_argument("--cores", type=int, default=8)
@@ -760,6 +805,27 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--id-col", default="vec_id")
     a.add_argument("--vec-col", default="embedding")
 
+    t = sub.add_parser("table")
+    t.add_argument(
+        "action",
+        choices=["create", "history", "show", "merge", "delete-where",
+                 "add-column", "expire"],
+    )
+    t.add_argument("--path", required=True, help="SnapshotTable directory")
+    t.add_argument("--source", default=None, help="parquet for create/merge")
+    t.add_argument("--key", default="id", help="comma-separated key columns (create)")
+    t.add_argument("--buckets", type=int, default=16, help="hash buckets (create)")
+    t.add_argument("--snapshot", type=int, default=None, help="time-travel id (show)")
+    t.add_argument("--limit", type=int, default=20, help="rows to print (show)")
+    t.add_argument("--when-matched", choices=["update", "delete", "none"],
+                   default="update", help="MERGE matched action")
+    t.add_argument("--no-insert", dest="insert", action="store_false",
+                   help="drop unmatched source rows instead of inserting")
+    t.add_argument("--predicate", default=None, help="SQL predicate (delete-where)")
+    t.add_argument("--column", default=None, help="name:type (add-column)")
+    t.add_argument("--default", default=None, help="backfill default (add-column)")
+    t.add_argument("--keep", type=int, default=2, help="snapshots to keep (expire)")
+
     args = p.parse_args(argv)
     return {
         "build": _cmd_build,
@@ -768,6 +834,7 @@ def main(argv: list[str] | None = None) -> int:
         "dedup": _cmd_dedup,
         "suggest": _cmd_suggest,
         "ann": _cmd_ann,
+        "table": _cmd_table,
     }[args.cmd](args)
 
 

@@ -137,13 +137,33 @@ class SnapshotTable:
 
     # -------------------------------------------------------------- read
 
+    def _with_defaults(self, df: DataFrame, m: dict) -> DataFrame:
+        """Fill columns added by metadata-only evolution: files written
+        before an add_column lack the column on disk; the manifest's
+        default backfills it at read time. (Contract caveat vs Iceberg's
+        initial-default: a NULL explicitly written after the evolution is
+        also coalesced to the default — use a non-null sentinel if that
+        distinction matters.)"""
+        out = df
+        for name, (dtype, default) in m.get("defaults", {}).items():
+            if name not in out.columns:
+                out = out.withColumn(name, F.lit(default).cast(dtype))
+            else:
+                out = out.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(default).cast(dtype))
+                )
+        return out.select(*m["columns"])
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         """Resolve the manifest's file list ONCE — the returned DataFrame
         is pinned to this snapshot no matter what commits later (data
         files are immutable; only manifests accumulate)."""
         m = self.manifest(snapshot_id)
         paths = [f"{self.path}/{rel}" for rel in m["files"].values()]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if m.get("defaults"):
+            reader = reader.option("mergeSchema", "true")
+        return self._with_defaults(reader.parquet(*paths), m)
 
     def changed_buckets(self, from_sid: int, to_sid: int | None = None) -> list[int]:
         """Buckets whose data file differs between the two snapshots —
@@ -226,7 +246,9 @@ class SnapshotTable:
             files = dict(m["files"])
             n_upd = n_del = n_ins = 0
             for b in touched:
-                tgt = self.spark.read.parquet(f"{self.path}/{m['files'][str(b)]}")
+                tgt = self._with_defaults(
+                    self.spark.read.parquet(f"{self.path}/{m['files'][str(b)]}"), m
+                )
                 sb = src.filter(F.col("_bucket") == b).drop("_bucket")
                 sren = sb.select(
                     *[F.col(c).alias(c if c in keys else f"_src_{c}") for c in cols]
@@ -280,14 +302,15 @@ class SnapshotTable:
                 files[str(b)] = rel
         finally:
             src.unpersist()
-        manifest = {
-            "snapshot_id": new_sid,
-            "parent": base_sid,
-            "key_cols": keys,
-            "columns": cols,
-            "n_buckets": nb,
-            "files": files,
-            "summary": {
+        # dict(m, ...) carries every evolution-era manifest field forward
+        # (defaults from add_column, future metadata) — rebuilding from
+        # scratch here once silently dropped the defaults map
+        manifest = dict(
+            m,
+            snapshot_id=new_sid,
+            parent=base_sid,
+            files=files,
+            summary={
                 "operation": "merge",
                 "buckets_rewritten": len(touched),
                 "buckets_total": nb,
@@ -295,8 +318,8 @@ class SnapshotTable:
                 "rows_deleted": n_del,
                 "rows_inserted": n_ins,
             },
-            "ts": time.time(),
-        }
+            ts=time.time(),
+        )
         # commit point: O_EXCL create of the next manifest. A concurrent
         # writer that committed new_sid first makes this raise — the
         # optimistic-concurrency loser retries from the fresh snapshot.
@@ -306,6 +329,91 @@ class SnapshotTable:
             )
         except FileExistsError as e:
             for b in touched:  # abandon orphaned files of the losing commit
+                shutil.rmtree(f"{self.path}/data/b{b}-v{new_sid}.parquet", True)
+            raise CommitConflict(
+                f"snapshot v{new_sid} was committed by another writer"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return dict(manifest["summary"], snapshot_id=new_sid)
+
+    def add_column(self, name: str, dtype: str, default=None) -> dict:
+        """Metadata-only schema evolution (the Iceberg ADD COLUMN
+        contract): commits a new snapshot whose manifest carries the
+        widened column list + the default — NO data file is touched.
+        Readers fill the column with ``default`` for rows written before
+        the evolution; writers after it must supply it."""
+        base_sid = self.current_snapshot_id()
+        m = self.manifest(base_sid)
+        if name in m["columns"]:
+            raise ValueError(f"column {name!r} already exists")
+        manifest = dict(
+            m,
+            snapshot_id=base_sid + 1,
+            parent=base_sid,
+            columns=m["columns"] + [name],
+            defaults=dict(m.get("defaults", {}), **{name: [dtype, default]}),
+            summary={"operation": "add-column", "column": name, "dtype": dtype},
+            ts=time.time(),
+        )
+        try:
+            fd = os.open(
+                self._manifest_path(base_sid + 1), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"snapshot v{base_sid + 1} was committed by another writer"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return manifest["summary"]
+
+    def delete_where(self, condition) -> dict:
+        """Predicate DELETE (``DELETE FROM t WHERE cond``): one scan finds
+        which buckets hold matching rows, and ONLY those files are
+        rewritten without the matches — every untouched file carries into
+        the new snapshot by reference. (Unlike merge_into, the predicate
+        can't prune by key, so the *find* phase reads the table once; the
+        *write* phase is still proportional to the touched buckets.)"""
+        base_sid = self.current_snapshot_id()
+        m = self.manifest(base_sid)
+        keys, nb = m["key_cols"], m["n_buckets"]
+        full = self.read(base_sid).withColumn("_bucket", _key_bucket(keys, nb))
+        touched = sorted(
+            r["_bucket"]
+            for r in full.filter(condition).select("_bucket").distinct().collect()
+        )
+        new_sid = base_sid + 1
+        files = dict(m["files"])
+        n_del = 0
+        for b in touched:
+            tgt = self._with_defaults(
+                self.spark.read.parquet(f"{self.path}/{m['files'][str(b)]}"), m
+            )
+            kept = tgt.filter(~condition)
+            n_del += tgt.count() - kept.count()
+            rel = f"data/b{b}-v{new_sid}.parquet"
+            kept.write.mode("overwrite").parquet(f"{self.path}/{rel}.tmp")
+            os.rename(f"{self.path}/{rel}.tmp", f"{self.path}/{rel}")
+            files[str(b)] = rel
+        manifest = dict(
+            m,
+            snapshot_id=new_sid,
+            parent=base_sid,
+            files=files,
+            summary={
+                "operation": "delete",
+                "buckets_rewritten": len(touched),
+                "rows_deleted": n_del,
+            },
+            ts=time.time(),
+        )
+        try:
+            fd = os.open(
+                self._manifest_path(new_sid), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError as e:
+            for b in touched:
                 shutil.rmtree(f"{self.path}/data/b{b}-v{new_sid}.parquet", True)
             raise CommitConflict(
                 f"snapshot v{new_sid} was committed by another writer"

@@ -444,3 +444,36 @@ def test_query_phrase_prefix_mode(built, capsys):
                               "--corpus", corpus_path,
                               "--query", "max*", "--mode", "phrase"])
     assert rc3 == 2 and "error" in json.loads(out3[-1])
+
+
+def test_cli_table_lifecycle(spark, tmp_path):
+    """table subcommand: create -> merge -> delete-where -> add-column ->
+    history/show/expire against a parquet source."""
+    import json as _json
+
+    from coderag_spark.cli import main
+
+    src0 = str(tmp_path / "src0")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    ).write.parquet(src0)
+    tdir = str(tmp_path / "tbl")
+    assert main(["table", "create", "--path", tdir, "--source", src0,
+                 "--key", "id", "--buckets", "4"]) == 0
+    upd = str(tmp_path / "upd")
+    spark.createDataFrame([(3, "X"), (42, "new")], "id long, val string").write.parquet(upd)
+    assert main(["table", "merge", "--path", tdir, "--source", upd]) == 0
+    assert main(["table", "delete-where", "--path", tdir,
+                 "--predicate", "id >= 8 and id < 40"]) == 0
+    assert main(["table", "add-column", "--path", tdir,
+                 "--column", "score:double", "--default", "0.5"]) == 0
+    assert main(["table", "history", "--path", tdir]) == 0
+    assert main(["table", "show", "--path", tdir, "--limit", "50"]) == 0
+    assert main(["table", "expire", "--path", tdir, "--keep", "2"]) == 0
+    from coderag_spark.operators.tablestore import SnapshotTable
+
+    t = SnapshotTable(spark, tdir)
+    rows = {r["id"]: (r["val"], r["score"]) for r in t.read().collect()}
+    assert rows[3] == ("X", 0.5) and rows[42] == ("new", 0.5)
+    assert 8 not in rows and 9 not in rows and len(rows) == 9
+    assert t.snapshot_ids() == [2, 3]

@@ -216,3 +216,41 @@ def test_incremental_index_from_snapshots_equals_full(spark, tmp_path):
         a = [(r["doc_id"], round(r["score"], 9)) for r in search(inc, q, limit=10).collect()]
         b = [(r["doc_id"], round(r["score"], 9)) for r in search(full, q, limit=10).collect()]
         assert a == b
+
+
+def test_add_column_metadata_only_and_merge_after(spark, table):
+    import os as _os
+
+    data_before = sorted(_os.listdir(f"{table.path}/data"))
+    s = table.add_column("score", "double", 0.5)
+    assert s["operation"] == "add-column"
+    # NO data file was touched — pure manifest commit
+    assert sorted(_os.listdir(f"{table.path}/data")) == data_before
+    got = {r["id"]: r["score"] for r in table.read().collect()}
+    assert all(v == 0.5 for v in got.values()) and len(got) == 20
+    # a merge after the evolution writes real values; old rows keep default
+    src = spark.createDataFrame(
+        [(3, "V3", 999, 0.9), (25, "new", 1, 0.1)],
+        "id long, val string, n long, score double",
+    )
+    table.merge_into(src)
+    got = {r["id"]: r["score"] for r in table.read().collect()}
+    assert got[3] == 0.9 and got[25] == 0.1 and got[4] == 0.5
+    # time travel to the pre-evolution snapshot shows the old schema
+    assert "score" not in table.read(snapshot_id=0).columns
+    with pytest.raises(ValueError):
+        table.add_column("score", "double", 0.0)
+
+
+def test_delete_where_rewrites_only_matching_buckets(spark, table):
+    m0 = table.manifest(0)
+    s = table.delete_where(F.col("n") >= 150)  # ids 15..19
+    assert s["rows_deleted"] == 5
+    assert 0 < s["buckets_rewritten"] < m0["n_buckets"]
+    ids = {r["id"] for r in table.read().collect()}
+    assert ids == set(range(15))
+    m1 = table.manifest(1)
+    carried = [b for b in m0["files"] if m0["files"][b] == m1["files"][b]]
+    assert len(carried) == m0["n_buckets"] - s["buckets_rewritten"]
+    # snapshot isolation still holds
+    assert len(table.read(snapshot_id=0).collect()) == 20
