@@ -4468,6 +4468,60 @@ SELECT v::BIGINT AS doc_id, min(lbl)::BIGINT AS component FROM reach GROUP BY v
 """.replace("{toks}", TOKS_SQL)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over the dedup clusters: per
+    connected component, keep the best doc (longest text, doc_id
+    tiebreak) and count what gets dropped — the step that turns dup
+    CLUSTERS into a deduplicated corpus, composed from the same
+    component labels as dedup_groups plus one window over the (tiny)
+    per-component member lists."""
+    from pyspark.sql import Window as W
+
+    comp = q_dedup_groups(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    ranked = comp.join(docs, "doc_id").withColumn(
+        "_rk",
+        F.row_number().over(
+            W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        ),
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.min(F.when(F.col("_rk") == 1, F.col("doc_id"))).alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("n_members"),
+            (F.count("*") - 1).cast("long").alias("n_removed"),
+        )
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("canonical_doc_id").cast("long").alias("canonical_doc_id"),
+            "n_members",
+            "n_removed",
+        )
+    )
+
+
+SQL_DEDUP_CANONICAL = (
+    SQL_DEDUP_GROUPS.rstrip().removesuffix(
+        "SELECT v::BIGINT AS doc_id, min(lbl)::BIGINT AS component FROM reach GROUP BY v"
+    )
+    + """,
+comp AS (SELECT v AS doc_id, min(lbl) AS component FROM reach GROUP BY v),
+ranked AS (
+  SELECT c.component, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT component::BIGINT AS component,
+       min(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS canonical_doc_id,
+       count(*)::BIGINT AS n_members,
+       (count(*) - 1)::BIGINT AS n_removed
+FROM ranked GROUP BY 1
+"""
+)
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.hyperplane_lsh_topk(
         _embeddings(spark, sf_dir), _query_vec(spark, sf_dir), k=10, n_planes=12, max_hamming=4
@@ -5884,6 +5938,45 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+def q_events_sibling_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggregations (avg_bucket / max_bucket /
+    min_bucket / sum_bucket / stats_bucket): per event_type, statistics
+    OVER the hourly date_histogram's bucket values — two stacked
+    aggregations, the second over the tiny bucket stream."""
+    buckets = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    return buckets.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.round(F.avg("n_events"), 6).alias("avg_bucket_events"),
+        F.max("n_events").cast("long").alias("max_bucket_events"),
+        F.min("n_events").cast("long").alias("min_bucket_events"),
+        F.round(F.sum("total_value"), 6).alias("sum_bucket_value"),
+        F.round(F.max("total_value"), 6).alias("max_bucket_value"),
+    )
+
+
+SQL_EVENTS_SIBLING = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events, round(sum(value), 6) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, count(*)::BIGINT AS n_buckets,
+       round(avg(n_events), 6) AS avg_bucket_events,
+       max(n_events)::BIGINT AS max_bucket_events,
+       min(n_events)::BIGINT AS min_bucket_events,
+       round(sum(total_value), 6) AS sum_bucket_value,
+       round(max(total_value), 6) AS max_bucket_value
+FROM b GROUP BY 1
+"""
+
+
 HIST_INTERVAL = 5.0
 
 
@@ -6144,6 +6237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model": q_quality_model,
         "sort_search": q_sort_search,
         "value_histogram": q_value_histogram,
+        "events_sibling_aggs": q_events_sibling_aggs,
+        "dedup_canonical": q_dedup_canonical,
         "token_entropy": q_token_entropy,
         "temp_mix": q_temp_mix,
         "gopher": q_gopher,
@@ -6296,6 +6391,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_model": _sql_quality_model(),
         "sort_search": SQL_SORT_SEARCH,
         "value_histogram": SQL_VALUE_HISTOGRAM,
+        "events_sibling_aggs": SQL_EVENTS_SIBLING,
+        "dedup_canonical": SQL_DEDUP_CANONICAL,
         "token_entropy": SQL_TOKEN_ENTROPY,
         "temp_mix": SQL_TEMP_MIX,
         "gopher": SQL_GOPHER,
