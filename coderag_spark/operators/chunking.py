@@ -46,17 +46,49 @@ MAX_CHUNK_SIZE = 1000  # ast-chunking.ts:188
 CHUNK_OVERLAP = 100  # embeddings.ts:267
 MAX_FILE_SIZE = 1024 * 1024  # indexer.ts:100 (1 MiB default skip)
 
-# Languages the reference AST-chunks (ast-chunking.ts:47-54), by our lang tags.
-CODE_LANGS = {"TypeScript", "TSX", "JavaScript", "JSX", "Python", "Rust", "Go", "Java"}
+# Languages chunked structurally. The reference AST-chunks 6
+# (ast-chunking.ts:47-54: ts/js/py/rust/go/java); the structural parser's
+# machinery is keyword+brace generic, so the same passes cover the wider
+# brace-family set the north-star asks for (15 languages: the reference's
+# six plus TSX/JSX and C / C++ / C# / PHP / Swift / Kotlin / Scala).
+CODE_LANGS = {
+    "TypeScript", "TSX", "JavaScript", "JSX", "Python", "Rust", "Go", "Java",
+    "C", "C++", "C#", "PHP", "Swift", "Kotlin", "Scala",
+}
+
+# C-family languages whose function definitions are TYPE-led (no keyword):
+# `int main(...)`, `char *strcpy(...)`, `std::vector<int> f(...)`.
+_TYPE_LED_LANGS = {"C", "C++", "C#"}
 
 # definition header, at any indentation (indent is checked separately so
 # nested definitions are recognized when recursing into an oversize unit)
 _DEF_LINE_RE = re.compile(
     r"^\s*(?:export\s+)?(?:default\s+)?(?:public\s+|private\s+|protected\s+|"
     r"static\s+|abstract\s+|final\s+)*(?:async\s+)?"
-    r"(?:function\b|def\s|class\b|fn\s|func\s|impl\b|struct\b|interface\b|"
-    r"trait\b|enum\s)"
+    r"(?:function\b|def\s|class\b|fn\s|impl\b|struct\b|interface\b|"
+    r"trait\b|enum\s|(?:func|fun|object)\s+[A-Za-z_(<]|(?:case\s+)(?:class|object)\b)"
 )
+
+# type-led function definition (C / C++ / C#): at least one type token
+# (possibly qualified/generic/pointer) before the function name — calls
+# (`printf(...)`) have no leading type token and fail; control headers are
+# rejected by first word. Only consulted for _TYPE_LED_LANGS.
+_TYPE_DEF_RE = re.compile(
+    r"^\s*(?:[A-Za-z_][\w:<>,]*[\s\*&]+)+\**([A-Za-z_]\w*)\s*\("
+)
+_C_CONTROL_WORDS = frozenset(
+    "if for while switch return else do sizeof case goto new delete throw "
+    "using typedef".split()
+)
+
+
+def _is_type_led_def(code_line: str) -> bool:
+    m = _FIRST_WORD_RE.match(code_line)
+    if not m or m.group(1) in _C_CONTROL_WORDS:
+        return False
+    if "=" in code_line.split("(", 1)[0]:
+        return False  # assignment, not a signature
+    return bool(_TYPE_DEF_RE.match(code_line))
 
 # arrow-function binding: `const foo = (a, b) => ...` / `export let f = x =>`
 # / generic arrows `const pick = <T,>(xs: T[]) =>`
@@ -94,7 +126,7 @@ _DECORATOR_RE = re.compile(r"^\s*@[\w.]+")
 # `->` is consumed as a token so a return-type arrow inside the generic
 # list doesn't terminate it early
 _ENTITY_RE = re.compile(
-    r"\b(function|def|class|fn|func|impl|struct|interface|trait|enum)\s*"
+    r"\b(function|def|class|fn|func|fun|impl|struct|interface|trait|enum|object)\s*"
     r"(?:<(?:->|[^<>]|<[^<>]*>)*>)?\s+"
     r"(?:\([^)]*\)\s+)?"  # go method receiver
     r"([A-Za-z_][A-Za-z0-9_]*)"
@@ -173,7 +205,7 @@ def _is_def_line(line: str, lang: str | None = None) -> bool:
         _DEF_LINE_RE.match(code)
         or _ARROW_RE.match(code)
         or _MODIFIER_DEF_RE.match(code)
-    )
+    ) or (lang in _TYPE_LED_LANGS and _is_type_led_def(code))
 
 
 # cheap gate before the expensive def/arrow regexes: a definition line's
@@ -181,9 +213,9 @@ def _is_def_line(line: str, lang: str | None = None) -> bool:
 # assignments, control flow — fail the set lookup and skip both regexes)
 _FIRST_WORD_RE = re.compile(r"[ \t]*([A-Za-z_$@][\w$]*)")
 _DEF_FIRST_WORDS = frozenset(
-    "export default async function def class fn func impl struct interface "
-    "trait enum public private protected static abstract final const let var "
-    "synchronized override readonly".split()
+    "export default async function def class fn func fun impl struct interface "
+    "trait enum object case public private protected static abstract final "
+    "const let var synchronized override readonly".split()
 )
 
 
@@ -192,13 +224,15 @@ def _may_be_def(code_line: str) -> bool:
     return bool(m) and m.group(1) in _DEF_FIRST_WORDS
 
 
-def _is_def_code(code_line: str) -> bool:
+def _is_def_code(code_line: str, lang: str | None = None) -> bool:
     """_is_def_line over an already-stripped line (per-file memo path)."""
-    return _may_be_def(code_line) and bool(
+    if _may_be_def(code_line) and bool(
         _DEF_LINE_RE.match(code_line)
         or _ARROW_RE.match(code_line)
         or _MODIFIER_DEF_RE.match(code_line)
-    )
+    ):
+        return True
+    return lang in _TYPE_LED_LANGS and _is_type_led_def(code_line)
 
 
 def _body_end_brace(code: list[str], i: int) -> int:
@@ -512,7 +546,7 @@ def _code_chunks(text: str, max_chunk_size: int, lang: str) -> list[Chunk]:
     # per-file memos of everything the recursive passes would recompute:
     # stripped lines, def flags (one regex pass per line), length prefix sums
     code = [_code_text(ln, lang) for ln in lines]
-    flags = [_is_def_code(cl) for cl in code]
+    flags = [_is_def_code(cl, lang) for cl in code]
     prefix = [0]
     for ln in lines:
         prefix.append(prefix[-1] + len(ln) + 1)
@@ -580,9 +614,9 @@ def _attach_scopes(
 
 _KIND_MAP = {
     "function": "function", "def": "function", "fn": "function",
-    "func": "function", "class": "class", "impl": "class",
+    "func": "function", "fun": "function", "class": "class", "impl": "class",
     "struct": "class", "interface": "class", "trait": "class",
-    "enum": "class",
+    "enum": "class", "object": "class",
 }
 
 
@@ -601,6 +635,10 @@ def _entity_of_line(cl: str, flag: bool) -> str | None:
         nm = _METHOD_NAME_RE.search(cl)
         if nm:
             return f"function:{nm.group(1)}"
+    if flag:
+        tm = _TYPE_DEF_RE.match(cl)
+        if tm:  # type-led C-family definition (flag implies the lang gate)
+            return f"function:{tm.group(1)}"
     return None
 
 

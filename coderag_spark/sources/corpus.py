@@ -32,7 +32,8 @@ LANGUAGE_MAP = {
     ".ts": "TypeScript", ".tsx": "TSX", ".js": "JavaScript", ".jsx": "JSX",
     ".py": "Python", ".java": "Java", ".go": "Go", ".rs": "Rust",
     ".c": "C", ".cpp": "C++", ".cs": "C#", ".rb": "Ruby", ".php": "PHP",
-    ".swift": "Swift", ".kt": "Kotlin", ".md": "Markdown", ".json": "JSON",
+    ".swift": "Swift", ".kt": "Kotlin", ".scala": "Scala",
+    ".md": "Markdown", ".json": "JSON",
     ".yaml": "YAML", ".yml": "YAML", ".toml": "TOML", ".sql": "SQL",
     ".sh": "Shell", ".bash": "Bash",
 }

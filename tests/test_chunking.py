@@ -611,3 +611,78 @@ def test_scope_empty_for_top_level_and_fallback():
     assert all(c.scope == [] for c in chunk_file(js, "JavaScript", max_chunk_size=1000))
     # fallback text chunks have no line anchors and no scope
     assert all(c.scope == [] for c in chunk_file("x " * 800, None, max_chunk_size=500))
+
+
+BRACE_FAMILY_SOURCES = {
+    "C": (
+        "#include <stdio.h>\n\nint add(int a, int b) {\n    return a + b;\n}\n\n"
+        "static char *copy_name(const char *src) {\n    char *out = malloc(1);\n"
+        "    return out;\n}\n\nint main(int argc, char **argv) {\n"
+        '    printf("%d\\n", add(1, 2));\n    return 0;\n}\n',
+        ["function:add", "function:copy_name", "function:main"],
+    ),
+    "C++": (
+        "std::vector<int> make_range(int n) {\n    std::vector<int> v;\n"
+        "    return v;\n}\n\nclass Counter {\npublic:\n    void bump() { n_ += 1; }\n"
+        "private:\n    int n_ = 0;\n};\n",
+        ["function:make_range", "class:Counter", "function:bump"],
+    ),
+    "C#": (
+        "namespace App {\n    public class Service {\n"
+        "        public int Add(int a, int b) {\n            return a + b;\n"
+        "        }\n    }\n}\n",
+        ["class:Service", "function:Add"],
+    ),
+    "PHP": (
+        '<?php\nfunction renderPage($title) {\n    return "<h1>$title</h1>";\n}\n\n'
+        "class UserRepo {\n    public function find($id) {\n"
+        "        return $this->db->get($id);\n    }\n}\n",
+        ["function:renderPage", "class:UserRepo", "function:find"],
+    ),
+    "Swift": (
+        'func greet(name: String) -> String {\n    return "hi " + name\n}\n\n'
+        "class Session {\n    func refresh() {\n        token = fetch()\n    }\n}\n",
+        ["function:greet", "class:Session", "function:refresh"],
+    ),
+    "Kotlin": (
+        "fun parseConfig(path: String): Config {\n    return Config(path)\n}\n\n"
+        "class Cache {\n    fun get(key: String): String? {\n        return map[key]\n"
+        "    }\n}\n\nobject Registry {\n    val items = mutableListOf<String>()\n}\n",
+        ["function:parseConfig", "class:Cache", "function:get", "class:Registry"],
+    ),
+    "Scala": (
+        "object Main {\n  def run(args: Array[String]): Unit = {\n"
+        '    println("hi")\n  }\n}\n\ncase class Point(x: Int, y: Int)\n\n'
+        "class Engine {\n  def start(): Unit = { go() }\n}\n",
+        ["class:Main", "function:run", "class:Point", "class:Engine", "function:start"],
+    ),
+}
+
+
+@pytest.mark.parametrize("lang", sorted(BRACE_FAMILY_SOURCES))
+def test_brace_family_languages_chunk_structurally(lang):
+    """The 7 languages beyond the reference's six (north-star: 15+): code
+    units with correct entities, not char-fallback chunks."""
+    src, want_entities = BRACE_FAMILY_SOURCES[lang]
+    chunks = chunk_file(src, lang)
+    assert chunks and all(c.start_line > 0 for c in chunks)  # not fallback
+    got = [e for c in chunks for e in c.entities]
+    assert got == want_entities
+
+
+def test_c_calls_and_assignments_not_flagged_as_defs():
+    from coderag_spark.operators.chunking import _is_def_line
+
+    for line in [
+        '    printf("%d", x);',
+        "    int y = add(1, 2);",
+        "    if (x > 0) {",
+        "    for (int i = 0; i < n; ++i) {",
+        "    return make_range(5);",
+        "    object = lookup(key);",
+    ]:
+        assert not _is_def_line(line, "C"), line
+    assert _is_def_line("int add(int a, int b) {", "C")
+    assert _is_def_line("char *copy(const char *s) {", "C")
+    # type-led matching stays OFF outside the C family
+    assert not _is_def_line("int add(int a, int b) {", "Python")
