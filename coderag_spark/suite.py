@@ -5938,6 +5938,66 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1997-01-01"
+
+
+def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    customer and the supplier share the nation, one region, one order
+    year — the classic 6-table join chain. Scale shape: region/nation/
+    supplier broadcast (tiny dims), the orderdate filter prunes orders
+    BEFORE the big lineitem join, and the only real shuffles are the
+    customer⋈orders and orders⋈lineitem equi-joins plus the final
+    nation-keyed aggregate."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    nations = (
+        rd("nation")
+        .join(
+            rd("region").filter(F.col("r_name") == Q5_REGION),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= Q5_FROM) & (F.col("o_orderdate") < Q5_TO)
+    )
+    cust = rd("customer").join(
+        F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey").alias("cnk"), "n_name")
+    li = rd("lineitem").join(
+        F.broadcast(rd("supplier").select("s_suppkey", "s_nationkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("s_nationkey") == F.col("cnk"))  # local supplier
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER = f"""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= '{Q5_FROM}' AND o_orderdate < '{Q5_TO}'
+GROUP BY 1
+"""
+
+
 def q_events_sibling_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES sibling pipeline aggregations (avg_bucket / max_bucket /
     min_bucket / sum_bucket / stats_bucket): per event_type, statistics
@@ -6202,6 +6262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
+        "local_supplier": q_local_supplier,
         "ship_priority": q_ship_priority,
         "big_orders": q_big_orders,
         "minhash_lsh": q_minhash_lsh,
@@ -6356,6 +6417,7 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": SQL_EVENTS_QUANTILES,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "nation_revenue": SQL_NATION_REVENUE,
+        "local_supplier": SQL_LOCAL_SUPPLIER,
         "ship_priority": SQL_SHIP_PRIORITY,
         "big_orders": SQL_BIG_ORDERS,
         "minhash_lsh": SQL_MINHASH_LSH,
