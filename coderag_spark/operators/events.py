@@ -194,6 +194,20 @@ def pipeline_aggs(
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
+    return pipeline_over_buckets(buckets, moving_window, serial_lag)
+
+
+def pipeline_over_buckets(
+    buckets: DataFrame,
+    moving_window: int = 3,
+    serial_lag: int = 2,
+) -> DataFrame:
+    """The window stage of ``pipeline_aggs``, factored so a STREAMING
+    date_histogram (complete-mode hourly aggregate materialized by
+    foreachBatch / memory sink) feeds the identical pipeline-agg
+    expressions per micro-batch — streaming == batch is pinned in
+    tests/test_events.py. Expects (event_type, hour, n_events,
+    total_value)."""
     lane = Window.partitionBy("event_type").orderBy("hour")
     trail = lane.rowsBetween(-(moving_window - 1), 0)
     run = lane.rowsBetween(Window.unboundedPreceding, Window.currentRow)

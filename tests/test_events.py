@@ -263,3 +263,43 @@ def test_token_budget_prefix_and_partition_independence(spark):
     # partitioning does not change the selected set
     out2 = token_budget_sample(docs.repartition(13), budget=500).orderBy("cum_tokens").collect()
     assert [r["doc_id"] for r in out2] == [r["doc_id"] for r in out]
+
+
+def test_stream_pipeline_aggs_agree_with_batch(spark, tmp_path):
+    """Pipeline aggregations over a STREAMING date_histogram: the hourly
+    bucket aggregate runs as a complete-mode streaming query, and the
+    factored window stage (pipeline_over_buckets) applied to the sink
+    equals the batch pipeline_aggs end-to-end."""
+    import shutil
+
+    src = str(tmp_path / "ev_pipe_src")
+    shutil.copytree("/root/testdata/sf0.001", src, ignore=shutil.ignore_patterns("*"))
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/events.parquet")
+    schema = spark.read.parquet(src + "/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    buckets = (
+        stream.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    q = (
+        buckets.writeStream.format("memory").queryName("pipe_buckets")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got_df = ev.pipeline_over_buckets(spark.sql("select * from pipe_buckets"))
+    batch_df = ev.pipeline_aggs(spark.read.parquet(src + "/events.parquet"))
+
+    def key(rows):
+        return {
+            (r["event_type"], r["hour"]): (
+                r["n_events"], r["total_value"], r["deriv_events"],
+                r["cum_value"], r["moving_avg_events"],
+                r["serial_diff_value"], r["avg_value"],
+            )
+            for r in rows
+        }
+
+    assert key(got_df.collect()) == key(batch_df.collect())
