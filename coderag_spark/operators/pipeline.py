@@ -791,3 +791,60 @@ def hashed_linear_classifier(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("prob"),
         (raw > 0).alias("keep"),
     )
+
+
+def dedup_lines_corpus(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal (the C4 boilerplate rule
+    applied across documents): every distinct non-empty trimmed line
+    survives only at its first occurrence (lowest doc_id, then lowest
+    position); later copies anywhere in the corpus are dropped, and each
+    doc's text is rebuilt from its surviving lines in original order.
+
+    Shape: posexplode the line arrays (one map pass), ONE shuffle on the
+    line value for the min-(doc, pos) window, then one shuffle back on
+    doc_id for the ordered rebuild — no self-join, no collect. Returns
+    (doc_id, n_lines, n_kept, text) with text '' when nothing survives.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+                    lambda x: F.trim(x),
+                ),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept = lines.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_lines"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )

@@ -5938,6 +5938,46 @@ FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-line removal (C4 boilerplate rule across
+    docs): each distinct trimmed line survives only at its first
+    (doc_id, position) occurrence; docs are rebuilt from surviving lines
+    in order. One line-keyed shuffle + one doc-keyed rebuild."""
+    from coderag_spark.operators.pipeline import dedup_lines_corpus
+
+    return dedup_lines_corpus(_documents(spark, sf_dir))
+
+
+SQL_DEDUP_LINES = """
+WITH l AS (
+  SELECT doc_id, u.pos, u.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ls) + 1),
+                                 i -> {'pos': i - 1, 'line': trim(ls[i])})) AS u
+    FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+          FROM documents)
+  ) WHERE len(u.line) > 0
+),
+k AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+  FROM l
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM k WHERE rk = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT d.doc_id, coalesce(t.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(r.text, '') AS text
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 Q5_REGION = "ASIA"
 Q5_FROM, Q5_TO = "1996-01-01", "1997-01-01"
 
@@ -6300,6 +6340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "events_sibling_aggs": q_events_sibling_aggs,
         "dedup_canonical": q_dedup_canonical,
+        "dedup_lines": q_dedup_lines,
         "token_entropy": q_token_entropy,
         "temp_mix": q_temp_mix,
         "gopher": q_gopher,
@@ -6455,6 +6496,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": SQL_VALUE_HISTOGRAM,
         "events_sibling_aggs": SQL_EVENTS_SIBLING,
         "dedup_canonical": SQL_DEDUP_CANONICAL,
+        "dedup_lines": SQL_DEDUP_LINES,
         "token_entropy": SQL_TOKEN_ENTROPY,
         "temp_mix": SQL_TEMP_MIX,
         "gopher": SQL_GOPHER,
