@@ -184,15 +184,22 @@ def test_position_codec_property(positions):
 )
 @settings(max_examples=20, deadline=None)
 def test_jpeg_solid_color_exact_property(r, g, b, hm, wm):
-    """Any solid color at any MCU-multiple size round-trips exactly
-    through the baseline JPEG codec (DC-only blocks, quant of 0 AC)."""
+    """Solid-color round-trip contract of the baseline JPEG codec
+    (DC-only blocks, all AC quantize to 0): EXACT at quality=100, where
+    the DC quant step is 1 so the integer DC coefficient survives
+    untouched; at quality=90 the DC step q>1 bounds the per-channel
+    reconstruction shift by ceil(q/16) = 1 (hypothesis found colors on
+    the rounding boundary — e.g. (53,3,3) — so exactness is genuinely
+    unprovable there, not merely untested)."""
     import numpy as np
 
     from coderag_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
 
     img = np.full((8 * hm, 8 * wm, 3), [r, g, b], dtype=np.uint8)
-    out = decode_jpeg_pixels(encode_jpeg(img, quality=90))
-    assert np.array_equal(out, img)
+    out100 = decode_jpeg_pixels(encode_jpeg(img, quality=100))
+    assert np.array_equal(out100, img)
+    out90 = decode_jpeg_pixels(encode_jpeg(img, quality=90))
+    assert int(np.abs(out90.astype(int) - img.astype(int)).max()) <= 1
 
 
 @given(st.text(alphabet="ab _", min_size=0, max_size=60), st.integers(2, 4))
