@@ -492,10 +492,15 @@ def maxscore_topk_lists(
         return heap[0][0] if len(heap) >= k else -1.0
 
     def first_essential() -> int:
-        # largest non-essential prefix: cum[i] <= theta for all i < ness
+        # largest non-essential prefix: cum[i] < theta for all i < ness.
+        # STRICT inequality — a doc confined to the prefix can still score
+        # exactly theta and win the (score, -doc_id) tiebreak against the
+        # heap minimum, so cum[i] == theta must stay essential to keep
+        # rank-identity to exhaustive scoring under exact score ties
+        # (mirrors the tie-aware '(bound, -cur) <= heap[0]' prune below).
         th = theta()
         ness = 0
-        while ness < len(lists) and cum[ness] <= th:
+        while ness < len(lists) and cum[ness] < th:
             ness += 1
         return ness
 

@@ -41,6 +41,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -182,7 +183,14 @@ class SnapshotTable:
         if not buckets:
             return self.read(snapshot_id).limit(0)
         paths = [f"{self.path}/{m['files'][str(b)]}" for b in buckets]
-        return self.spark.read.parquet(*paths)
+        # Same schema-evolution treatment as read(): after add_column a
+        # snapshot mixes pre-evolution files (missing the column) with
+        # rewritten ones — mergeSchema + default backfill keeps the pruned
+        # scan consistent with the full one (snapshot-diff resume contract).
+        reader = self.spark.read
+        if m.get("defaults"):
+            reader = reader.option("mergeSchema", "true")
+        return self._with_defaults(reader.parquet(*paths), m)
 
     # ------------------------------------------------------------- merge
 
@@ -245,13 +253,32 @@ class SnapshotTable:
             new_sid = base_sid + 1
             files = dict(m["files"])
             n_upd = n_del = n_ins = 0
+            # per-attempt unique data-file names (Iceberg's file UUIDs):
+            # a crashed/conflicted earlier attempt at the same new_sid can
+            # never collide with this attempt's rename, and a concurrent
+            # winner's committed files are never clobbered.
+            attempt = uuid.uuid4().hex[:8]
+            written: list[str] = []
             for b in touched:
                 tgt = self._with_defaults(
                     self.spark.read.parquet(f"{self.path}/{m['files'][str(b)]}"), m
                 )
                 sb = src.filter(F.col("_bucket") == b).drop("_bucket")
+                # matched_condition is the docstring's "on the source row"
+                # contract: evaluate it HERE, on the source frame, before
+                # value columns are renamed to _src_* — evaluated after the
+                # join, bare column references would silently bind to the
+                # TARGET row's values.  NULL condition = not applied (SQL
+                # WHEN MATCHED AND <cond> semantics).
+                if matched_condition is not None:
+                    sb = sb.withColumn(
+                        "_cond", F.coalesce(matched_condition, F.lit(False))
+                    )
+                else:
+                    sb = sb.withColumn("_cond", F.lit(True))
                 sren = sb.select(
-                    *[F.col(c).alias(c if c in keys else f"_src_{c}") for c in cols]
+                    *[F.col(c).alias(c if c in keys else f"_src_{c}") for c in cols],
+                    F.col("_cond"),
                 ).withColumn("_matched", F.lit(True))
                 # row provenance via side markers: a full-outer row is
                 # "matched" iff both markers are non-null (value columns
@@ -260,9 +287,7 @@ class SnapshotTable:
                 j = tmark.join(sren, keys, "full_outer")
                 matched = F.col("_in_tgt").isNotNull() & F.col("_matched").isNotNull()
                 src_only = F.col("_in_tgt").isNull() & F.col("_matched").isNotNull()
-                apply_upd = matched
-                if matched_condition is not None:
-                    apply_upd = matched & matched_condition
+                apply_upd = matched & F.coalesce(F.col("_cond"), F.lit(False))
                 out_cols = []
                 for c in cols:
                     if c in keys:
@@ -278,16 +303,17 @@ class SnapshotTable:
                             F.when(src_only, F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
                         )
                 keep = F.lit(True)
+                apply_del = matched & F.coalesce(F.col("_cond"), F.lit(False))
                 if when_matched == "delete":
-                    cond = matched if matched_condition is None else (
-                        matched & matched_condition
-                    )
-                    keep = keep & ~cond
+                    keep = keep & ~apply_del
                 if when_not_matched is None:
                     keep = keep & ~src_only
                 result = j.filter(keep).select(*out_cols)
+                # metrics count rows the clause actually APPLIED to (the
+                # matched_condition gate included), not all matched rows
+                eff = apply_upd if when_matched == "update" else apply_del
                 mrow = j.agg(
-                    F.sum(matched.cast("long")).alias("m"),
+                    F.sum(eff.cast("long")).alias("m"),
                     F.sum(src_only.cast("long")).alias("s"),
                 ).collect()[0]
                 if when_matched == "update":
@@ -296,9 +322,16 @@ class SnapshotTable:
                     n_del += int(mrow["m"] or 0)
                 if when_not_matched == "insert":
                     n_ins += int(mrow["s"] or 0)
-                rel = f"data/b{b}-v{new_sid}.parquet"
+                rel = f"data/b{b}-v{new_sid}-{attempt}.parquet"
                 result.write.mode("overwrite").parquet(f"{self.path}/{rel}.tmp")
-                os.rename(f"{self.path}/{rel}.tmp", f"{self.path}/{rel}")
+                try:
+                    os.rename(f"{self.path}/{rel}.tmp", f"{self.path}/{rel}")
+                except OSError as e:  # pragma: no cover - unique name
+                    shutil.rmtree(f"{self.path}/{rel}.tmp", True)
+                    for w in written:
+                        shutil.rmtree(f"{self.path}/{w}", True)
+                    raise CommitConflict(f"data file collision at {rel}") from e
+                written.append(rel)
                 files[str(b)] = rel
         finally:
             src.unpersist()
@@ -328,8 +361,8 @@ class SnapshotTable:
                 self._manifest_path(new_sid), os.O_CREAT | os.O_EXCL | os.O_WRONLY
             )
         except FileExistsError as e:
-            for b in touched:  # abandon orphaned files of the losing commit
-                shutil.rmtree(f"{self.path}/data/b{b}-v{new_sid}.parquet", True)
+            for w in written:  # abandon orphaned files of the losing commit
+                shutil.rmtree(f"{self.path}/{w}", True)
             raise CommitConflict(
                 f"snapshot v{new_sid} was committed by another writer"
             ) from e
@@ -386,15 +419,29 @@ class SnapshotTable:
         new_sid = base_sid + 1
         files = dict(m["files"])
         n_del = 0
+        attempt = uuid.uuid4().hex[:8]
+        written: list[str] = []
         for b in touched:
             tgt = self._with_defaults(
                 self.spark.read.parquet(f"{self.path}/{m['files'][str(b)]}"), m
             )
-            kept = tgt.filter(~condition)
-            n_del += tgt.count() - kept.count()
-            rel = f"data/b{b}-v{new_sid}.parquet"
+            # SQL DELETE removes rows where the predicate is TRUE; rows
+            # where it evaluates to NULL are KEPT.  A bare ~condition
+            # would drop NULL-predicate rows in rewritten buckets while
+            # untouched buckets keep theirs — null-safe negation keeps
+            # the two classes of bucket consistent.
+            kept = tgt.filter(~F.coalesce(condition, F.lit(False)))
+            n_del += tgt.filter(condition).count()
+            rel = f"data/b{b}-v{new_sid}-{attempt}.parquet"
             kept.write.mode("overwrite").parquet(f"{self.path}/{rel}.tmp")
-            os.rename(f"{self.path}/{rel}.tmp", f"{self.path}/{rel}")
+            try:
+                os.rename(f"{self.path}/{rel}.tmp", f"{self.path}/{rel}")
+            except OSError as e:  # pragma: no cover - unique name
+                shutil.rmtree(f"{self.path}/{rel}.tmp", True)
+                for w in written:
+                    shutil.rmtree(f"{self.path}/{w}", True)
+                raise CommitConflict(f"data file collision at {rel}") from e
+            written.append(rel)
             files[str(b)] = rel
         manifest = dict(
             m,
@@ -413,8 +460,8 @@ class SnapshotTable:
                 self._manifest_path(new_sid), os.O_CREAT | os.O_EXCL | os.O_WRONLY
             )
         except FileExistsError as e:
-            for b in touched:
-                shutil.rmtree(f"{self.path}/data/b{b}-v{new_sid}.parquet", True)
+            for w in written:
+                shutil.rmtree(f"{self.path}/{w}", True)
             raise CommitConflict(
                 f"snapshot v{new_sid} was committed by another writer"
             ) from e

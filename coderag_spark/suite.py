@@ -6215,12 +6215,76 @@ FROM s
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order matters: the correctness driver verifies the FIRST
+    # 50 entries in dict order against the DuckDB oracles.  Round 5 rotates
+    # the window (VERDICT r4, item #1) so the 42 queries that never had a
+    # driver row in rounds 1-4 (sketches, codegraph, winnowing, pipeline
+    # gates, as-of/range joins, ES pipeline aggs, media_decode_exact, ...)
+    # are registered first, anchored by the flagship bm25_topk.  The queries
+    # displaced out of the window all carry green rows in CORRECTNESS_r03/r04
+    # with unchanged semantics, plus the in-repo oracle gate
+    # (tests/test_suite_oracle.py) which covers every oracle each round.
     return {
+        # -- driver window: flagship anchor --------------------------------
+        "bm25_topk": q_bm25_topk,
+        # -- driver window: never driver-checked before round 5 ------------
+        "term_vectors": q_term_vectors,
+        "winnow_fp": q_winnow_fp,
+        "winnow_clones": q_winnow_clones,
+        "ivf_topk": q_ivf_topk,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "local_supplier": q_local_supplier,
+        "pii_scrub": q_pii_scrub,
+        "secrets_scan": q_secrets_scan,
+        "code_quality": q_code_quality,
+        "license_detect": q_license_detect,
+        "fork_detect": q_fork_detect,
+        "import_graph": q_import_graph,
+        "pagerank_topk": q_pagerank_topk,
+        "xref_refs": q_xref_refs,
+        "dep_depth": q_dep_depth,
+        "cyclomatic": q_cyclomatic,
+        "kmv_distinct": q_kmv_distinct,
+        "hll_distinct": q_hll_distinct,
+        "cms_freq": q_cms_freq,
+        "bloom_member": q_bloom_member,
+        "composite_after": q_composite_after,
+        "events_pipeline": q_events_pipeline,
+        "events_bucket_sel": q_events_bucket_sel,
+        "events_extstats": q_events_extstats,
+        "events_pct_ranks": q_events_pct_ranks,
+        "adj_matrix": q_adj_matrix,
+        "weighted_avg": q_weighted_avg,
+        "token_budget": q_token_budget,
+        "quality_model": q_quality_model,
+        "sort_search": q_sort_search,
+        "value_histogram": q_value_histogram,
+        "events_sibling_aggs": q_events_sibling_aggs,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_lines": q_dedup_lines,
+        "token_entropy": q_token_entropy,
+        "temp_mix": q_temp_mix,
+        "gopher": q_gopher,
+        "fuzzy_decontam": q_fuzzy_decontam,
+        "source_mix": q_source_mix,
+        "pipeline_filter": q_pipeline_filter,
+        "media_decode_exact": q_media_decode_exact,
+        # -- driver window: round-5 additions / re-routed lineage ----------
+        "snapshot_diff": q_snapshot_diff,
+        # -- driver window: stale (pre-r4) evidence refresh -----------------
+        "pq_adc": q_pq_adc,
+        "minhash_lsh": q_minhash_lsh,
+        "substr_dedup": q_substr_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "bigram_lm": q_bigram_lm,
+        "hybrid_fusion": q_hybrid_fusion,
+        # -- outside the 50-row driver window (r3/r4 driver rows + local
+        #    oracle gate keep these pinned) ---------------------------------
         "token_stats": q_token_stats,
         "postings": q_postings,
         "dictionary": q_dictionary,
         "corpus_stats": q_corpus_stats,
-        "bm25_topk": q_bm25_topk,
         "struct_query": q_struct_query,
         "fuzzy_bm25": q_fuzzy_bm25,
         "wildcard_bm25": q_wildcard_bm25,
@@ -6266,46 +6330,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete": q_complete,
         "rescore": q_rescore,
         "seq_pack": q_seq_pack,
-        "term_vectors": q_term_vectors,
         "vocab_stats": q_vocab_stats,
         "prefix_bm25": q_prefix_bm25,
         "regex_bm25": q_regex_bm25,
-        "substr_dedup": q_substr_dedup,
         "unigram_lm": q_unigram_lm,
-        "bigram_lm": q_bigram_lm,
-        "pq_adc": q_pq_adc,
         "cosine_tfidf": q_cosine_tfidf,
         "match_candidates": q_match_candidates,
         "magnitude": q_magnitude,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
         "fingerprint": q_fingerprint,
-        "winnow_fp": q_winnow_fp,
-        "winnow_clones": q_winnow_clones,
         "quality": q_quality,
         "langid": q_langid,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
         "media_stats": q_media_stats,
         "bm25_filtered": q_bm25_filtered,
-        "hybrid_fusion": q_hybrid_fusion,
-        "snapshot_diff": q_snapshot_diff,
         "idf_delta": q_idf_delta,
         "topk_per_group": q_topk_per_group,
         "emb_knn": q_emb_knn,
         "sessions": q_sessions,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
         "bm25_candidate_cap": q_bm25_candidate_cap,
         "events_rollup": q_events_rollup,
         "events_quantiles": q_events_quantiles,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
-        "local_supplier": q_local_supplier,
         "ship_priority": q_ship_priority,
         "big_orders": q_big_orders,
-        "minhash_lsh": q_minhash_lsh,
         "emb_centroids": q_emb_centroids,
         "events_dau": q_events_dau,
         "simhash": q_simhash,
@@ -6313,40 +6363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "decontam": q_decontam,
         "train_split": q_train_split,
-        "pii_scrub": q_pii_scrub,
-        "secrets_scan": q_secrets_scan,
-        "code_quality": q_code_quality,
-        "license_detect": q_license_detect,
-        "fork_detect": q_fork_detect,
-        "import_graph": q_import_graph,
-        "pagerank_topk": q_pagerank_topk,
-        "xref_refs": q_xref_refs,
-        "dep_depth": q_dep_depth,
-        "cyclomatic": q_cyclomatic,
-        "kmv_distinct": q_kmv_distinct,
-        "hll_distinct": q_hll_distinct,
-        "cms_freq": q_cms_freq,
-        "bloom_member": q_bloom_member,
-        "composite_after": q_composite_after,
-        "events_pipeline": q_events_pipeline,
-        "events_bucket_sel": q_events_bucket_sel,
-        "events_extstats": q_events_extstats,
-        "events_pct_ranks": q_events_pct_ranks,
-        "adj_matrix": q_adj_matrix,
-        "weighted_avg": q_weighted_avg,
-        "token_budget": q_token_budget,
-        "quality_model": q_quality_model,
-        "sort_search": q_sort_search,
-        "value_histogram": q_value_histogram,
-        "events_sibling_aggs": q_events_sibling_aggs,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_lines": q_dedup_lines,
-        "token_entropy": q_token_entropy,
-        "temp_mix": q_temp_mix,
-        "gopher": q_gopher,
-        "fuzzy_decontam": q_fuzzy_decontam,
-        "source_mix": q_source_mix,
-        "pipeline_filter": q_pipeline_filter,
         "line_stats": q_line_stats,
         "dup_ngrams": q_dup_ngrams,
         "table_profile": q_table_profile,
@@ -6358,7 +6374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
-        "media_decode_exact": q_media_decode_exact,
     }
 
 

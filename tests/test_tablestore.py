@@ -112,8 +112,9 @@ def test_commit_conflict_raises_and_leaves_no_orphans(spark, table):
     src = spark.createDataFrame([(3, "V3", 999)], "id long, val string, n long")
     with pytest.raises(CommitConflict):
         table.merge_into(src, base_snapshot_id=0)  # read base before v1 landed
-    # the losing commit's data files were cleaned up
-    orphans = [d for d in os.listdir(f"{table.path}/data") if "-v1.parquet" in d]
+    # the losing commit's data files were cleaned up (files are named
+    # b{bucket}-v{sid}-{attempt}.parquet since the unique-name fix)
+    orphans = [d for d in os.listdir(f"{table.path}/data") if "-v1" in d]
     assert orphans == []
     # retry from the fresh snapshot succeeds as v2
     m = table.merge_into(src)
@@ -254,3 +255,88 @@ def test_delete_where_rewrites_only_matching_buckets(spark, table):
     assert len(carried) == m0["n_buckets"] - s["buckets_rewritten"]
     # snapshot isolation still holds
     assert len(table.read(snapshot_id=0).collect()) == 20
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    # SQL DELETE semantics: rows where the predicate is NULL are KEPT —
+    # and rewritten buckets must agree with untouched buckets on that.
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 200), (4, "d", None)],
+        "id long, val string, n long",
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "tn"), df, ["id"], n_buckets=2)
+    s = t.delete_where(F.col("n") >= 100)
+    assert s["rows_deleted"] == 1  # only id=3 (TRUE); NULL rows not counted
+    ids = {r["id"] for r in t.read().collect()}
+    assert ids == {1, 2, 4}  # NULL-predicate rows survive
+
+
+def test_matched_condition_evaluates_on_source_row(spark, table):
+    # docstring contract: the condition sees the SOURCE row's values.
+    # target: id=1 has n=10, id=2 has n=20.  Source sends n=3 for id=1
+    # (condition n>5 FALSE on source, TRUE on target — the old bug) and
+    # n=50 for id=2 (TRUE on source).
+    src = spark.createDataFrame(
+        [(1, "U1", 3), (2, "U2", 50)], "id long, val string, n long"
+    )
+    m = table.merge_into(
+        src, when_not_matched=None, matched_condition=F.col("n") > 5
+    )
+    assert m["rows_updated"] == 1  # metrics count APPLIED rows only
+    got = {r["id"]: (r["val"], r["n"]) for r in table.read().collect()}
+    assert got[1] == ("v1", 10)  # untouched: source n=3 fails the gate
+    assert got[2] == ("U2", 50)  # updated: source n=50 passes
+
+
+def test_matched_condition_null_means_not_applied(spark, table):
+    src = spark.createDataFrame(
+        [(1, "U1", None)], "id long, val string, n long"
+    )
+    m = table.merge_into(
+        src, when_not_matched=None, matched_condition=F.col("n") > 5
+    )
+    assert m["rows_updated"] == 0
+    got = {r["id"]: r["val"] for r in table.read().collect()}
+    assert got[1] == "v1"
+
+
+def test_read_buckets_after_schema_evolution(spark, table):
+    # a pruned bucket read after add_column must backfill the default for
+    # pre-evolution files exactly like read() (snapshot-diff resume path)
+    table.add_column("score", "double", 0.5)
+    src = spark.createDataFrame(
+        [(3, "V3", 999, 0.9)], "id long, val string, n long, score double"
+    )
+    table.merge_into(src)
+    sid = table.current_snapshot_id()
+    changed = table.changed_buckets(1, sid)
+    pruned = {r["id"]: r["score"] for r in table.read_buckets(changed, sid).collect()}
+    assert pruned[3] == 0.9
+    # other rows in the same bucket came from a pre-evolution file in
+    # earlier snapshots; at sid they were rewritten — check snapshot 1
+    pruned_old = {
+        r["id"]: r["score"] for r in table.read_buckets(changed, 1).collect()
+    }
+    assert all(v == 0.5 for v in pruned_old.values())
+    assert "score" in table.read_buckets(changed, 1).columns
+
+
+def test_conflicting_writers_never_collide_on_data_files(spark, table):
+    # two writers race from snapshot 0 touching the SAME bucket: the loser
+    # must raise CommitConflict (not a raw OSError from os.rename) and the
+    # winner's data files must survive untouched.
+    src_a = spark.createDataFrame([(3, "A", 1)], "id long, val string, n long")
+    src_b = spark.createDataFrame([(3, "B", 2)], "id long, val string, n long")
+    table.merge_into(src_a)  # writer A commits v1
+    with pytest.raises(CommitConflict):
+        table.merge_into(src_b, base_snapshot_id=0)  # B loses the race
+    got = {r["id"]: r["val"] for r in table.read().collect()}
+    assert got[3] == "A"  # winner's commit intact
+    # every data file on disk is referenced by some surviving manifest
+    referenced = set()
+    for sid in table.snapshot_ids():
+        referenced.update(
+            os.path.basename(rel) for rel in table.manifest(sid)["files"].values()
+        )
+    on_disk = set(os.listdir(f"{table.path}/data"))
+    assert on_disk == referenced  # loser left no orphans
