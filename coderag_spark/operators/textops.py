@@ -271,14 +271,16 @@ def gopher_quality(
     signal), plus the combined ``passes`` flag.
 
     Word-level stats are pure column expressions over the whitespace word
-    stream (whole-stage codegen). The top-bigram count is the only
-    aggregation: explode analyzer-token bigrams (duplicates kept — this is
-    coverage, not dedup) -> count per (doc, gram) -> max per doc; docs with
-    fewer than 2 analyzer tokens left-join back as coverage 0. Shape at
-    100 TB: one shuffle keyed (doc_id, gram) with map-side partial counts,
-    one by doc_id — no joins across docs, no skew (the key includes
-    doc_id). Max-count-only also avoids tie-break ambiguity: WHICH bigram
-    is most frequent never matters, only its share."""
+    stream (whole-stage codegen). The top-bigram coverage is ALSO a pure
+    per-doc expression: sort the doc's bigram array and take the longest
+    equal run via F.aggregate (duplicates kept — this is coverage, not
+    dedup). The bigram count never crosses documents, so keying a shuffle
+    by (doc_id, gram) only paid exchange cost for an aggregation that is
+    local by construction — the sorted-run form makes the WHOLE operator
+    zero-shuffle (one narrow map stage at any corpus size; per-row cost
+    is O(tokens log tokens), bounded by the doc-size cap upstream).
+    Max-count-only also avoids tie-break ambiguity: WHICH bigram is most
+    frequent never matters, only its share."""
     from coderag_spark.operators.dedup import token_ngrams
 
     words = F.filter(
@@ -295,27 +297,36 @@ def gopher_quality(
         n_words > 0,
         F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))) / n_words,
     ).otherwise(F.lit(0.0))
-    base = df.select(
+    grams = token_ngrams(simple_tokens_col(F.col(text_col)), 2, distinct=False)
+    top_cnt = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    out = df.select(
         F.col(id_col).alias("doc_id"),
         n_words.cast("long").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(alpha_frac, 6).alias("alpha_frac"),
+        top_cnt.alias("top_cnt"),
+        F.size(grams).cast("long").alias("n_grams"),
     )
-
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        simple_tokens_col(F.col(text_col)).alias("_toks"),
-    ).select(
-        "doc_id",
-        F.explode(token_ngrams(F.col("_toks"), 2, distinct=False)).alias("gram"),
-    )
-    top = (
-        grams.groupBy("doc_id", "gram")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_cnt"), F.sum("count").alias("n_grams"))
-    )
-    out = base.join(top, "doc_id", "left")
     top_frac = F.round(
         F.when(F.col("n_grams") > 0, F.col("top_cnt") / F.col("n_grams")).otherwise(
             F.lit(0.0)

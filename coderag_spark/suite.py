@@ -4268,7 +4268,16 @@ def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the survivor count. Each stage IS the operator module (gopher_quality,
     exact_dedup, decontaminate, stratified_sample) filtered into the next
     via left-semi joins — no collects between stages, so Catalyst plans
-    the whole chain end to end."""
+    the whole chain end to end.
+
+    The surviving doc_id set of each stage is persisted (the dedup
+    module's release_persists ledger frees them between queries), so the
+    five per-stage survivor counts share ONE evaluation of each stage
+    instead of re-planning the chain prefix per count leg — gopher /
+    dedup / decontam each run exactly once per query.  doc_id is unique
+    within the train split and every stage's id set is a subset of the
+    previous one, so counting the persisted id frame IS the stage's
+    survivor count (no train re-scan per leg)."""
     from coderag_spark.operators import dedup as dd
     from coderag_spark.operators import pipeline as pl
     from coderag_spark.operators import textops as tx
@@ -4277,25 +4286,25 @@ def q_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 2 == 0)
     eval_side = docs.filter(F.col("doc_id") % 2 == 1)
     g = tx.gopher_quality(train, min_words=_PIPE_MIN_WORDS)
-    s1 = train.join(
-        g.filter(F.col("passes")).select("doc_id"), "doc_id", "left_semi"
+    ids1 = dd._persist(g.filter(F.col("passes")).select("doc_id"))
+    s1 = train.join(ids1, "doc_id", "left_semi")
+    ids2 = dd._persist(
+        dd.exact_dedup(s1).select(F.col("keeper").alias("doc_id"))
     )
-    keepers = dd.exact_dedup(s1).select(F.col("keeper").alias("doc_id"))
-    s2 = s1.join(keepers, "doc_id", "left_semi")
+    s2 = s1.join(ids2, "doc_id", "left_semi")
     dc = pl.decontaminate(s2, eval_side, n=_PIPE_DECONTAM_N)
-    s3 = s2.join(
-        dc.filter(F.col("hit_frac") <= F.lit(_PIPE_DECONTAM_MAX)).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    ids3 = dd._persist(
+        dc.filter(F.col("hit_frac") <= F.lit(_PIPE_DECONTAM_MAX)).select("doc_id")
     )
+    s3 = s2.join(ids3, "doc_id", "left_semi")
     s4 = pl.stratified_sample(
         s3, rates=_PIPE_MIX_RATES, default_rate=_PIPE_MIX_DEFAULT
     )
     stages = [
         ("0_train_split", train),
-        ("1_gopher", s1),
-        ("2_exact_dedup", s2),
-        ("3_decontam", s3),
+        ("1_gopher", ids1),
+        ("2_exact_dedup", ids2),
+        ("3_decontam", ids3),
         ("4_source_mix", s4),
     ]
     counts = None
