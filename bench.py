@@ -13,6 +13,10 @@ Covers the BASELINE.json metric:
              JVMs), efficiency = T_N / (4 * T_4N). The sandbox has no real
              cluster; two parallelism levels on identical input stand in
              for the N-vs-4N executor criterion (see BASELINE.md).
+             Headline = MEDIAN of >=6 interleaved (N, 4N) pairs — never a
+             selected pair; pairs whose in-JVM reps disagree >35% are
+             flagged contended and trigger extra pairs (SPARK_GRAFT_SCALE_REPS /
+             _MAX_REPS).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALING=0 to skip probes,
@@ -420,54 +424,84 @@ def main() -> None:
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "600000"))
         lo_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         hi_cores = lo_cores * 4
-        # each probe times 2 in-JVM passes and keeps the min, so 5
-        # interleaved pairs here = 10 samples per level; adaptive stop
-        # below usually ends at 4 pairs
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
-        # interleave levels: this shared sandbox shows 2-4x run-to-run
-        # noise from host contention; an interleaved (lo_i, hi_i) pair sees
-        # the same host conditions, so per-pair efficiency is the robust
-        # estimator (a slow stray rep at either level can sink a global
-        # min-vs-min ratio, which is exactly what deflated round 1's
-        # recorded number to 0.713 while clean runs measured 0.81-0.93).
-        # Headline = best interleaved pair; min-based + the full per-rep
-        # distribution are reported alongside so nothing is hidden.
-        # Adaptive stop: once >=4 pairs ran and one clean pair clears the
-        # bar with margin, further probes only add wall time on a quiet
-        # host; on a noisy host the loop keeps investing up to `reps`.
-        lo_runs, hi_runs, pair_so_far = [], [], []
-        for _ in range(reps):
-            lo_runs.append(_run_probe(lo_cores, n_scale))
-            hi_runs.append(_run_probe(hi_cores, n_scale))
-            pair_so_far.append(
-                lo_runs[-1]["build_sec"] / (4.0 * hi_runs[-1]["build_sec"])
-            )
-            if len(pair_so_far) >= 4 and max(pair_so_far) >= 0.85:
+        # Methodology (round 5 — replaces the best-pair headline, which a
+        # reviewer correctly called cherry-picking):
+        #   * interleave levels — this shared sandbox shows 2-4x run-to-run
+        #     noise from host contention, and an interleaved (lo_i, hi_i)
+        #     pair sees the same host conditions, so per-pair efficiency is
+        #     the unit of measurement;
+        #   * run AT LEAST `reps` (default 6) pairs, each probe timing 2
+        #     in-JVM passes and keeping the min;
+        #   * HEADLINE = MEDIAN of all pairs — no pair selection of any
+        #     kind; the full per-pair and per-rep distributions are
+        #     reported alongside;
+        #   * contention detection: a pair is flagged when either side's
+        #     build_sec is a >35% SLOW outlier against that level's
+        #     cross-pair median (a probe already keeps the min of 2 in-JVM
+        #     passes, so a slow min means the whole probe ran under a
+        #     noisy-neighbor burst); contended pairs stay in the record
+        #     and in the median, but each one earns an extra pair (re-run,
+        #     up to `max_reps`) so the median rests on enough clean
+        #     samples.
+        import statistics
+
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "6"))
+        max_reps = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_REPS", "9"))
+
+        def _contended_flags(lo_rs: list, hi_rs: list, thresh: float = 1.35) -> list:
+            lo_med = statistics.median(r["build_sec"] for r in lo_rs)
+            hi_med = statistics.median(r["build_sec"] for r in hi_rs)
+            return [
+                l["build_sec"] > thresh * lo_med or h["build_sec"] > thresh * hi_med
+                for l, h in zip(lo_rs, hi_rs)
+            ]
+
+        lo_runs, hi_runs, pair_effs = [], [], []
+        pair_contended: list = []
+        while len(pair_effs) < max_reps:
+            l = _run_probe(lo_cores, n_scale)
+            h = _run_probe(hi_cores, n_scale)
+            lo_runs.append(l)
+            hi_runs.append(h)
+            pair_effs.append(round(l["build_sec"] / (4.0 * h["build_sec"]), 3))
+            if len(pair_effs) < reps:
+                continue
+            pair_contended = _contended_flags(lo_runs, hi_runs)
+            n_clean = sum(1 for c in pair_contended if not c)
+            if n_clean >= min(reps, 4):
                 break
+        if not pair_contended:
+            pair_contended = _contended_flags(lo_runs, hi_runs)
         lo = min(lo_runs, key=lambda r: r["build_sec"])
         hi = min(hi_runs, key=lambda r: r["build_sec"])
-        pair_effs = [
-            round(l["build_sec"] / (4.0 * h["build_sec"]), 3)
-            for l, h in zip(lo_runs, hi_runs)
-        ]
         eff_min = lo["build_sec"] / (4.0 * hi["build_sec"])
-        eff_median = sorted(pair_effs)[len(pair_effs) // 2]
+        eff_median = round(statistics.median(pair_effs), 3)
+        clean_effs = [e for e, c in zip(pair_effs, pair_contended) if not c]
         scaling = {
             "n_files": n_scale,
             f"local[{lo_cores}]": {"build_sec": lo["build_sec"], "files_per_sec": lo["files_per_sec"]},
             f"local[{hi_cores}]": {"build_sec": hi["build_sec"], "files_per_sec": hi["files_per_sec"]},
-            "efficiency_Nx4": min(1.0, max(max(pair_effs), round(eff_min, 3))),
-            "efficiency_min_based": round(eff_min, 3),
+            # headline == the median — kept under its historical key so
+            # cross-round tooling keeps parsing, but NOT best-pair anymore
+            "efficiency_Nx4": min(1.0, eff_median),
             "efficiency_median_pair": eff_median,
+            "efficiency_min_based": round(eff_min, 3),
             "efficiency_per_pair": pair_effs,
+            "pair_contended": pair_contended,
+            "efficiency_median_clean_pairs": (
+                round(statistics.median(clean_effs), 3) if clean_effs else None
+            ),
+            "pair_spread": round(max(pair_effs) - min(pair_effs), 3),
             "reps_sec": {
                 f"local[{lo_cores}]": [r["build_sec"] for r in lo_runs],
                 f"local[{hi_cores}]": [r["build_sec"] for r in hi_runs],
             },
             "note": "fresh JVM per level, identical input & partitioning; "
             "N=2 vs 4N=8 because this sandbox's JVM throughput saturates ~8 threads; "
-            "headline = best interleaved (N, 4N) pair (same host conditions); "
-            "full per-rep distribution above",
+            "headline = MEDIAN of >=6 interleaved (N, 4N) pairs, no pair "
+            "selection; contended pairs (either side >35% slower than its "
+            "level's cross-pair median) trigger extra pairs up to max_reps "
+            "and are flagged in pair_contended",
         }
 
     total = time.time() - t_total0
@@ -532,8 +566,11 @@ def main() -> None:
             "rewritten_fraction"
         ),
         "scaling_efficiency_Nx4": scaling.get("efficiency_Nx4"),
+        "scaling_efficiency_median": scaling.get("efficiency_median_pair"),
         "scaling_efficiency_min_based": scaling.get("efficiency_min_based"),
         "scaling_efficiency_per_pair": scaling.get("efficiency_per_pair"),
+        "scaling_pair_contended": scaling.get("pair_contended"),
+        "scaling_pair_spread": scaling.get("pair_spread"),
     }
     compact_line = json.dumps(compact)
     assert len(compact_line) <= 1024, f"compact bench line {len(compact_line)}B > 1KB"

@@ -3392,6 +3392,51 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 
+def q_snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot_diff contract routed through the REAL table store
+    (operators/tablestore.py — Iceberg-semantics MERGE INTO + time
+    travel): the OLD corpus snapshot is committed as snapshot 0 of an
+    on-disk SnapshotTable, the old->new change set is applied as two
+    real commits — MERGE INTO upserting exactly the changed + added rows
+    (copy-on-write at bucket granularity), then a matched-DELETE merge
+    removing the rows that left the corpus — and the diff is computed
+    from ``t.read(0)`` vs ``t.read()``, i.e. from files the table store
+    wrote, not from the in-memory frames. The oracle is the same as
+    snapshot_diff's: if any commit mis-writes a bucket, drops a
+    NULL-predicate row, or time travel resolves the wrong manifest, the
+    value hash breaks."""
+    import tempfile
+
+    from coderag_spark.operators.tablestore import SnapshotTable
+    from coderag_spark.streaming.incremental import diff_corpus
+
+    old, new = _snapshots(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="suite_snaptab_") + "/t"
+    # 4 buckets at suite scale: the change set touches ~1/3 of all rows,
+    # so more buckets only multiply serial per-bucket commit jobs without
+    # pruning anything (at 100 TB the same table runs 4-16k buckets and a
+    # small change set prunes to a handful — see tablestore.py docstring)
+    t = SnapshotTable.create(spark, path, old, ["doc_id"], n_buckets=4)
+    # commit 1: upsert ONLY the changed/added rows (a real indexer knows
+    # its change set; merging the full snapshot would rewrite every
+    # bucket and defeat copy-on-write)
+    ups = (
+        new.alias("n")
+        .join(old.alias("o"), "doc_id", "left")
+        .filter(
+            F.col("o.sha256").isNull() | (F.col("n.sha256") != F.col("o.sha256"))
+        )
+        .select("doc_id", F.col("n.sha256").alias("sha256"))
+    )
+    t.merge_into(ups)
+    # commit 2: rows that left the corpus, removed via WHEN MATCHED DELETE
+    dels = old.join(new, "doc_id", "left_anti").select(
+        "doc_id", F.lit(None).cast("string").alias("sha256")
+    )
+    t.merge_into(dels, when_matched="delete", when_not_matched=None)
+    return diff_corpus(t.read(0), t.read(), keys=("doc_id",))
+
+
 def q_idf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: incremental df maintenance — df(new) computed as df(old) +
     df(added docs) merged per term (incremental-tfidf.ts:64-134), NOT by
@@ -4843,6 +4888,209 @@ LEFT JOIN wav ON wav.doc_id = d.doc_id
 """
 
 
+def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF89a round trip with an EXACT value oracle over every doc:
+    a 1-4 frame animated GIF (frame k's pixels from the multiplicative
+    hash seeded d + 7k; global color table, LZW-compressed, alternating
+    interlaced storage) is encoded AND decoded by the from-scratch codec
+    (operators/gif.py), and the decoded first-frame red mean / last-frame
+    green mean are compared against DuckDB recomputing the generator
+    arithmetic — GIF is lossless, so codec math must equal generator
+    math bit-for-bit. Exercises multi-frame decode, interlace restore,
+    and frame ordering (frame k != frame 0 catches a decoder that drops
+    or reorders frames)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from coderag_spark.operators.gif import encode_gif
+
+        base = np.arange(6 * 5 * 3, dtype=np.uint64)
+        out = []
+        for d in doc_id:
+            d = int(d)
+            nf = 1 + d % 4
+            frames = [
+                (
+                    ((base + np.uint64(d + 7 * k)) * np.uint64(2654435761))
+                    >> np.uint64(24)
+                )
+                .astype(np.uint8)
+                .reshape(6, 5, 3)
+                for k in range(nf)
+            ]
+            out.append(encode_gif(frames, interlace=bool((d // 4) % 2)))
+        return pd.Series(out)
+
+    docs_all = _documents(spark, sf_dir)
+    n_payloads = docs_all.count()
+    npart = max(1, min(spark.sparkContext.defaultParallelism * 4, n_payloads // 625 or 1))
+    media = docs_all.select("doc_id").repartition(npart).select(
+        "doc_id", synth(F.col("doc_id")).alias("payload")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("mean_r0", T.DoubleType()),
+            T.StructField("mean_g_last", T.DoubleType()),
+        ]
+    )
+
+    def dec(it):
+        from coderag_spark.operators.gif import decode_gif_frames
+
+        for pdf in it:
+            rows = []
+            for d, pay in zip(pdf["doc_id"], pdf["payload"]):
+                fr = decode_gif_frames(bytes(pay))
+                first = fr[0].reshape(-1, 3).astype("float64").mean(axis=0)
+                last = fr[-1].reshape(-1, 3).astype("float64").mean(axis=0)
+                rows.append(
+                    (
+                        int(d),
+                        int(fr.shape[2]),
+                        int(fr.shape[1]),
+                        int(fr.shape[0]),
+                        float(first[0]),
+                        float(last[1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames",
+                    "mean_r0", "mean_g_last",
+                ],
+            )
+
+    feats = media.mapInPandas(dec, schema)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round("mean_r0", 6).alias("mean_r0"),
+        F.round("mean_g_last", 6).alias("mean_g_last"),
+    )
+
+
+# generator math: pixel byte i of frame k is bits 24..31 of
+# (i + d + 7k) * 2654435761 mod 2^64 (only mod 2^32 matters for those
+# bits); channel c sits at flat index 3j + c, j in 0..29.
+SQL_GIF_FEATURES = """
+WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS nf FROM documents)
+SELECT doc_id,
+       5::INT AS width, 6::INT AS height, nf::BIGINT AS n_frames,
+       round(list_sum(list_transform(range(0, 30),
+         j -> (((3*j + doc_id)::HUGEINT * 2654435761) % 4294967296 // 16777216)::DOUBLE
+       )) / 30.0::DOUBLE, 6) AS mean_r0,
+       round(list_sum(list_transform(range(0, 30),
+         j -> (((3*j + 1 + doc_id + 7*(nf - 1))::HUGEINT * 2654435761) % 4294967296 // 16777216)::DOUBLE
+       )) / 30.0::DOUBLE, 6) AS mean_g_last
+FROM d
+"""
+
+
+def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC (RFC 9639) round trip with an EXACT value oracle over
+    every doc: a variable-length int16 sine PCM stream (120/160/200
+    samples by doc_id, frequency 100 + d%50 Hz) is encoded at
+    blocksize=64 — so every payload spans multiple FLAC frames —
+    alternating FIXED and quantized-LPC subframes by doc parity, then
+    decoded back and reduced to (rate, channels, samples, rms, peak).
+    FLAC is lossless, so DuckDB recomputing the sine-truncation
+    arithmetic must match the decoded values exactly; any drift in the
+    residual coding, UTF-8 frame headers, or LPC shift math breaks the
+    hash."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from coderag_spark.operators.flac import encode_flac
+
+        out = []
+        for d in doc_id:
+            d = int(d)
+            n = 120 + (d % 3) * 40
+            t = np.arange(n) / 8000.0
+            pcm = (
+                0.3 * np.sin(2 * np.pi * (100 + d % 50) * t) * 32768.0
+            ).astype(np.int16)
+            out.append(
+                encode_flac(pcm, rate=8000, force_lpc=bool(d % 2), blocksize=64)
+            )
+        return pd.Series(out)
+
+    docs_all = _documents(spark, sf_dir)
+    n_payloads = docs_all.count()
+    npart = max(1, min(spark.sparkContext.defaultParallelism * 4, n_payloads // 625 or 1))
+    media = docs_all.select("doc_id").repartition(npart).select(
+        "doc_id", synth(F.col("doc_id")).alias("payload")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    def dec(it):
+        from coderag_spark.operators.flac import flac_features
+
+        for pdf in it:
+            rows = []
+            for d, pay in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n, rms, peak = flac_features(bytes(pay))
+                rows.append((int(d), int(rate), int(ch), int(n), rms, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "rate", "n_channels", "n_samples", "rms", "peak"],
+            )
+
+    feats = media.mapInPandas(dec, schema)
+    return feats.select(
+        "doc_id",
+        "rate",
+        "n_channels",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+# generator math: pcm_i = trunc(0.3*sin(2*pi*f*(i/8000))*32768) (numpy
+# .astype(int16) truncates toward zero), x = pcm/32768 — identical
+# formula family to SQL_MEDIA_DECODE_EXACT's wav CTE (proven across
+# rounds); round-6dp absorbs summation-order ulps.
+SQL_FLAC_FEATURES = """
+WITH d AS (
+  SELECT doc_id, 120 + (doc_id % 3) * 40 AS n FROM documents
+),
+x AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n),
+           i -> trunc((0.3::DOUBLE * sin((2*pi()*(100 + doc_id % 50)) * (i / 8000.0::DOUBLE)))
+                      * 32768.0::DOUBLE) / 32768.0::DOUBLE) AS xs
+  FROM d
+)
+SELECT doc_id, 8000::INT AS rate, 1::INT AS n_channels, n::BIGINT AS n_samples,
+       round(sqrt(list_sum(list_transform(xs, v -> v * v)) / n), 6) AS rms,
+       round(list_max(list_transform(xs, v -> abs(v))), 6) AS peak
+FROM x
+"""
+
+
 def q_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Credential scan end-to-end: one deterministic vendor-format secret
     (AWS key / GitHub PAT / Slack token / PEM header / JWT, by doc_id % 5)
@@ -6280,6 +6528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_filter": q_pipeline_filter,
         "media_decode_exact": q_media_decode_exact,
         # -- driver window: round-5 additions / re-routed lineage ----------
+        "gif_features": q_gif_features,
+        "flac_features": q_flac_features,
+        "snapshot_table_diff": q_snapshot_table_diff,
         "snapshot_diff": q_snapshot_diff,
         # -- driver window: stale (pre-r4) evidence refresh -----------------
         "pq_adc": q_pq_adc,
@@ -6471,6 +6722,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered": _sql_bm25_filtered(query_terms(BM25_QUERY_MULTI)),
         "hybrid_fusion": _sql_hybrid_fusion(query_terms(BM25_QUERY_MULTI)),
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        # same contract, lineage through tablestore.py commits + time travel
+        "snapshot_table_diff": SQL_SNAPSHOT_DIFF,
         "idf_delta": SQL_IDF_DELTA,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "emb_knn": SQL_EMB_KNN,
@@ -6527,6 +6780,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_decontam": SQL_FUZZY_DECONTAM,
         "media_features": SQL_MEDIA_FEATURES,
         "media_decode_exact": SQL_MEDIA_DECODE_EXACT,
+        "gif_features": SQL_GIF_FEATURES,
+        "flac_features": SQL_FLAC_FEATURES,
         "source_mix": _sql_source_mix(),
         "pipeline_filter": _sql_pipeline_filter(),
         "line_stats": SQL_LINE_STATS,

@@ -14,7 +14,9 @@ import sys
 import time
 
 CUR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-R2 = os.environ.get("AB_R2_DIR", "/tmp/r2ab")
+# baseline side: a git worktree of the comparison round's closing commit
+BASE = os.environ.get("AB_BASE_DIR", os.environ.get("AB_R2_DIR", "/tmp/r2ab"))
+BASE_TAG = os.environ.get("AB_BASE_TAG", "base")
 
 RUNNER = r"""
 import json, sys, time
@@ -65,7 +67,7 @@ def main() -> None:
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     rows = []
     for i in range(n_pairs):
-        for tag, repo in (("cur", CUR), ("r2", R2)):  # cur FIRST
+        for tag, repo in (("cur", CUR), (BASE_TAG, BASE)):  # cur FIRST
             t0 = time.time()
             res = run_side(repo, names)
             rows.append({"tag": tag, "pair": i, "queries": res})
