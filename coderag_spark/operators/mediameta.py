@@ -21,9 +21,12 @@ implementable from the public specs without ffmpeg:
     11172-3): bitrate/samplerate tables, per-frame length arithmetic,
     ID3v2 skip; duration = frames x 1152 / samplerate. VBR-safe because
     every frame header is visited, not just the first.
-  * ``encode_mp3_frames`` — valid frame-header sequence writer (zeroed
-    audio payload) for fixtures; real audio DECODE stays
-    NotImplementedError (hybrid filterbank + Huffman ~ a codec library).
+  * ``encode_mp3_frames`` — valid frame-header sequence writer. A
+    zeroed Layer III payload is a spec-VALID silence stream (all side
+    info zero = every granule part2_3_length 0), which operators/mp3.py
+    now decodes end-to-end to exact PCM via full side-info parsing, bit
+    reservoir, and scalefactor accounting; non-silent spectral data
+    stays behind mp3.py's documented Huffman-table guard.
 
 Wired into multimodal.sniff_modality / decode_media_features so video
 and MP3 audio rows flow through the same Arrow decode stage as images.

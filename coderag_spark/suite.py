@@ -5091,6 +5091,81 @@ FROM x
 """
 
 
+def q_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III granule-walk decode (operators/mp3.py) with
+    an EXACT value oracle: a valid silent Layer III stream of 2 + d%5
+    joint-stereo frames per doc is decoded through full side-info
+    parsing, bit-reservoir reassembly, and part2_3 scalefactor
+    accounting to its exact PCM (1152 zero samples per frame per the
+    spec's granule math). The oracle recomputes the spec arithmetic —
+    any drift in side-info bit layout, frame-length math, or the
+    silence contract flips the sample counts or the rms away from the
+    closed form. (Round-4 partial closed to a documented subset: the
+    Annex B Huffman/synthesis tables are tabulated data guarded by
+    explicit NotImplementedError — see mp3.py docstring.)"""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(doc_id: pd.Series) -> pd.Series:
+        from coderag_spark.operators.mediameta import encode_mp3_frames
+
+        return pd.Series(
+            [encode_mp3_frames(2 + int(d) % 5, bitrate_kbps=128) for d in doc_id]
+        )
+
+    docs_all = _documents(spark, sf_dir)
+    n_payloads = docs_all.count()
+    npart = max(1, min(spark.sparkContext.defaultParallelism * 4, n_payloads // 625 or 1))
+    media = docs_all.select("doc_id").repartition(npart).select(
+        "doc_id", synth(F.col("doc_id")).alias("payload")
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("duration_sec", T.DoubleType()),
+        ]
+    )
+
+    def dec(it):
+        from coderag_spark.operators.mp3 import mp3_pcm_features
+
+        for pdf in it:
+            rows = []
+            for d, pay in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, n, rms, _peak = mp3_pcm_features(bytes(pay))
+                rows.append((int(d), int(rate), int(ch), int(n), rms, n / rate))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rate", "n_channels", "n_samples",
+                    "rms", "duration_sec",
+                ],
+            )
+
+    feats = media.mapInPandas(dec, schema)
+    return feats.select(
+        "doc_id",
+        "rate",
+        "n_channels",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
+SQL_MP3_FEATURES = """
+SELECT doc_id, 44100::INT AS rate, 2::INT AS n_channels,
+       ((2 + doc_id % 5) * 1152)::BIGINT AS n_samples,
+       0.0::DOUBLE AS rms,
+       round((2 + doc_id % 5) * 1152 / 44100.0::DOUBLE, 6) AS duration_sec
+FROM documents
+"""
+
+
 def q_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Credential scan end-to-end: one deterministic vendor-format secret
     (AWS key / GitHub PAT / Slack token / PEM header / JWT, by doc_id % 5)
@@ -6530,6 +6605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver window: round-5 additions / re-routed lineage ----------
         "gif_features": q_gif_features,
         "flac_features": q_flac_features,
+        "mp3_features": q_mp3_features,
         "snapshot_table_diff": q_snapshot_table_diff,
         "snapshot_diff": q_snapshot_diff,
         # -- driver window: stale (pre-r4) evidence refresh -----------------
@@ -6782,6 +6858,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_exact": SQL_MEDIA_DECODE_EXACT,
         "gif_features": SQL_GIF_FEATURES,
         "flac_features": SQL_FLAC_FEATURES,
+        "mp3_features": SQL_MP3_FEATURES,
         "source_mix": _sql_source_mix(),
         "pipeline_filter": _sql_pipeline_filter(),
         "line_stats": SQL_LINE_STATS,

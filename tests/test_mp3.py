@@ -1,0 +1,208 @@
+"""MPEG-1 Layer III subset decoder (operators/mp3.py): side-info
+parsing, bit reservoir, scalefactor accounting, requantization and
+IMDCT formulas, and the silence end-to-end PCM contract.
+
+No Spark needed — the codec is plain numpy (the Spark plumbing is
+exercised by the suite's media queries)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from coderag_spark.operators.mediameta import encode_mp3_frames
+from coderag_spark.operators.mp3 import (
+    decode_mp3,
+    imdct_long,
+    mp3_pcm_features,
+    parse_side_info,
+    requantize,
+    subband_samples_long,
+)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def bytes(self) -> bytes:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _mono_header(bitrate_kbps: int = 128, rate: int = 44100) -> int:
+    from coderag_spark.operators.mediameta import (
+        _MP3_BITRATES_V1L3,
+        _MP3_RATES_V1,
+    )
+
+    h = 0xFFE00000 | (3 << 19) | (1 << 17) | (1 << 16)  # v1 L3 no-CRC
+    h |= _MP3_BITRATES_V1L3.index(bitrate_kbps) << 12
+    h |= _MP3_RATES_V1.index(rate) << 10
+    h |= 3 << 6  # mono
+    return h
+
+
+def _mono_frame(side: bytes, bitrate_kbps: int = 128, rate: int = 44100) -> bytes:
+    frame_len = 144 * bitrate_kbps * 1000 // rate
+    body = side + b"\x00" * (frame_len - 4 - len(side))
+    return struct.pack(">I", _mono_header(bitrate_kbps, rate)) + body
+
+
+def _side_info_mono(
+    main_data_begin=0,
+    part2_3=(0, 0),
+    big_values=(0, 0),
+    global_gain=(0, 0),
+    scalefac_compress=(0, 0),
+) -> bytes:
+    w = _BitWriter()
+    w.write(main_data_begin, 9)
+    w.write(0, 5)  # private
+    for _ in range(4):
+        w.write(0, 1)  # scfsi
+    for g in range(2):
+        w.write(part2_3[g], 12)
+        w.write(big_values[g], 9)
+        w.write(global_gain[g], 8)
+        w.write(scalefac_compress[g], 4)
+        w.write(0, 1)  # window_switching
+        for _ in range(3):
+            w.write(0, 5)  # table_select
+        w.write(0, 4)  # region0
+        w.write(0, 3)  # region1
+        w.write(0, 1)  # preflag
+        w.write(0, 1)  # scalefac_scale
+        w.write(0, 1)  # count1table_select
+    out = w.bytes()
+    assert len(out) == 17
+    return out
+
+
+def test_silence_stream_decodes_to_exact_zero_pcm():
+    # encode_mp3_frames emits joint-stereo headers -> 2 channels
+    b = encode_mp3_frames(3, bitrate_kbps=128, sample_rate=44100)
+    pcm, rate = decode_mp3(b)
+    assert rate == 44100
+    assert pcm.shape == (3 * 1152, 2)
+    assert pcm.dtype == np.int16
+    assert not pcm.any()
+
+
+def test_pcm_features_contract():
+    b = encode_mp3_frames(5, bitrate_kbps=128, sample_rate=44100)
+    rate, ch, n, rms, peak = mp3_pcm_features(b)
+    assert (rate, ch, n) == (44100, 2, 5 * 1152)
+    assert rms == 0.0 and peak == 0.0
+
+
+def test_side_info_fields_roundtrip():
+    side = _side_info_mono(
+        main_data_begin=37,
+        part2_3=(0, 0),
+        big_values=(0, 0),
+        global_gain=(210, 99),
+        scalefac_compress=(4, 15),
+    )
+    info = parse_side_info(side, n_channels=1)
+    assert info["main_data_begin"] == 37
+    g0, g1 = info["granules"][0][0], info["granules"][1][0]
+    assert g0["global_gain"] == 210 and g1["global_gain"] == 99
+    assert g0["scalefac_compress"] == 4 and g1["scalefac_compress"] == 15
+    assert g0["block_type"] == 0 and not g0["window_switching"]
+
+
+def test_stereo_side_info_is_32_bytes():
+    info = parse_side_info(b"\x00" * 32, n_channels=2)
+    assert info["side_bytes"] == 32
+    assert len(info["granules"][0]) == 2
+
+
+def test_bit_reservoir_backreference_accepted():
+    # frame 2 points main_data_begin back into frame 1's (all-zero)
+    # leftovers; both frames silent -> valid, decodes to zeros
+    f1 = _mono_frame(_side_info_mono())
+    f2 = _mono_frame(_side_info_mono(main_data_begin=20))
+    pcm, rate = decode_mp3(f1 + f2)
+    assert pcm.shape == (2 * 1152, 1) and not pcm.any()
+
+
+def test_reservoir_before_stream_start_rejected():
+    f = _mono_frame(_side_info_mono(main_data_begin=20))
+    with pytest.raises(ValueError, match="before stream start"):
+        decode_mp3(f)
+
+
+def test_huffman_guard_is_explicit():
+    # part2_3_length > scalefactor bits => spectral Huffman data present
+    side = _side_info_mono(part2_3=(40, 0), scalefac_compress=(0, 0))
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        decode_mp3(_mono_frame(side))
+
+
+def test_scalefactor_bits_consume_part2_exactly():
+    # scalefac_compress=15 -> slen 4/3 -> part2 = 11*4 + 10*3 = 74 bits;
+    # part2_3_length == 74 means NO Huffman data: decodes as silence
+    side = _side_info_mono(part2_3=(74, 0), scalefac_compress=(15, 0))
+    pcm, _ = decode_mp3(_mono_frame(side))
+    assert not pcm.any()
+
+
+def test_requantize_formula():
+    # |is|=1, gain=210, sf=0 -> exactly 1.0
+    out = requantize(np.array([1.0, -1.0, 0.0]), 210, np.zeros(3), 0)
+    assert np.allclose(out, [1.0, -1.0, 0.0])
+    # is=8, gain=214 -> 8^(4/3) * 2^1 = 16 * 2 = 32
+    out = requantize(np.array([8.0]), 214, np.zeros(1), 0)
+    assert np.allclose(out, [32.0])
+    # scalefac_scale=1, scalefac=1 -> extra 2^-2
+    out = requantize(np.array([1.0]), 210, np.ones(1), 1)
+    assert np.allclose(out, [0.25])
+    with pytest.raises(NotImplementedError):
+        requantize(np.ones(1), 210, np.zeros(1), 0, preflag=1)
+
+
+def test_imdct_long_matches_direct_formula():
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal(18)
+    z = imdct_long(X)
+    n = 13
+    direct = sum(
+        X[k] * np.cos(np.pi / 72.0 * (2 * n + 1 + 18) * (2 * k + 1))
+        for k in range(18)
+    ) * np.sin(np.pi / 36.0 * (n + 0.5))
+    assert np.isclose(z[n], direct)
+    assert z.shape == (36,)
+    assert np.allclose(imdct_long(np.zeros(18)), 0.0)
+
+
+def test_subband_overlap_add_and_frequency_inversion():
+    rng = np.random.default_rng(11)
+    xr = rng.standard_normal(576)
+    ov0 = np.zeros((32, 18))
+    s1, ov1 = subband_samples_long(xr, ov0)
+    # a silent granule after an audible one must ring out the overlap
+    s2, ov2 = subband_samples_long(np.zeros(576), ov1)
+    even = s2[2]  # even subband: overlap passes through unchanged
+    assert np.allclose(even, ov1[2])
+    # odd subband: odd samples of the OUTPUT are sign-flipped
+    odd = s2[3]
+    assert np.allclose(odd[0::2], ov1[3][0::2])
+    assert np.allclose(odd[1::2], -ov1[3][1::2])
+    assert np.allclose(ov2, 0.0)
+    # linearity sanity: doubling the spectrum doubles the samples
+    s3, _ = subband_samples_long(2 * xr, np.zeros((32, 18)))
+    assert np.allclose(s3, 2 * s1)
