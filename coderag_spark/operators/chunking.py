@@ -118,6 +118,18 @@ _METHOD_NAME_RE = re.compile(r"([A-Za-z_$][\w$]*)\s*\(")
 # decorator (Python) / annotation (Java/TS) line — attaches to the next def
 _DECORATOR_RE = re.compile(r"^\s*@[\w.]+")
 
+# anonymous callback opening a block body on its line: a block-bodied
+# arrow (`items.map((x) => {`) or an anonymous function expression
+# (`setTimeout(function () {`). tree-sitter parses these as their own
+# arrow_function / function_expression nodes (the reference's code-chunk
+# scope entries carry them; ast-chunking.ts:183-225) — the structural
+# scanner synthesizes the entity name `<anonymous>` since the node has
+# no identifier. Named forms never reach this regex: _entity_of_line is
+# consulted first and wins.
+_ANON_FN_RE = re.compile(r"(?:(?:^|[^\w$])function\s*\*?\s*\(|=>\s*\{\s*$)")
+
+_ANON_ENTITY = "function:<anonymous>"
+
 # entity extraction from a boundary line: (kind, name) — the analogue of
 # the reference's AST entities (ast-chunking.ts:71-87: chunk type is the
 # first entity's type, metadata carries {name, type} pairs)
@@ -233,6 +245,29 @@ def _is_def_code(code_line: str, lang: str | None = None) -> bool:
     ):
         return True
     return lang in _TYPE_LED_LANGS and _is_type_led_def(code_line)
+
+
+def _anon_body_end(code: list[str], i: int, col: int) -> int:
+    """Exclusive end of an anonymous callback body opening on line ``i``
+    at/after column ``col``: the first ``{`` from there opens the body
+    (unlike ``_body_end_brace`` no paren-depth gate applies — a
+    callback's body brace legitimately sits INSIDE the enclosing call's
+    argument parens), and the body ends when brace depth returns to 0
+    (the callback's closing ``}`` always precedes the call's ``)``, so
+    brace depth alone delimits it)."""
+    depth = 0
+    opened = False
+    for j in range(i, len(code)):
+        cl = code[j]
+        for ch in cl[col if j == i else 0:]:
+            if ch == "{":
+                depth += 1
+                opened = True
+            elif ch == "}" and opened:
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+    return len(code)
 
 
 def _body_end_brace(code: list[str], i: int) -> int:
@@ -600,6 +635,20 @@ def _attach_scopes(
             continue
         end = _body_end_brace(code, i) if braces else _body_end_indent(lines, i)
         def_spans.append((i, end, ent))
+    if braces:
+        # anonymous callbacks are definitions too (tree-sitter nodes): a
+        # piece carved out of an oversize callback body must carry the
+        # callback in its chain, not just the enclosing named function
+        for i, cl in enumerate(code):
+            if not cl or _entity_of_line(cl, True) is not None:
+                continue
+            m = _ANON_FN_RE.search(cl)
+            if m:
+                def_spans.append((i, _anon_body_end(code, i, m.start()), _ANON_ENTITY))
+        # chains are emitted outermost-first: line order IS nesting order
+        # for spans that enclose the same chunk, but the anon pass above
+        # appended out of order
+        def_spans.sort(key=lambda t: (t[0], -t[1]))
     for c in chunks:
         if c.start_line <= 0:
             continue  # fallback text chunks carry no line anchors
@@ -650,8 +699,17 @@ def _mk_chunk(
         ent = _entity_of_line(code[i], flags[i])
         if ent is not None:
             entities.append(ent)
-    # chunk type = first entity's type, else 'chunk' (ast-chunking.ts:71-73)
+    # chunk type = first entity's type, else 'chunk' (ast-chunking.ts:71-73).
+    # Computed BEFORE anonymous entities are appended: the synthetic
+    # `type:<chunk_type>` index token (engine.py) stays keyed to named
+    # definitions, so closing the anonymous-entity divergence cannot
+    # silently re-type existing chunks (documented residual: the
+    # reference would let a leading anonymous node set the type).
     chunk_type = entities[0].split(":", 1)[0] if entities else "chunk"
+    for i in range(s, e):
+        cl = code[i]
+        if cl and _entity_of_line(cl, True) is None and _ANON_FN_RE.search(cl):
+            entities.append(_ANON_ENTITY)
     return Chunk(
         content="\n".join(lines[s:e]),
         chunk_type=chunk_type,

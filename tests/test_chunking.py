@@ -283,7 +283,12 @@ DIFFERENTIAL_FIXTURES = [
         "})",
         "TypeScript",
         300,
-        [("chunk", [], 1, 13)],
+        # 5 anonymous arrows (2 describe + 3 it callbacks): tree-sitter
+        # parses each block-bodied arrow as its own arrow_function node,
+        # so since the round-5 divergence-#2 fix the scanner synthesizes
+        # function:<anonymous> for them; chunk_type stays keyed to named
+        # definitions (none here) for index-token stability.
+        [("chunk", ["function:<anonymous>"] * 5, 1, 13)],
         id="ts-describe-suite-whole-statements",
     ),
     pytest.param(
@@ -309,7 +314,11 @@ DIFFERENTIAL_FIXTURES = [
         "})",
         "TypeScript",
         80,
-        [("chunk", [], 1, 4), ("chunk", [], 5, 8), ("chunk", [], 9, 13)],
+        [
+            ("chunk", ["function:<anonymous>"] * 2, 1, 4),
+            ("chunk", ["function:<anonymous>"], 5, 8),
+            ("chunk", ["function:<anonymous>"] * 2, 9, 13),
+        ],
         id="ts-describe-oversize-splits-at-it-blocks",
     ),
     pytest.param(
@@ -686,3 +695,50 @@ def test_c_calls_and_assignments_not_flagged_as_defs():
     assert _is_def_line("char *copy(const char *s) {", "C")
     # type-led matching stays OFF outside the C family
     assert not _is_def_line("int add(int a, int b) {", "Python")
+
+
+def test_anonymous_callback_gets_own_entity_and_scope():
+    """Former divergence #2 (COVERAGE.md): tree-sitter parses a
+    block-bodied callback as its own arrow_function / function_expression
+    node. The structural scanner now synthesizes `function:<anonymous>`
+    for it: the chunk holding the callback lists the entity, and pieces
+    carved out of an OVERSIZE callback body carry it in their scope
+    chain after the enclosing named definition."""
+    cb_body = "\n".join(f"    const v{i} = compute({i});" for i in range(40))
+    js = (
+        "function outer() {\n"
+        "  items.forEach((item) => {\n" + cb_body + "\n  });\n"
+        "}\n"
+    )
+    chunks = chunk_file(js, "JavaScript", max_chunk_size=300)
+    opener = [c for c in chunks if "=>" in c.content]
+    assert opener and "function:<anonymous>" in opener[0].entities
+    inner = [
+        c for c in chunks
+        if c.scope == ["function:outer", "function:<anonymous>"]
+    ]
+    assert inner, "pieces inside the oversize callback must carry the chain"
+    # chunk_type still keyed to NAMED entities (index-token stability)
+    assert chunks[0].chunk_type == "function"
+
+
+def test_anonymous_function_expression_entity():
+    js = (
+        "setTimeout(function () {\n"
+        "  tick();\n"
+        "}, 100);\n"
+        "const named = () => 1;\n"
+    )
+    chunks = chunk_file(js, "JavaScript", max_chunk_size=1000)
+    ents = [e for c in chunks for e in c.entities]
+    assert "function:<anonymous>" in ents
+    assert "function:named" in ents  # named arrow still named
+    # exactly ONE anonymous entity: the named arrow must not double-count
+    assert ents.count("function:<anonymous>") == 1
+
+
+def test_named_defs_unaffected_by_anon_pass():
+    js = "function a() {\n  return 1;\n}\n"
+    chunks = chunk_file(js, "JavaScript", max_chunk_size=1000)
+    assert all("<anonymous>" not in e for c in chunks for e in c.entities)
+    assert all(c.scope == [] for c in chunks)
