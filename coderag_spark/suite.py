@@ -3437,6 +3437,46 @@ def q_snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_corpus(t.read(0), t.read(), keys=("doc_id",))
 
 
+def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_table_diff's lineage pushed all the way through the REAL
+    Apache Iceberg v2 on-disk format (operators/iceberg.py + the
+    from-scratch Avro container codec in operators/avrofile.py): the
+    same create + MERGE-upsert + MERGE-delete history is committed to a
+    SnapshotTable, exported as spec-shaped metadata (metadata.json →
+    Avro manifest list → Avro manifest → data files), and BOTH corpus
+    snapshots are then read back by the independent IcebergTable scan
+    planner — time travel to snapshot 0 vs the current snapshot — before
+    the diff. The oracle is snapshot_diff's: a wrong varint, a
+    mis-decoded manifest entry, a dropped `deleted` status, or a
+    time-travel resolution to the wrong manifest list all break the
+    value hash."""
+    import tempfile
+
+    from coderag_spark.operators.iceberg import IcebergTable, export_iceberg
+    from coderag_spark.operators.tablestore import SnapshotTable
+    from coderag_spark.streaming.incremental import diff_corpus
+
+    old, new = _snapshots(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="suite_iceberg_") + "/t"
+    t = SnapshotTable.create(spark, path, old, ["doc_id"], n_buckets=4)
+    ups = (
+        new.alias("n")
+        .join(old.alias("o"), "doc_id", "left")
+        .filter(
+            F.col("o.sha256").isNull() | (F.col("n.sha256") != F.col("o.sha256"))
+        )
+        .select("doc_id", F.col("n.sha256").alias("sha256"))
+    )
+    t.merge_into(ups)
+    dels = old.join(new, "doc_id", "left_anti").select(
+        "doc_id", F.lit(None).cast("string").alias("sha256")
+    )
+    t.merge_into(dels, when_matched="delete", when_not_matched=None)
+    root = export_iceberg(t)
+    it = IcebergTable(spark, root)
+    return diff_corpus(it.scan(snapshot_id=0), it.scan(), keys=("doc_id",))
+
+
 def q_idf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: incremental df maintenance — df(new) computed as df(old) +
     df(added docs) merged per term (incremental-tfidf.ts:64-134), NOT by
@@ -6607,9 +6647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flac_features": q_flac_features,
         "mp3_features": q_mp3_features,
         "snapshot_table_diff": q_snapshot_table_diff,
+        "iceberg_scan": q_iceberg_scan,
         "snapshot_diff": q_snapshot_diff,
         # -- driver window: stale (pre-r4) evidence refresh -----------------
         "pq_adc": q_pq_adc,
+        # (just past the 50-row window; r3 driver row + local oracle)
         "minhash_lsh": q_minhash_lsh,
         "substr_dedup": q_substr_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -6800,6 +6842,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         # same contract, lineage through tablestore.py commits + time travel
         "snapshot_table_diff": SQL_SNAPSHOT_DIFF,
+        "iceberg_scan": SQL_SNAPSHOT_DIFF,
         "idf_delta": SQL_IDF_DELTA,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "emb_knn": SQL_EMB_KNN,

@@ -1,0 +1,187 @@
+"""From-scratch Avro object-container codec (operators/avrofile.py).
+
+Validation discipline matches the other codecs in this repo: byte-level
+goldens for the deterministic primitive encodings (the Avro spec's own
+zigzag-varint examples), whole-file byte goldens for a tiny container,
+and round-trip equality across the full supported type surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from coderag_spark.operators import avrofile
+from coderag_spark.operators.avrofile import (
+    decode_record,
+    encode_record,
+    read_container,
+    write_container,
+)
+
+# --------------------------------------------------------- primitives
+
+
+@pytest.mark.parametrize(
+    "value, wire",
+    [
+        # the Avro spec's own binary-encoding examples for int/long
+        (0, b"\x00"),
+        (-1, b"\x01"),
+        (1, b"\x02"),
+        (-2, b"\x03"),
+        (2, b"\x04"),
+        (-64, b"\x7f"),
+        (64, b"\x80\x01"),
+        (-65, b"\x81\x01"),
+        (8192, b"\x80\x80\x01"),
+        (-4611686018427387904, b"\xff\xff\xff\xff\xff\xff\xff\xff\x7f"),
+    ],
+)
+def test_long_wire_goldens(value, wire):
+    assert encode_record("long", value) == wire
+    assert decode_record("long", wire) == value
+
+
+def test_string_and_bytes_wire():
+    # spec example: "foo" encodes as length 3 (0x06) + UTF-8 bytes
+    assert encode_record("string", "foo") == b"\x06foo"
+    assert decode_record("string", b"\x06foo") == "foo"
+    assert encode_record("bytes", b"\x00\xff") == b"\x04\x00\xff"
+
+
+def test_boolean_null_float_double():
+    assert encode_record("boolean", True) == b"\x01"
+    assert encode_record("boolean", False) == b"\x00"
+    assert encode_record("null", None) == b""
+    assert decode_record("double", encode_record("double", 1.5)) == 1.5
+    assert decode_record("float", encode_record("float", 0.25)) == 0.25
+
+
+def test_union_wire():
+    # spec example: union ["null","string"], value null → 0x00;
+    # value "a" → branch index 1 (0x02) + string encoding
+    sch = ["null", "string"]
+    assert encode_record(sch, None) == b"\x00"
+    assert encode_record(sch, "a") == b"\x02\x02a"
+    assert decode_record(sch, b"\x02\x02a") == "a"
+
+
+def test_array_wire():
+    # spec example: array<long> [3, 27] → count 2, items, terminator 0
+    sch = {"type": "array", "items": "long"}
+    assert encode_record(sch, [3, 27]) == b"\x04\x06\x36\x00"
+    assert decode_record(sch, b"\x04\x06\x36\x00") == [3, 27]
+    # negative block count (count -2 then byte size 2) must also decode
+    assert decode_record(sch, b"\x03\x04\x06\x36\x00") == [3, 27]
+
+
+def test_record_and_map_roundtrip():
+    sch = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "m", "type": {"type": "map", "values": "int"}},
+        ],
+    }
+    v = {"a": -7, "b": "x", "m": {"k1": 1, "k2": -2}}
+    assert decode_record(sch, encode_record(sch, v)) == v
+    # missing optional field falls back to its schema default
+    enc = encode_record(sch, {"a": 1, "m": {}})
+    assert decode_record(sch, enc) == {"a": 1, "b": None, "m": {}}
+
+
+def test_fixed_enum_and_named_reference():
+    sch = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {
+                "name": "sync",
+                "type": {"type": "fixed", "name": "sync16", "size": 4},
+            },
+            {"name": "again", "type": "sync16"},  # named reference
+            {
+                "name": "color",
+                "type": {"type": "enum", "name": "c", "symbols": ["R", "G", "B"]},
+            },
+        ],
+    }
+    v = {"sync": b"abcd", "again": b"wxyz", "color": "G"}
+    assert decode_record(sch, encode_record(sch, v)) == v
+
+
+def test_nested_record_field_ids_ignored_on_wire():
+    # Iceberg annotates schemas with field-id attributes; they must not
+    # change the binary encoding
+    plain = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    annotated = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long", "field-id": 500}],
+    }
+    assert encode_record(plain, {"a": 5}) == encode_record(annotated, {"a": 5})
+
+
+# ---------------------------------------------------------- container
+
+
+def test_container_whole_file_golden(tmp_path):
+    """Byte-exact container: magic, metadata map, sync, one block."""
+    p = str(tmp_path / "g.avro")
+    write_container(p, "long", [1, -1])
+    data = open(p, "rb").read()
+    assert data[:4] == b"Obj\x01"
+    # metadata map: count 2 (0x04), then "avro.schema"→b'"long"',
+    # "avro.codec"→b'null' (insertion order), terminator 0x00
+    exp_meta = (
+        b"\x04"
+        + b"\x16avro.schema"
+        + b"\x0c" + b'"long"'
+        + b"\x14avro.codec"
+        + b"\x08null"
+        + b"\x00"
+    )
+    assert data[4 : 4 + len(exp_meta)] == exp_meta
+    off = 4 + len(exp_meta)
+    sync = data[off : off + 16]
+    assert sync == avrofile.DEFAULT_SYNC
+    # block: count 2 (0x04), size 2 (0x04), payload 0x02 0x01, sync
+    assert data[off + 16 :] == b"\x04\x04\x02\x01" + sync
+    schema, records, meta = read_container(p)
+    assert schema == "long" and records == [1, -1]
+
+
+def test_container_multiblock_roundtrip(tmp_path):
+    p = str(tmp_path / "m.avro")
+    sch = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "i", "type": "long"}, {"name": "s", "type": "string"}],
+    }
+    rows = [{"i": i, "s": f"s{i}"} for i in range(2500)]
+    write_container(p, sch, rows, max_block_records=1000)  # → 3 blocks
+    schema, back, meta = read_container(p)
+    assert back == rows
+    assert meta["avro.codec"] == b"null"
+
+
+def test_container_empty_and_extra_metadata(tmp_path):
+    p = str(tmp_path / "e.avro")
+    write_container(p, "string", [], metadata={"format-version": "2"})
+    schema, records, meta = read_container(p)
+    assert records == [] and meta["format-version"] == b"2"
+
+
+def test_container_sync_corruption_detected(tmp_path):
+    p = str(tmp_path / "c.avro")
+    write_container(p, "long", [1, 2, 3])
+    raw = bytearray(open(p, "rb").read())
+    raw[-1] ^= 0xFF  # flip a byte in the trailing sync marker
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="sync marker"):
+        read_container(p)

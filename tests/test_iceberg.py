@@ -1,0 +1,163 @@
+"""Iceberg v2 metadata export + independent scan planner (operators/iceberg.py).
+
+Conformance without a runtime: export a SnapshotTable's history to the
+real spec layout (metadata.json + Avro manifest lists + Avro manifests)
+and verify (a) every snapshot scans back identical to the source table's
+time travel, (b) the spec's bookkeeping invariants hold (field-ids,
+sequence numbers, added/existing counts, partition spec)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from coderag_spark.operators import avrofile
+from coderag_spark.operators.iceberg import (
+    IcebergTable,
+    export_iceberg,
+    spark_schema_to_iceberg,
+)
+from coderag_spark.operators.tablestore import SnapshotTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """A SnapshotTable with 3 snapshots: create, upsert-merge, delete-merge."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(20)], "id long, val string, n long"
+    )
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, ["id"], n_buckets=4)
+    ups = spark.createDataFrame(
+        [(3, "V3", 333), (25, "v25", 250)], "id long, val string, n long"
+    )
+    t.merge_into(ups)  # snapshot 1: update id=3, insert id=25
+    dels = spark.createDataFrame([(7, None, None)], "id long, val string, n long")
+    t.merge_into(dels, when_matched="delete", when_not_matched=None)  # snapshot 2
+    return t
+
+
+def test_every_snapshot_scans_identically(spark, table):
+    root = export_iceberg(table)
+    it = IcebergTable(spark, root)
+    for sid in table.snapshot_ids():
+        assert _rows(it.scan(snapshot_id=sid)) == _rows(table.read(sid)), sid
+    # default scan == current snapshot
+    assert _rows(it.scan()) == _rows(table.read())
+
+
+def test_metadata_json_spec_shape(spark, table):
+    root = export_iceberg(table)
+    meta_dir = os.path.join(root, "metadata")
+    version = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    md = json.load(open(os.path.join(meta_dir, f"v{version}.metadata.json")))
+    assert md["format-version"] == 2
+    assert md["current-snapshot-id"] == 2
+    # schema: unique positive field ids, last-column-id is the max
+    schema = md["schemas"][md["current-schema-id"]]
+    ids = [f["id"] for f in schema["fields"]]
+    assert len(set(ids)) == len(ids) and min(ids) >= 1
+    assert md["last-column-id"] == max(ids)
+    # bucket partition spec sourced from the key column's field id
+    spec = md["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "bucket[4]"
+    key_id = next(f["id"] for f in schema["fields"] if f["name"] == "id")
+    assert spec["source-id"] == key_id and spec["field-id"] == 1000
+    # snapshot chain: monotone sequence numbers, parent links, log order
+    seqs = [s["sequence-number"] for s in md["snapshots"]]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    assert "parent-snapshot-id" not in md["snapshots"][0]
+    assert md["snapshots"][1]["parent-snapshot-id"] == 0
+    assert md["snapshots"][2]["parent-snapshot-id"] == 1
+    log = [e["snapshot-id"] for e in md["snapshot-log"]]
+    assert log == [0, 1, 2]
+
+
+def test_manifest_bookkeeping_invariants(spark, table):
+    root = export_iceberg(table)
+    it = IcebergTable(spark, root)
+    md = it.metadata
+    seen_paths: set[str] = set()
+    for snap in md["snapshots"]:
+        _s, manifests, list_meta = avrofile.read_container(snap["manifest-list"])
+        assert list_meta["format-version"] == b"2"
+        (mf,) = manifests
+        assert mf["content"] == 0
+        assert mf["sequence_number"] == snap["sequence-number"]
+        assert mf["min_sequence_number"] <= mf["sequence_number"]
+        assert os.path.getsize(mf["manifest_path"]) == mf["manifest_length"]
+        _es, entries, man_meta = avrofile.read_container(mf["manifest_path"])
+        assert man_meta["format-version"] == b"2" and man_meta["content"] == b"data"
+        # partition-spec key metadata mirrors the table spec
+        assert json.loads(man_meta["partition-spec"]) == md["partition-specs"][0]["fields"]
+        added = [e for e in entries if e["status"] == 1]
+        existing = [e for e in entries if e["status"] == 0]
+        assert mf["added_files_count"] == len(added)
+        assert mf["existing_files_count"] == len(existing)
+        assert mf["added_rows_count"] == sum(e["data_file"]["record_count"] for e in added)
+        assert mf["existing_rows_count"] == sum(
+            e["data_file"]["record_count"] for e in existing
+        )
+        for e in entries:
+            df = e["data_file"]
+            assert df["file_format"] == "PARQUET" and df["content"] == 0
+            assert os.path.getsize(df["file_path"]) == df["file_size_in_bytes"]
+            assert 0 <= df["partition"]["id_bucket"] < 4
+            # an added entry's sequence number is THIS snapshot's; an
+            # existing entry keeps the sequence number that added it
+            if e["status"] == 1:
+                assert e["sequence_number"] == snap["sequence-number"]
+                assert df["file_path"] not in seen_paths
+                seen_paths.add(df["file_path"])
+            else:
+                assert e["sequence_number"] < snap["sequence-number"]
+                assert df["file_path"] in seen_paths
+        # per-entry record counts sum to the snapshot's true row count
+        live = sum(
+            e["data_file"]["record_count"] for e in entries if e["status"] != 2
+        )
+        assert live == table.read(snap["snapshot-id"]).count()
+
+
+def test_schema_conversion_nested_types(spark):
+    df = spark.createDataFrame(
+        [(1, ["a"], {"k": 2}, (1.0, "x"))],
+        "i long, arr array<string>, m map<string,int>, st struct<a:double,b:string>",
+    )
+    ice, last = spark_schema_to_iceberg(json.loads(df.schema.json()))
+    names = {f["name"]: f for f in ice["fields"]}
+    assert names["i"]["type"] == "long"
+    assert names["arr"]["type"]["type"] == "list"
+    assert names["arr"]["type"]["element"] == "string"
+    assert names["m"]["type"]["type"] == "map"
+    assert names["m"]["type"]["key"] == "string"
+    assert names["m"]["type"]["value"] == "int"
+    st = names["st"]["type"]
+    assert st["type"] == "struct" and [f["name"] for f in st["fields"]] == ["a", "b"]
+    all_ids = [f["id"] for f in ice["fields"]] + [
+        names["arr"]["type"]["element-id"],
+        names["m"]["type"]["key-id"],
+        names["m"]["type"]["value-id"],
+    ] + [f["id"] for f in st["fields"]]
+    assert len(set(all_ids)) == len(all_ids) and last == max(all_ids)
+
+
+def test_time_travel_matches_history(spark, table):
+    root = export_iceberg(table)
+    it = IcebergTable(spark, root)
+    # snapshot 0: original 20 rows
+    r0 = _rows(it.scan(snapshot_id=0))
+    assert len(r0) == 20 and (3, "v3", 30) in r0
+    # snapshot 1: id 3 updated, id 25 inserted
+    r1 = _rows(it.scan(snapshot_id=1))
+    assert (3, "V3", 333) in r1 and (25, "v25", 250) in r1 and len(r1) == 21
+    # snapshot 2: id 7 deleted
+    r2 = _rows(it.scan(snapshot_id=2))
+    assert len(r2) == 20 and not any(r[0] == 7 for r in r2)
+    assert [h["snapshot-id"] for h in it.history()] == [0, 1, 2]
