@@ -32,10 +32,27 @@ Spec surface implemented (Iceberg Table Spec, format-version 2):
     500-519, per-partition field_summary (contains_null + bounds)
   * manifest: `manifest_entry` (status/snapshot_id/sequence numbers)
     wrapping `data_file` (field-ids 100+; content/file_path/file_format/
-    partition/record_count/file_size_in_bytes), required key/value
-    metadata (schema, partition-spec, format-version, content)
+    partition/record_count/file_size_in_bytes, plus per-column metrics:
+    value_counts 109, null_value_counts 110, lower_bounds 125,
+    upper_bounds 128 — spec single-value binary serialization, string
+    bounds truncated to 16 chars with upper-bound increment — and
+    split_offsets 132 from the parquet row-group offsets), required
+    key/value metadata (schema, partition-spec, format-version, content)
   * scan planning: existing(0)/added(1) entries are live, deleted(2)
-    entries drop out; time travel picks any snapshot id
+    entries drop out; time travel picks any snapshot id; `scan(where=)`
+    prunes data files by partition (bucket-transform equality/IN — the
+    store's md5 bucket hash replicated driver-side) and by column
+    bounds/null counts before Spark ever sees a path, then applies the
+    same predicate as a residual Spark filter
+
+The per-column metrics are collected from parquet FOOTERS only (pyarrow
+row-group statistics — zero row reads), exactly how Iceberg's own
+writers populate them, and the planner's pruning decisions are the
+spec's: a file survives an equality/range predicate only if
+[lower_bound, upper_bound] intersects it, IS NULL only if
+null_count > 0, IS NOT NULL only if null_count < value_count. At
+100 TB this is the difference between listing every data file and
+opening the handful whose metadata admits the predicate.
 
 Scale shape: metadata scales with file count, never data size — export
 walks manifests and parquet footers only (pyarrow metadata read, no row
@@ -97,6 +114,32 @@ MANIFEST_FILE_SCHEMA = {
 }
 
 
+def _kv_map_field(name: str, fid: int, kid: int, vid: int, vtype) -> dict:
+    """Iceberg writes map<int, V> columns as Avro arrays of key/value
+    records named k{kid}_v{vid} (Avro maps require string keys), tagged
+    with logicalType map — spec Appendix A."""
+    return {
+        "name": name,
+        "field-id": fid,
+        "default": None,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": vtype, "field-id": vid},
+                    ],
+                },
+            },
+        ],
+    }
+
+
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     """manifest_entry schema with the table's concrete partition record
     (Iceberg embeds the partition STRUCT of the spec into data_file r102)."""
@@ -139,6 +182,19 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                         },
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        _kv_map_field("value_counts", 109, 119, 120, "long"),
+                        _kv_map_field("null_value_counts", 110, 121, 122, "long"),
+                        _kv_map_field("lower_bounds", 125, 126, 127, "bytes"),
+                        _kv_map_field("upper_bounds", 128, 129, 130, "bytes"),
+                        {
+                            "name": "split_offsets",
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "long", "element-id": 133},
+                            ],
+                            "default": None,
+                            "field-id": 132,
+                        },
                         {
                             "name": "sort_order_id",
                             "type": ["null", "int"],
@@ -230,6 +286,151 @@ def spark_schema_to_iceberg(spark_schema_json: dict) -> tuple[dict, int]:
     return {"type": "struct", "schema-id": 0, "fields": fields}, counter["n"]
 
 
+# ------------------------------------------------- single-value serde
+# Spec "Appendix D: Single-value serialization" — bounds are stored as
+# the value's binary form, NOT Avro-encoded.
+
+import struct as _struct
+
+_MAX_BOUND_CHARS = 16  # Iceberg's write.metadata.metrics truncate(16) default
+
+
+def encode_bound(iceberg_type: str, value):
+    """Value → spec binary single-value form (None if unsupported)."""
+    if value is None:
+        return None
+    try:
+        if iceberg_type == "int":
+            return _struct.pack("<i", int(value))
+        if iceberg_type == "long":
+            return _struct.pack("<q", int(value))
+        if iceberg_type == "float":
+            return _struct.pack("<f", float(value))
+        if iceberg_type == "double":
+            return _struct.pack("<d", float(value))
+        if iceberg_type == "boolean":
+            return b"\x01" if value else b"\x00"
+        if iceberg_type == "string":
+            s = value.decode("utf-8", "surrogatescape") if isinstance(value, bytes) else str(value)
+            return s.encode("utf-8", "surrogatescape")
+        if iceberg_type == "binary":
+            return bytes(value)
+    except (ValueError, OverflowError, _struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def decode_bound(iceberg_type: str, raw: bytes):
+    """Spec binary single-value form → comparable Python value."""
+    if raw is None:
+        return None
+    if iceberg_type == "int":
+        return _struct.unpack("<i", raw)[0]
+    if iceberg_type == "long":
+        return _struct.unpack("<q", raw)[0]
+    if iceberg_type == "float":
+        return _struct.unpack("<f", raw)[0]
+    if iceberg_type == "double":
+        return _struct.unpack("<d", raw)[0]
+    if iceberg_type == "boolean":
+        return raw != b"\x00"
+    if iceberg_type == "string":
+        return raw.decode("utf-8", "surrogatescape")
+    if iceberg_type == "binary":
+        return raw
+    return None
+
+
+def _truncate_lower(iceberg_type: str, value):
+    """Lower bound may be truncated: any prefix of the min is still <= it."""
+    if iceberg_type == "string" and isinstance(value, str) and len(value) > _MAX_BOUND_CHARS:
+        return value[:_MAX_BOUND_CHARS]
+    return value
+
+
+def _truncate_upper(iceberg_type: str, value):
+    """Upper bound truncation must ROUND UP: truncate then increment the
+    last code point (spec: if no valid increment exists, omit the bound)."""
+    if iceberg_type != "string" or not isinstance(value, str) or len(value) <= _MAX_BOUND_CHARS:
+        return value
+    t = list(value[:_MAX_BOUND_CHARS])
+    for i in range(len(t) - 1, -1, -1):
+        cp = ord(t[i])
+        if cp < 0x10FFFF:
+            t[i] = chr(cp + 1)
+            return "".join(t[: i + 1])
+    return None  # un-incrementable (all U+10FFFF) — omit, per spec
+
+
+def _file_column_metrics(path: str, col_types: dict[str, str], field_ids: dict[str, int]):
+    """Per-column metrics for one parquet file from its FOOTER only:
+    (value_counts, null_value_counts, lower_bounds, upper_bounds,
+    split_offsets) as the k/v lists the manifest schema wants. A column
+    whose statistics are absent in ANY row group gets no bounds (absence
+    means "unknown", never "no rows match")."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    n_rows = md.num_rows
+    nulls: dict[str, int] = {}
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    no_nulls: set[str] = set()  # a row group lacked null_count → unknown
+    no_bounds: set[str] = set()  # a row group lacked min/max → unknown
+    offsets = []
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        rg_off = None
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            name = col.path_in_schema
+            start = col.dictionary_page_offset or col.data_page_offset
+            rg_off = start if rg_off is None else min(rg_off, start)
+            if name not in col_types:  # nested paths ("x.list.element") drop out
+                continue
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                no_nulls.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st is None or not st.has_min_max:
+                no_bounds.add(name)
+                continue
+            mn, mx = st.min, st.max
+            if mn is None or mx is None:
+                no_bounds.add(name)
+                continue
+            lo[name] = mn if name not in lo or mn < lo[name] else lo[name]
+            hi[name] = mx if name not in hi or mx > hi[name] else hi[name]
+        offsets.append(rg_off or 0)
+
+    def kv(d: dict[str, object], enc=None) -> list[dict]:
+        out = []
+        for name, v in sorted(d.items(), key=lambda nv: field_ids[nv[0]]):
+            if enc is not None:
+                v = enc(col_types[name], v)
+                if v is None:
+                    continue
+            out.append({"key": field_ids[name], "value": v})
+        return out
+
+    value_counts = kv({n: n_rows for n in col_types})
+    null_counts = kv({n: c for n, c in nulls.items() if n not in no_nulls})
+    lower = kv(
+        {n: _truncate_lower(col_types[n], v) for n, v in lo.items() if n not in no_bounds},
+        encode_bound,
+    )
+    upper_vals = {}
+    for n, v in hi.items():
+        if n in no_bounds:
+            continue
+        tv = _truncate_upper(col_types[n], v)
+        if tv is not None:
+            upper_vals[n] = tv
+    upper = kv(upper_vals, encode_bound)
+    return value_counts, null_counts, lower, upper, offsets
+
+
 # ------------------------------------------------------------- export
 
 
@@ -295,6 +496,20 @@ def export_iceberg(table, dest: str | None = None) -> str:
         "content": "data",
     }
 
+    # top-level primitive columns get footer-derived metrics (the same
+    # columns Iceberg's writers track by default)
+    col_types = {
+        f["name"]: f["type"]
+        for f in iceberg_schema["fields"]
+        if isinstance(f["type"], str) and not f["type"].startswith("decimal")
+    }
+    metrics_cache: dict[str, tuple] = {}  # data files are immutable
+
+    def metrics(path: str) -> tuple:
+        if path not in metrics_cache:
+            metrics_cache[path] = _file_column_metrics(path, col_types, field_ids)
+        return metrics_cache[path]
+
     # first_seq[path] = sequence number of the snapshot that ADDED the
     # file (Iceberg: existing entries carry their original data sequence
     # number, not the current one)
@@ -324,6 +539,7 @@ def export_iceberg(table, dest: str | None = None) -> str:
                     existing_files += 1
                     existing_rows += nrows
                 bucket_ids.append(int(bucket))
+                vc, nc, lb, ub, so = metrics(path)
                 entries.append(
                     {
                         "status": 1 if is_new else 0,
@@ -337,6 +553,11 @@ def export_iceberg(table, dest: str | None = None) -> str:
                             "partition": {f"{key_cols[0]}_bucket": int(bucket)},
                             "record_count": nrows,
                             "file_size_in_bytes": fsize,
+                            "value_counts": vc,
+                            "null_value_counts": nc,
+                            "lower_bounds": lb,
+                            "upper_bounds": ub,
+                            "split_offsets": so,
                             "sort_order_id": None,
                         },
                     }
@@ -419,7 +640,14 @@ def export_iceberg(table, dest: str | None = None) -> str:
         "last-partition-id": 1000,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": {"write.format.default": "parquet"},
+        "properties": {
+            "write.format.default": "parquet",
+            # the store's bucket transform hashes the concat of ALL key
+            # columns; the reader may only replicate it (for partition
+            # pruning) when the spec source column IS the whole key
+            "coderag.key-columns": ",".join(key_cols),
+            "coderag.bucket-hash": "md5-hex8",
+        },
         "current-snapshot-id": snapshots[-1]["snapshot-id"],
         "snapshots": snapshots,
         "snapshot-log": snapshot_log,
@@ -481,14 +709,146 @@ class IcebergTable:
                     files.append(e["data_file"])
         return files
 
-    def scan(self, snapshot_id: int | None = None) -> DataFrame:
+    # ----------------------------------------------- predicate pruning
+
+    def _field_types(self) -> tuple[dict[str, int], dict[int, str]]:
+        schema = self.metadata["schemas"][self.metadata["current-schema-id"]]
+        ids = {f["name"]: f["id"] for f in schema["fields"]}
+        types = {f["id"]: f["type"] for f in schema["fields"] if isinstance(f["type"], str)}
+        return ids, types
+
+    def _bucket_spec(self):
+        """(partition field name, source column name, n_buckets) when the
+        default spec is a single bucket transform whose source column is
+        the table's entire key (the only case where the reader can
+        replicate the store's md5 hash from one column's value)."""
+        spec = self.metadata["partition-specs"][self.metadata["default-spec-id"]]
+        if len(spec["fields"]) != 1:
+            return None
+        f = spec["fields"][0]
+        tr = f["transform"]
+        if not tr.startswith("bucket[") or not tr.endswith("]"):
+            return None
+        ids, _types = self._field_types()
+        src = next((n for n, i in ids.items() if i == f["source-id"]), None)
+        keys = self.metadata.get("properties", {}).get("coderag.key-columns", "")
+        if src is None or keys != src:
+            return None
+        return f["name"], src, int(tr[len("bucket[") : -1])
+
+    @staticmethod
+    def _bucket_of(value, n_buckets: int) -> int:
+        """Driver-side replica of tablestore._key_bucket for one key col:
+        int(md5(utf8(str(v)))[:8 hex], 16) % N."""
+        import hashlib
+
+        h = hashlib.md5(str(value).encode("utf-8")).hexdigest()[:8]
+        return int(h, 16) % n_buckets
+
+    def _file_admits(self, rec: dict, pred: tuple, ids, types, bucket_spec) -> bool:
+        """Conservative: True unless the file's metadata PROVES no row
+        can match (the spec's inclusive-projection rule)."""
+        col, op, val = pred
+        if bucket_spec is not None and col == bucket_spec[1] and op in ("==", "in"):
+            pname, _src, nb = bucket_spec
+            want = {self._bucket_of(v, nb) for v in (val if op == "in" else [val])}
+            have = (rec.get("partition") or {}).get(pname)
+            if have is not None and have not in want:
+                return False
+        fid = ids.get(col)
+        if fid is None:
+            return True
+        t = types.get(fid)
+        vc = {e["key"]: e["value"] for e in rec.get("value_counts") or []}.get(fid)
+        nc = {e["key"]: e["value"] for e in rec.get("null_value_counts") or []}.get(fid)
+        if op == "is_null":
+            return nc is None or nc > 0
+        if op == "not_null":
+            return not (nc is not None and vc is not None and nc >= vc)
+        if t is None:
+            return True
+        lo_raw = {e["key"]: e["value"] for e in rec.get("lower_bounds") or []}.get(fid)
+        hi_raw = {e["key"]: e["value"] for e in rec.get("upper_bounds") or []}.get(fid)
+        if lo_raw is None or hi_raw is None:
+            return True
+        lo, hi = decode_bound(t, lo_raw), decode_bound(t, hi_raw)
+        if lo is None or hi is None:
+            return True
+        try:
+            if op == "==":
+                return lo <= val <= hi
+            if op == "in":
+                return any(lo <= v <= hi for v in val)
+            if op == "<":
+                return lo < val
+            if op == "<=":
+                return lo <= val
+            if op == ">":
+                return hi > val
+            if op == ">=":
+                return hi >= val
+            if op == "!=":
+                return not (lo == val == hi)
+        except TypeError:
+            return True
+        return True
+
+    def plan_files(
+        self, snapshot_id: int | None = None, where: list[tuple] | None = None
+    ) -> list[dict]:
+        """Scan planning with metadata pruning: drop every data file whose
+        partition value (bucket transform) or column bounds/null counts
+        prove the conjunctive predicate can't match. Records the decision
+        in ``self.last_plan`` so callers (and tests) can assert pruning
+        actually happened."""
         files = self.data_files(snapshot_id)
+        total = len(files)
+        if where:
+            ids, types = self._field_types()
+            bspec = self._bucket_spec()
+            files = [
+                f
+                for f in files
+                if all(self._file_admits(f, p, ids, types, bspec) for p in where)
+            ]
+        self.last_plan = {"total_files": total, "kept_files": len(files), "pruned_files": total - len(files)}
+        return files
+
+    @staticmethod
+    def _residual_condition(where: list[tuple]):
+        """The same conjunctive predicate as a Spark Column — pruning is
+        metadata-level only; row-level filtering always re-applies it."""
+        from pyspark.sql import functions as F
+
+        cond = F.lit(True)
+        for col, op, val in where:
+            c = F.col(col)
+            cond = cond & {
+                "==": lambda: c == val,
+                "!=": lambda: c != val,
+                "<": lambda: c < val,
+                "<=": lambda: c <= val,
+                ">": lambda: c > val,
+                ">=": lambda: c >= val,
+                "in": lambda: c.isin(list(val)),
+                "is_null": lambda: c.isNull(),
+                "not_null": lambda: c.isNotNull(),
+            }[op]()
+        return cond
+
+    def scan(
+        self, snapshot_id: int | None = None, where: list[tuple] | None = None
+    ) -> DataFrame:
+        files = self.plan_files(snapshot_id, where)
         schema = self.metadata["schemas"][self.metadata["current-schema-id"]]
         names = [f["name"] for f in schema["fields"]]
         if not files:
             return self.spark.createDataFrame([], ", ".join(f"{n} string" for n in names))
         paths = [f["file_path"] for f in files]
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if where:
+            df = df.filter(self._residual_condition(where))
+        return df
 
     def history(self) -> list[dict]:
         return list(self.metadata["snapshot-log"])

@@ -3477,6 +3477,46 @@ def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_corpus(it.scan(snapshot_id=0), it.scan(), keys=("doc_id",))
 
 
+# survive documents' %11 delete rule (none ≡ 4 mod 11) so Spark and the
+# oracle filter identically
+_ICEBERG_PROBE_IDS = tuple(range(13, 500, 53))
+
+
+def q_iceberg_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg metadata-pruned point lookups: the NEW corpus snapshot is
+    committed to a 16-bucket SnapshotTable, exported as real Iceberg v2
+    metadata (Avro manifests now carrying per-column value/null counts +
+    lower/upper bounds and split offsets), and a 10-key IN probe is
+    planned by the independent scan planner — the bucket[16] partition
+    transform is replicated driver-side (md5 hash) so only the buckets
+    that can hold a probe key are ever handed to Spark, then per-file
+    column bounds prune further. The query RAISES if the planner failed
+    to prune (kept == total), so a green driver row witnesses both the
+    values AND that partition pruning really happened. At 100 TB this
+    plan opens ~10/16 of one snapshot's files instead of all of them."""
+    import tempfile
+
+    from coderag_spark.operators.iceberg import IcebergTable, export_iceberg
+    from coderag_spark.operators.tablestore import SnapshotTable
+
+    _old, new = _snapshots(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="suite_iceprune_") + "/t"
+    t = SnapshotTable.create(spark, path, new, ["doc_id"], n_buckets=16)
+    it = IcebergTable(spark, export_iceberg(t))
+    out = it.scan(where=[("doc_id", "in", _ICEBERG_PROBE_IDS)])
+    plan = it.last_plan
+    if plan["kept_files"] >= plan["total_files"]:
+        raise RuntimeError(f"partition pruning did not engage: {plan}")
+    return out.select("doc_id", "sha256")
+
+
+SQL_ICEBERG_PRUNED = f"""
+SELECT doc_id, sha256(coalesce(text, '')) AS sha256
+FROM documents
+WHERE doc_id % 11 <> 4 AND doc_id IN {tuple(_ICEBERG_PROBE_IDS)}
+"""
+
+
 def q_idf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: incremental df maintenance — df(new) computed as df(old) +
     df(added docs) merged per term (incremental-tfidf.ts:64-134), NOT by
@@ -6648,6 +6688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_features": q_mp3_features,
         "snapshot_table_diff": q_snapshot_table_diff,
         "iceberg_scan": q_iceberg_scan,
+        "iceberg_pruned": q_iceberg_pruned,
         "snapshot_diff": q_snapshot_diff,
         # -- driver window: stale (pre-r4) evidence refresh -----------------
         "pq_adc": q_pq_adc,
@@ -6843,6 +6884,7 @@ def oracle_sql() -> dict[str, str]:
         # same contract, lineage through tablestore.py commits + time travel
         "snapshot_table_diff": SQL_SNAPSHOT_DIFF,
         "iceberg_scan": SQL_SNAPSHOT_DIFF,
+        "iceberg_pruned": SQL_ICEBERG_PRUNED,
         "idf_delta": SQL_IDF_DELTA,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "emb_knn": SQL_EMB_KNN,

@@ -161,3 +161,152 @@ def test_time_travel_matches_history(spark, table):
     r2 = _rows(it.scan(snapshot_id=2))
     assert len(r2) == 20 and not any(r[0] == 7 for r in r2)
     assert [h["snapshot-id"] for h in it.history()] == [0, 1, 2]
+
+
+# ------------------------------------------------ column metrics + pruning
+
+
+def test_column_metrics_match_file_contents(spark, table):
+    """value_counts / null_value_counts / lower & upper bounds in every
+    manifest entry decode to the file's true footer stats."""
+    from coderag_spark.operators.iceberg import decode_bound
+
+    root = export_iceberg(table)
+    it = IcebergTable(spark, root)
+    for rec in it.data_files():
+        actual = spark.read.parquet(rec["file_path"])
+        n = actual.count()
+        vc = {e["key"]: e["value"] for e in rec["value_counts"]}
+        nc = {e["key"]: e["value"] for e in rec["null_value_counts"]}
+        lo = {e["key"]: e["value"] for e in rec["lower_bounds"]}
+        hi = {e["key"]: e["value"] for e in rec["upper_bounds"]}
+        ids, types = it._field_types()
+        for name in ("id", "val", "n"):
+            fid = ids[name]
+            assert vc[fid] == n == rec["record_count"]
+            true_nulls = actual.filter(F.col(name).isNull()).count()
+            assert nc.get(fid, 0) == true_nulls
+            non_null = actual.filter(F.col(name).isNotNull())
+            if non_null.count() and fid in lo and fid in hi:
+                t = types[fid]
+                mn, mx = non_null.agg(F.min(name), F.max(name)).first()
+                assert decode_bound(t, lo[fid]) <= mn
+                assert decode_bound(t, hi[fid]) >= mx
+
+
+def test_split_offsets_are_row_group_starts(spark, table):
+    root = export_iceberg(table)
+    it = IcebergTable(spark, root)
+    for rec in it.data_files():
+        so = rec["split_offsets"]
+        assert so and so == sorted(so) and so[0] >= 4  # after PAR1 magic
+
+
+def test_bounds_pruning_range_predicate(spark, tmp_path):
+    """Files whose [lower, upper] range excludes the predicate are never
+    handed to Spark; the surviving scan still returns exact rows."""
+    rows = []
+    for i in range(200):
+        b = IcebergTable._bucket_of(i, 4)
+        rows.append((i, b * 1000 + i % 100, f"s{i:04d}"))
+    df = spark.createDataFrame(rows, "id long, n long, s string")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, ["id"], n_buckets=4)
+    it = IcebergTable(spark, export_iceberg(t))
+    # a bucket may hold several parquet part files; all parts of one
+    # bucket share the bucket's n-range, so pruning keeps exactly the
+    # parts of the admitted bucket(s)
+    by_bucket: dict[int, int] = {}
+    for rec in it.data_files():
+        b = rec["partition"]["id_bucket"]
+        by_bucket[b] = by_bucket.get(b, 0) + 1
+    out = _rows(it.scan(where=[("n", ">=", 3000)]))
+    assert it.last_plan["total_files"] == sum(by_bucket.values())
+    assert it.last_plan["kept_files"] == by_bucket[3] < it.last_plan["total_files"]
+    assert out == _rows(it.scan().filter(F.col("n") >= 3000))
+    # equality inside bucket 1's range: per-PART bounds prune even finer
+    # than the bucket — never more than bucket 1's parts, never zero
+    eq = _rows(it.scan(where=[("n", "==", 1050)]))
+    assert 1 <= it.last_plan["kept_files"] <= by_bucket[1]
+    assert eq == _rows(it.scan().filter(F.col("n") == 1050))
+    # a value in no file's range prunes everything
+    empty = it.scan(where=[("n", "==", 999999)])
+    assert it.last_plan["kept_files"] == 0 and empty.count() == 0
+
+
+def test_bucket_partition_pruning(spark, table):
+    """Key equality/IN prunes to the md5-bucket's files — the reader
+    replicates tablestore._key_bucket from the spec's bucket[N] transform
+    plus the recorded key-columns property."""
+    it = IcebergTable(spark, export_iceberg(table))
+    out = _rows(it.scan(where=[("id", "==", 13)]))
+    assert out == [(13, "v13", 130)]
+    assert it.last_plan["kept_files"] == 1 < it.last_plan["total_files"]
+    out2 = _rows(it.scan(where=[("id", "in", (3, 25))]))
+    assert out2 == [(3, "V3", 333), (25, "v25", 250)]
+    assert it.last_plan["kept_files"] <= 2
+
+
+def test_null_count_pruning(spark, tmp_path):
+    """IS NULL keeps only files with null_count > 0; IS NOT NULL prunes
+    all-null files."""
+    rows = [
+        (i, None if IcebergTable._bucket_of(i, 4) == 2 else f"v{i}")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, val string")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, ["id"], n_buckets=4)
+    it = IcebergTable(spark, export_iceberg(t))
+    null_bucket_files = sum(
+        1 for rec in it.data_files() if rec["partition"]["id_bucket"] == 2
+    )
+    total = len(it.data_files())
+    nulls = it.scan(where=[("val", "is_null", None)])
+    assert it.last_plan["kept_files"] == null_bucket_files < total
+    assert nulls.count() == sum(1 for _i, v in rows if v is None)
+    notnull = it.scan(where=[("val", "not_null", None)])
+    assert it.last_plan["kept_files"] == total - null_bucket_files
+    assert notnull.count() == sum(1 for _i, v in rows if v is not None)
+
+
+def test_string_bound_truncation_stays_valid(spark, tmp_path):
+    """Strings longer than 16 chars truncate: lower is a prefix (<= min),
+    upper is incremented after truncation (>= max), and pruning with the
+    truncated bounds never drops a matching file."""
+    from coderag_spark.operators.iceberg import _truncate_upper, decode_bound
+
+    assert _truncate_upper("string", "a" * 20) == "a" * 15 + "b"
+    assert _truncate_upper("string", "short") == "short"
+    rows = [(i, ("aaaa" if i % 2 else "zzzz") * 8 + f"{i:05d}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), df, ["id"], n_buckets=2)
+    it = IcebergTable(spark, export_iceberg(t))
+    ids, types = it._field_types()
+    sid = ids["s"]
+    for rec in it.data_files():
+        lo = {e["key"]: e["value"] for e in rec["lower_bounds"]}
+        hi = {e["key"]: e["value"] for e in rec["upper_bounds"]}
+        lo_s, hi_s = decode_bound("string", lo[sid]), decode_bound("string", hi[sid])
+        assert len(lo_s) <= 16 and len(hi_s) <= 16
+        strs = [s for _i, s in rows if _i in
+                {r[0] for r in spark.read.parquet(rec["file_path"]).collect()}]
+        assert lo_s <= min(strs) and hi_s >= max(strs)
+    # every 'zzzz...' row survives a predicate the truncated bounds admit
+    out = it.scan(where=[("s", ">=", "zzzz")])
+    assert out.count() == sum(1 for _i, s in rows if s >= "zzzz")
+
+
+def test_bound_serde_round_trip():
+    from coderag_spark.operators.iceberg import decode_bound, encode_bound
+
+    cases = [
+        ("int", -7), ("int", 2**31 - 1), ("long", 2**62), ("long", -1),
+        ("float", 1.5), ("double", -2.25), ("boolean", True),
+        ("boolean", False), ("string", "héllo"), ("binary", b"\x00\xff"),
+    ]
+    for t, v in cases:
+        raw = encode_bound(t, v)
+        assert decode_bound(t, raw) == v, (t, v)
+    # spec widths: int 4 bytes LE, long 8, float 4, double 8
+    assert encode_bound("int", 1) == b"\x01\x00\x00\x00"
+    assert encode_bound("long", 1) == b"\x01" + b"\x00" * 7
+    assert encode_bound("boolean", True) == b"\x01"
