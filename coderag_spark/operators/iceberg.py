@@ -196,6 +196,15 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "field-id": 132,
                         },
                         {
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "int", "element-id": 136},
+                            ],
+                            "default": None,
+                            "field-id": 135,
+                        },
+                        {
                             "name": "sort_order_id",
                             "type": ["null", "int"],
                             "default": None,
@@ -664,6 +673,228 @@ def export_iceberg(table, dest: str | None = None) -> str:
     return root
 
 
+# ------------------------------------------------------ MOR export
+# Iceberg v2's second half: merge-on-read with EQUALITY DELETE files
+# (data_file.content=2, equality_ids) carried in DELETE manifests
+# (manifest_file.content=1). The spec's sequence rule — an equality
+# delete applies to rows whose data sequence number is STRICTLY LESS
+# than the delete's — is exactly the engine's segment-store contract
+# ("tombstones apply to the base and earlier segments only, so a doc
+# re-added by a later segment survives", engine.py:212-216), so the
+# incremental index log exports losslessly.
+
+
+def export_iceberg_mor(
+    spark: SparkSession,
+    dest: str,
+    base_dir: str,
+    segments: list[tuple[str | None, str | None]],
+    key_cols: list[str],
+) -> str:
+    """Export a merge-on-read log as an Iceberg v2 table.
+
+    ``base_dir`` holds the snapshot-0 data parquet; each segment is
+    ``(added_rows_dir | None, deleted_keys_dir | None)`` and becomes one
+    snapshot: its added files enter a new DATA manifest, its deleted
+    keys become an EQUALITY DELETE file in a DELETE manifest
+    (equality_ids = the key columns' field-ids). Manifests are immutable
+    and REUSED — snapshot k's manifest list references every manifest
+    written so far, which is how real Iceberg avoids rewriting history
+    on append. The table is unpartitioned (the log is not bucketed);
+    data files are referenced in place."""
+    meta_dir = os.path.join(dest, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    sample = spark.read.parquet(base_dir)
+    iceberg_schema, last_col_id = spark_schema_to_iceberg(json.loads(sample.schema.json()))
+    field_ids = {f["name"]: f["id"] for f in iceberg_schema["fields"]}
+    eq_ids = [field_ids[c] for c in key_cols]
+    col_types = {
+        f["name"]: f["type"]
+        for f in iceberg_schema["fields"]
+        if isinstance(f["type"], str) and not f["type"].startswith("decimal")
+    }
+    key_types = {c: t for c, t in col_types.items() if c in key_cols}
+    entry_schema = _manifest_entry_schema([])  # unpartitioned: empty record
+    table_uuid = str(uuid.uuid5(uuid.NAMESPACE_URL, dest))
+    spec_fields: list[dict] = []
+
+    def key_meta(content: str) -> dict:
+        return {
+            "schema": json.dumps(iceberg_schema, separators=(",", ":")),
+            "schema-id": "0",
+            "partition-spec": json.dumps(spec_fields, separators=(",", ":")),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": content,
+        }
+
+    def write_manifest(kind: str, snap_id: int, seq: int, files: list, content: int, types: dict):
+        """One immutable manifest holding this snapshot's new files."""
+        entries = []
+        rows = 0
+        for path, fsize, nrows in files:
+            vc, nc, lb, ub, so = _file_column_metrics(path, types, field_ids)
+            rows += nrows
+            entries.append(
+                {
+                    "status": 1,  # added by THIS snapshot
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": content,
+                        "file_path": os.path.abspath(path),
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": nrows,
+                        "file_size_in_bytes": fsize,
+                        "value_counts": vc,
+                        "null_value_counts": nc,
+                        "lower_bounds": lb,
+                        "upper_bounds": ub,
+                        "split_offsets": so,
+                        "equality_ids": eq_ids if content == 2 else None,
+                        "sort_order_id": None,
+                    },
+                }
+            )
+        name = f"manifest-{kind}-{snap_id}-{table_uuid[:8]}.avro"
+        path = os.path.join(meta_dir, name)
+        avrofile.write_container(
+            path, entry_schema, entries, metadata=key_meta("deletes" if content else "data")
+        )
+        return {
+            "manifest_path": os.path.abspath(path),
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": 1 if content else 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": [],
+        }, rows
+
+    manifest_files: list[dict] = []  # grows; snapshot k references a prefix
+    snapshots = []
+    snapshot_log = []
+    total_data_files = total_rows = 0
+    now_ms = int(time.time() * 1000)
+
+    for k in range(len(segments) + 1):
+        seq = k + 1
+        op = "append"
+        added_files = added_rows = added_deletes = 0
+        if k == 0:
+            files = _parquet_files(base_dir)
+            mf, rows = write_manifest("data", k, seq, files, 0, col_types)
+            manifest_files.append(mf)
+            added_files, added_rows = len(files), rows
+        else:
+            adds_dir, dels_dir = segments[k - 1]
+            if dels_dir:
+                dfiles = _parquet_files(dels_dir)
+                if dfiles:
+                    mf, _rows = write_manifest("deletes", k, seq, dfiles, 2, key_types)
+                    manifest_files.append(mf)
+                    added_deletes = len(dfiles)
+                    op = "overwrite"
+            if adds_dir:
+                afiles = _parquet_files(adds_dir)
+                if afiles:
+                    mf, rows = write_manifest("data", k, seq, afiles, 0, col_types)
+                    manifest_files.append(mf)
+                    added_files, added_rows = len(afiles), rows
+        total_data_files += added_files
+        total_rows += added_rows
+        list_name = f"snap-{k}-1-{table_uuid[:8]}.avro"
+        list_path = os.path.join(meta_dir, list_name)
+        avrofile.write_container(
+            list_path,
+            MANIFEST_FILE_SCHEMA,
+            list(manifest_files),
+            metadata={
+                "snapshot-id": str(k),
+                "sequence-number": str(seq),
+                "parent-snapshot-id": "null" if k == 0 else str(k - 1),
+                "format-version": "2",
+            },
+        )
+        ts_ms = now_ms + k
+        snap = {
+            "snapshot-id": k,
+            "sequence-number": seq,
+            "timestamp-ms": ts_ms,
+            "manifest-list": os.path.abspath(list_path),
+            "summary": {
+                "operation": op,
+                "added-data-files": str(added_files),
+                "added-records": str(added_rows),
+                "added-delete-files": str(added_deletes),
+                "total-data-files": str(total_data_files),
+                "total-records": str(total_rows),
+            },
+            "schema-id": 0,
+        }
+        if k:
+            snap["parent-snapshot-id"] = k - 1
+        snapshots.append(snap)
+        snapshot_log.append({"timestamp-ms": ts_ms, "snapshot-id": k})
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": os.path.abspath(dest),
+        "last-sequence-number": len(segments) + 1,
+        "last-updated-ms": snapshot_log[-1]["timestamp-ms"],
+        "last-column-id": last_col_id,
+        "current-schema-id": 0,
+        "schemas": [iceberg_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999,  # unpartitioned: nothing assigned >= 1000
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshots[-1]["snapshot-id"],
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log,
+        "metadata-log": [],
+    }
+    version = len(snapshots)
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(metadata, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return dest
+
+
+def export_index_iceberg(spark: SparkSession, index_path: str, dest: str) -> str:
+    """Export the engine's incremental index store (engine.py: base docs
+    + ``_segments/seg-K/{docs,tombstones}``) as an Iceberg v2 MOR table
+    over the DOCS relation. Each segment's tombstone parquet IS the
+    equality delete file (referenced in place — it already holds exactly
+    the delete key column), so ``IcebergTable.scan(snapshot_id=k)`` must
+    reproduce ``load_index(..., as_of_segment=k).docs`` for every k —
+    pinned by tests as engine-MOR == Iceberg-MOR on the real format."""
+    from coderag_spark.engine import _segment_dirs
+
+    segs = []
+    for seg in _segment_dirs(index_path):
+        adds = os.path.join(seg, "docs")
+        dels = os.path.join(seg, "tombstones")
+        segs.append((adds if os.path.isdir(adds) else None, dels if os.path.isdir(dels) else None))
+    return export_iceberg_mor(
+        spark, dest, os.path.join(index_path, "docs"), segs, key_cols=["doc_id"]
+    )
+
+
 # -------------------------------------------------------------- reader
 
 
@@ -695,19 +926,30 @@ class IcebergTable:
                 return s
         raise KeyError(f"no snapshot {sid}")
 
-    def data_files(self, snapshot_id: int | None = None) -> list[dict]:
-        """Live data_file records for a snapshot (scan planning)."""
+    def _live_entries(
+        self, snapshot_id: int | None = None
+    ) -> tuple[list[tuple[int, dict]], list[tuple[int, dict]]]:
+        """(data, equality-delete) live entries as (sequence_number,
+        data_file) pairs — the sequence numbers drive the spec's MOR
+        rule: an equality delete applies only to data rows whose data
+        sequence number is strictly less than the delete's."""
         snap = self.snapshot(snapshot_id)
         _schema, manifests, _meta = avrofile.read_container(snap["manifest-list"])
-        files = []
+        data: list[tuple[int, dict]] = []
+        deletes: list[tuple[int, dict]] = []
         for mf in manifests:
-            if mf["content"] != 0:  # delete manifests would be skipped here
-                continue
             _s, entries, _m = avrofile.read_container(mf["manifest_path"])
             for e in entries:
-                if e["status"] != 2:  # 2 = deleted
-                    files.append(e["data_file"])
-        return files
+                if e["status"] == 2:  # 2 = deleted entry
+                    continue
+                (deletes if mf["content"] == 1 else data).append(
+                    (e["sequence_number"], e["data_file"])
+                )
+        return data, deletes
+
+    def data_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live DATA file records for a snapshot (scan planning)."""
+        return [rec for _seq, rec in self._live_entries(snapshot_id)[0]]
 
     # ----------------------------------------------- predicate pruning
 
@@ -793,26 +1035,37 @@ class IcebergTable:
             return True
         return True
 
-    def plan_files(
+    def _plan(
         self, snapshot_id: int | None = None, where: list[tuple] | None = None
-    ) -> list[dict]:
-        """Scan planning with metadata pruning: drop every data file whose
+    ) -> tuple[list[tuple[int, dict]], list[tuple[int, dict]]]:
+        """Scan planning with metadata pruning: drop every DATA file whose
         partition value (bucket transform) or column bounds/null counts
-        prove the conjunctive predicate can't match. Records the decision
-        in ``self.last_plan`` so callers (and tests) can assert pruning
-        actually happened."""
-        files = self.data_files(snapshot_id)
-        total = len(files)
+        prove the conjunctive predicate can't match. Equality-delete
+        files are never pruned (they constrain OTHER files). Records the
+        decision in ``self.last_plan`` so callers (and tests) can assert
+        pruning actually happened."""
+        data, deletes = self._live_entries(snapshot_id)
+        total = len(data)
         if where:
             ids, types = self._field_types()
             bspec = self._bucket_spec()
-            files = [
-                f
-                for f in files
+            data = [
+                (seq, f)
+                for seq, f in data
                 if all(self._file_admits(f, p, ids, types, bspec) for p in where)
             ]
-        self.last_plan = {"total_files": total, "kept_files": len(files), "pruned_files": total - len(files)}
-        return files
+        self.last_plan = {
+            "total_files": total,
+            "kept_files": len(data),
+            "pruned_files": total - len(data),
+            "delete_files": len(deletes),
+        }
+        return data, deletes
+
+    def plan_files(
+        self, snapshot_id: int | None = None, where: list[tuple] | None = None
+    ) -> list[dict]:
+        return [rec for _seq, rec in self._plan(snapshot_id, where)[0]]
 
     @staticmethod
     def _residual_condition(where: list[tuple]):
@@ -839,16 +1092,73 @@ class IcebergTable:
     def scan(
         self, snapshot_id: int | None = None, where: list[tuple] | None = None
     ) -> DataFrame:
-        files = self.plan_files(snapshot_id, where)
+        from pyspark.sql import functions as F
+
+        data, deletes = self._plan(snapshot_id, where)
         schema = self.metadata["schemas"][self.metadata["current-schema-id"]]
         names = [f["name"] for f in schema["fields"]]
-        if not files:
+        if not data:
             return self.spark.createDataFrame([], ", ".join(f"{n} string" for n in names))
-        paths = [f["file_path"] for f in files]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if not deletes:
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[rec["file_path"] for _seq, rec in data]
+            )
+        else:
+            df = self._scan_mor(data, deletes)
         if where:
             df = df.filter(self._residual_condition(where))
         return df
+
+    def _scan_mor(
+        self, data: list[tuple[int, dict]], deletes: list[tuple[int, dict]]
+    ) -> DataFrame:
+        """Apply equality deletes (spec: a delete with sequence number D
+        removes matching rows from data files with sequence number < D).
+        Flattened to ONE aggregated join — rows carry their file's data
+        sequence number, delete keys collapse to max(delete seq) per key,
+        and a row survives iff its data seq >= that max (no delete newer
+        than the row). Delete sets are changesets (small next to the
+        data), so the join side is broadcast; at cluster scale AQE would
+        pick the strategy if the hint were dropped."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        eq_sets = {tuple(rec.get("equality_ids") or ()) for _s, rec in deletes}
+        if len(eq_sets) != 1 or not next(iter(eq_sets)):
+            raise NotImplementedError(
+                f"mixed or missing equality_ids across delete files: {eq_sets}"
+            )
+        ids, _types = self._field_types()
+        by_id = {fid: name for name, fid in ids.items()}
+        keys = [by_id[fid] for fid in next(iter(eq_sets))]
+
+        by_seq: dict[int, list[str]] = {}
+        for seq, rec in data:
+            by_seq.setdefault(seq, []).append(rec["file_path"])
+        parts = [
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .withColumn("_dseq", F.lit(seq))
+            for seq, paths in by_seq.items()
+        ]
+        frame = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+        dparts = [
+            self.spark.read.parquet(rec["file_path"])
+            .select(*keys)
+            .withColumn("_ds", F.lit(seq))
+            for seq, rec in deletes
+        ]
+        dmax = (
+            reduce(lambda a, b: a.unionByName(b), dparts)
+            .groupBy(*keys)
+            .agg(F.max("_ds").alias("_ds"))
+        )
+        return (
+            frame.join(F.broadcast(dmax), on=keys, how="left")
+            .filter(F.col("_ds").isNull() | (F.col("_ds") <= F.col("_dseq")))
+            .drop("_ds", "_dseq")
+        )
 
     def history(self) -> list[dict]:
         return list(self.metadata["snapshot-log"])

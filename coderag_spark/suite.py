@@ -3517,6 +3517,58 @@ WHERE doc_id % 11 <> 4 AND doc_id IN {tuple(_ICEBERG_PROBE_IDS)}
 """
 
 
+def q_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ: the OLD corpus snapshot becomes the base
+    data files of an exported Iceberg table; the old→new change set is
+    ONE MOR commit — an equality-delete file (content=2, equality_ids =
+    doc_id) covering the changed + departed keys, in a DELETE manifest
+    (content=1), plus a data file re-adding the changed/new rows at the
+    SAME sequence number. The independent scan planner applies the
+    spec's sequence rule (a delete hits only data files with a strictly
+    smaller data sequence number, so the re-add survives its own
+    commit's delete) via one aggregated max-delete-seq join. The scan
+    must reproduce the NEW corpus exactly — a wrong sequence comparison
+    (<= vs <), a delete applied to its own commit, or a missed delete
+    manifest each breaks the value hash. Nothing is rewritten: the base
+    files are untouched, which is why MOR is the write-cheap path for
+    a 100 TB corpus taking small daily changesets."""
+    import tempfile
+
+    from coderag_spark.operators.iceberg import IcebergTable, export_iceberg_mor
+
+    old, new = _snapshots(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="suite_icemor_")
+    old.repartition(4).write.mode("overwrite").parquet(f"{tmp}/base")
+    ups = (
+        new.alias("n")
+        .join(old.alias("o"), "doc_id", "left")
+        .filter(F.col("o.sha256").isNull() | (F.col("n.sha256") != F.col("o.sha256")))
+        .select("doc_id", F.col("n.sha256").alias("sha256"))
+    )
+    gone = old.join(new, "doc_id", "left_anti").select("doc_id")
+    ups.repartition(1).write.mode("overwrite").parquet(f"{tmp}/adds")
+    gone.unionByName(ups.select("doc_id")).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/dels")
+    it = IcebergTable(
+        spark,
+        export_iceberg_mor(
+            spark, f"{tmp}/ice", f"{tmp}/base", [(f"{tmp}/adds", f"{tmp}/dels")],
+            key_cols=["doc_id"],
+        ),
+    )
+    out = it.scan().select("doc_id", "sha256")
+    if it.last_plan["delete_files"] != 1:
+        raise RuntimeError(f"MOR path did not engage: {it.last_plan}")
+    return out
+
+
+SQL_ICEBERG_MOR = """
+SELECT doc_id, sha256(coalesce(text, '')) AS sha256
+FROM documents WHERE doc_id % 11 <> 4
+"""
+
+
 def q_idf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: incremental df maintenance — df(new) computed as df(old) +
     df(added docs) merged per term (incremental-tfidf.ts:64-134), NOT by
@@ -6689,6 +6741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_table_diff": q_snapshot_table_diff,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_pruned": q_iceberg_pruned,
+        "iceberg_mor": q_iceberg_mor,
         "snapshot_diff": q_snapshot_diff,
         # -- driver window: stale (pre-r4) evidence refresh -----------------
         "pq_adc": q_pq_adc,
@@ -6885,6 +6938,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_table_diff": SQL_SNAPSHOT_DIFF,
         "iceberg_scan": SQL_SNAPSHOT_DIFF,
         "iceberg_pruned": SQL_ICEBERG_PRUNED,
+        "iceberg_mor": SQL_ICEBERG_MOR,
         "idf_delta": SQL_IDF_DELTA,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "emb_knn": SQL_EMB_KNN,

@@ -310,3 +310,108 @@ def test_bound_serde_round_trip():
     assert encode_bound("int", 1) == b"\x01\x00\x00\x00"
     assert encode_bound("long", 1) == b"\x01" + b"\x00" * 7
     assert encode_bound("boolean", True) == b"\x01"
+
+
+# ------------------------------------------- merge-on-read (v2 deletes)
+
+
+def _write(spark, df, path):
+    df.repartition(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture()
+def mor_root(spark, tmp_path):
+    """Hand-built MOR log: base 10 rows; seg1 deletes ids {2,5} and
+    re-adds id 2 with new value; seg2 deletes id 7 and adds id 30."""
+    from coderag_spark.operators.iceberg import export_iceberg_mor
+
+    base = _write(
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "doc_id long, val string"),
+        str(tmp_path / "base"),
+    )
+    a1 = _write(spark, spark.createDataFrame([(2, "V2")], "doc_id long, val string"),
+                str(tmp_path / "a1"))
+    d1 = _write(spark, spark.createDataFrame([(2,), (5,)], "doc_id long"),
+                str(tmp_path / "d1"))
+    a2 = _write(spark, spark.createDataFrame([(30, "v30")], "doc_id long, val string"),
+                str(tmp_path / "a2"))
+    d2 = _write(spark, spark.createDataFrame([(7,)], "doc_id long"),
+                str(tmp_path / "d2"))
+    return export_iceberg_mor(
+        spark, str(tmp_path / "ice"), base, [(a1, d1), (a2, d2)], key_cols=["doc_id"]
+    )
+
+
+def test_mor_equality_deletes_apply_by_sequence(spark, mor_root):
+    it = IcebergTable(spark, mor_root)
+    # snapshot 0: the untouched base
+    assert _rows(it.scan(snapshot_id=0)) == [(i, f"v{i}") for i in range(10)]
+    # snapshot 1: ids 2,5 deleted from OLDER files; re-added 2 survives
+    # its own commit's delete (equal sequence number is NOT less-than)
+    r1 = dict(_rows(it.scan(snapshot_id=1)))
+    assert r1[2] == "V2" and 5 not in r1 and len(r1) == 9
+    # snapshot 2 (current): id 7 gone, id 30 added, id 2 still the re-add
+    r2 = dict(_rows(it.scan()))
+    assert 7 not in r2 and r2[30] == "v30" and r2[2] == "V2" and len(r2) == 9
+    assert it.last_plan["delete_files"] == 2
+
+
+def test_mor_delete_manifest_spec_shape(spark, mor_root):
+    it = IcebergTable(spark, mor_root)
+    snap = it.snapshot(None)
+    _s, manifests, _m = avrofile.read_container(snap["manifest-list"])
+    dmans = [m for m in manifests if m["content"] == 1]
+    assert len(dmans) == 2  # one per segment, immutable and reused
+    ids, _t = it._field_types()
+    for dm in dmans:
+        _es, entries, man_meta = avrofile.read_container(dm["manifest_path"])
+        assert man_meta["content"] == b"deletes"
+        for e in entries:
+            rec = e["data_file"]
+            assert rec["content"] == 2  # equality deletes
+            assert rec["equality_ids"] == [ids["doc_id"]]
+            assert e["sequence_number"] == dm["sequence_number"]
+    # data files never carry equality ids
+    for rec in it.data_files():
+        assert rec["content"] == 0 and rec["equality_ids"] is None
+
+
+def test_mor_pruning_composes_with_deletes(spark, mor_root):
+    it = IcebergTable(spark, mor_root)
+    out = _rows(it.scan(where=[("doc_id", ">=", 30)]))
+    assert out == [(30, "v30")]
+    assert it.last_plan["kept_files"] < it.last_plan["total_files"]
+
+
+def test_engine_segment_store_exports_as_iceberg_mor(spark, tmp_path):
+    """engine-MOR == Iceberg-MOR on the real format: every
+    load_index(as_of_segment=k).docs equals IcebergTable.scan(k)."""
+    import pandas as pd
+
+    from coderag_spark.engine import load_index, resume_or_build, _segment_dirs
+    from coderag_spark.operators.iceberg import IcebergTable, export_index_iceberg
+    from coderag_spark.sources.corpus import CORPUS_SCHEMA, generate_corpus
+    from tests.test_resume import _with_sha
+
+    path = str(tmp_path / "idx")
+    pdf = generate_corpus(n_files=20, seed=11, include_edge_rows=False)
+    resume_or_build(spark, spark.createDataFrame(pdf, schema=CORPUS_SCHEMA), path)
+
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.index[0], "content"] = "def morPatched(user):\n    return user\n"
+    pdf2 = _with_sha(pdf2)
+    resume_or_build(spark, spark.createDataFrame(pdf2, schema=CORPUS_SCHEMA), path)
+
+    pdf3 = pdf2[pdf2["path"] != pdf2["path"].iloc[1]]
+    pdf3 = _with_sha(pdf3.copy())
+    resume_or_build(spark, spark.createDataFrame(pdf3, schema=CORPUS_SCHEMA), path)
+
+    n_segs = len(_segment_dirs(path))
+    assert n_segs >= 2, "fixture should have appended segments"
+    it = IcebergTable(spark, export_index_iceberg(spark, path, str(tmp_path / "ice")))
+    for k in range(n_segs + 1):
+        want = load_index(spark, path, as_of_segment=k).docs
+        got = it.scan(snapshot_id=k).select(*want.columns)
+        assert _rows(got) == _rows(want), f"snapshot {k}"
