@@ -701,6 +701,44 @@ def _cmd_table(args) -> int:
         print(json.dumps(t.add_column(name, dtype, args.default)))
     elif args.action == "expire":
         print(json.dumps({"expired": t.expire_snapshots(keep_last=args.keep)}))
+    elif args.action == "iceberg-export":
+        from coderag_spark.operators.iceberg import export_iceberg
+
+        root = export_iceberg(t, args.dest)
+        print(json.dumps({"exported": root, "snapshots": t.snapshot_ids()}))
+    return 0
+
+
+def _cmd_iceberg(args) -> int:
+    """Read exported Iceberg v2 metadata with the independent scan
+    planner (operators/iceberg.py): history, snapshot scans with
+    predicate pruning, MOR delete application — plus exporting the
+    engine's incremental index store as a MOR table."""
+    from coderag_spark import get_spark
+    from coderag_spark.operators.iceberg import IcebergTable, export_index_iceberg
+
+    spark = get_spark("coderag-iceberg", cores=args.cores)
+    if args.action == "export-index":
+        root = export_index_iceberg(spark, args.index, args.path)
+        print(json.dumps({"exported": root}))
+        return 0
+    it = IcebergTable(spark, args.path)
+    if args.action == "history":
+        for h in it.history():
+            print(json.dumps(h))
+    elif args.action == "show":
+        where = None
+        if args.where:
+            col, op, val = args.where.split(",", 2)
+            if op == "in":
+                val = [json.loads(v) for v in val.split("|")]
+            elif op not in ("is_null", "not_null"):
+                val = json.loads(val)
+            where = [(col, op, val)]
+        df = it.scan(snapshot_id=args.snapshot, where=where)
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+        print(json.dumps({"plan": it.last_plan}))
     return 0
 
 
@@ -809,7 +847,7 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument(
         "action",
         choices=["create", "history", "show", "merge", "delete-where",
-                 "add-column", "expire"],
+                 "add-column", "expire", "iceberg-export"],
     )
     t.add_argument("--path", required=True, help="SnapshotTable directory")
     t.add_argument("--source", default=None, help="parquet for create/merge")
@@ -825,6 +863,20 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--column", default=None, help="name:type (add-column)")
     t.add_argument("--default", default=None, help="backfill default (add-column)")
     t.add_argument("--keep", type=int, default=2, help="snapshots to keep (expire)")
+    t.add_argument("--dest", default=None, help="output root (iceberg-export)")
+
+    ic = sub.add_parser("iceberg")
+    ic.add_argument("action", choices=["history", "show", "export-index"])
+    ic.add_argument("--path", required=True, help="Iceberg table root")
+    ic.add_argument("--index", default=None, help="index store (export-index)")
+    ic.add_argument("--snapshot", type=int, default=None, help="time-travel id (show)")
+    ic.add_argument("--limit", type=int, default=20, help="rows to print (show)")
+    ic.add_argument(
+        "--where",
+        default=None,
+        help="prune predicate col,op,value — op in ==,!=,<,<=,>,>=,in,"
+        "is_null,not_null; IN values |-separated; values are JSON (show)",
+    )
 
     args = p.parse_args(argv)
     return {
@@ -835,6 +887,7 @@ def main(argv: list[str] | None = None) -> int:
         "suggest": _cmd_suggest,
         "ann": _cmd_ann,
         "table": _cmd_table,
+        "iceberg": _cmd_iceberg,
     }[args.cmd](args)
 
 

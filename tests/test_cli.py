@@ -477,3 +477,43 @@ def test_cli_table_lifecycle(spark, tmp_path):
     assert rows[3] == ("X", 0.5) and rows[42] == ("new", 0.5)
     assert 8 not in rows and 9 not in rows and len(rows) == 9
     assert t.snapshot_ids() == [2, 3]
+
+
+def test_cli_iceberg_roundtrip(spark, tmp_path, capsys):
+    """table iceberg-export -> iceberg history/show (with pruning
+    predicate) over a real SnapshotTable; plan stats appear in output."""
+    import json as _json
+
+    from coderag_spark.cli import main
+
+    src0 = str(tmp_path / "src0")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    ).write.parquet(src0)
+    tdir = str(tmp_path / "tbl")
+    assert main(["table", "create", "--path", tdir, "--source", src0,
+                 "--key", "id", "--buckets", "4"]) == 0
+    upd = str(tmp_path / "upd")
+    spark.createDataFrame([(3, "X")], "id long, val string").write.parquet(upd)
+    assert main(["table", "merge", "--path", tdir, "--source", upd]) == 0
+    capsys.readouterr()
+    assert main(["table", "iceberg-export", "--path", tdir]) == 0
+    exported = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert exported["snapshots"] == [0, 1]
+    root = exported["exported"]
+    assert main(["iceberg", "history", "--path", root]) == 0
+    hist = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [h["snapshot-id"] for h in hist] == [0, 1]
+    # pruned point lookup: only the key's bucket files are scanned
+    assert main(["iceberg", "show", "--path", root, "--where", "id,==,3",
+                 "--limit", "5"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    rows = [_json.loads(l) for l in lines[:-1]]
+    plan = _json.loads(lines[-1])["plan"]
+    assert rows == [{"id": 3, "val": "X"}]
+    assert 0 < plan["kept_files"] < plan["total_files"]
+    # time travel through the CLI sees the pre-merge value
+    assert main(["iceberg", "show", "--path", root, "--snapshot", "0",
+                 "--where", "id,==,3", "--limit", "5"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert _json.loads(lines[0]) == {"id": 3, "val": "v3"}
